@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Named-table IO over a scale-factor directory of parquet files.
+  *
+  * The reference keeps one logical table per S3 CSV key and re-reads it in every
+  * stage (`/root/reference/data_pipeline/upload_data.py:69-95`,
+  * `shared/data_loader.py:14-29`). Here a "database" is a directory of parquet
+  * tables; reads are lazy scans so Catalyst can push filters/projections into
+  * the parquet reader (column pruning + predicate pushdown are the first-order
+  * wins at 100 TB — the reference always reads whole files).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every session builder
+    * in this repo) — that reads it as epoch-nanos LongType. Convert to a
+    * microsecond TimestampType by integral division, the exact truncation
+    * DuckDB applies when it reads the same file as TIMESTAMP. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function helpers (SURVEY.md §2.5 W1-W7).
+  *
+  * The reference hand-rolls every window with per-row loops and dicts
+  * (`/root/reference/data_pipeline/build_conversion_rate_analysis.py:203-218`,
+  * `build_day_pass_engagement_table.py:105-121`); these re-express them as
+  * Spark window specs. All of them shuffle once on the partition key and sort
+  * within partitions — O(n log n) per key group, no driver-side state, which is
+  * what makes them survive a 100 TB input where the reference's dict-counter
+  * approach cannot.
+  */
+object Windows {
+
+  /** W1: all-time ordinal of each row per key, ordered by (time, tiebreak).
+    * Reference: running dict counter `build_conversion_rate_analysis.py:203-207`. */
+  def sequenceNumber(df: DataFrame, key: Column, time: Column, tiebreak: Column,
+      as: String = "seq_no"): DataFrame =
+    df.withColumn(as, row_number().over(Window.partitionBy(key).orderBy(time, tiebreak)))
+
+  /** W2: rolling count over a trailing range window of `windowSecs` seconds
+    * (inclusive of current row), on an epoch-seconds column.
+    * Reference: per-customer list scan `build_conversion_rate_analysis.py:209-218`. */
+  def rollingCount(df: DataFrame, key: Column, epochSecs: Column, windowSecs: Long,
+      as: String = "rolling_n"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(epochSecs)
+      .rangeBetween(-windowSecs, Window.currentRow)
+    df.withColumn(as, count(lit(1)).over(w))
+  }
+
+  /** W3: gap to the previous row per key (in the unit of `axis`).
+    * Reference: `customer_flags_config.py:354-358`. */
+  def gapFromPrevious(df: DataFrame, key: Column, axis: Column, tiebreak: Column,
+      as: String = "gap"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(axis, tiebreak)
+    df.withColumn(as, axis - lag(axis, 1).over(w))
+  }
+
+  /** W5: keep the single best row per key group, ranked by `pref` descending
+    * (deterministic via `tiebreak`).
+    * Reference: sort + drop_duplicates `build_family_relationships.py:455-462`. */
+  def keepBest(df: DataFrame, keys: Seq[Column], pref: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(pref.desc, tiebreak)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** W6: deterministic top-k of the whole frame by `rank` desc.
+    * Implemented as row_number-over-sort rather than `orderBy.limit` so ties
+    * break on `tiebreak` identically in any engine. */
+  def topK(df: DataFrame, k: Int, rank: Column, tiebreak: Column): DataFrame = {
+    val w = Window.orderBy(rank.desc, tiebreak)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+}

@@ -1,0 +1,273 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.Categorize
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregations (SURVEY.md §2.4 A1–A16).
+  *
+  * All shaped as map-side-combinable hash aggregates (Catalyst plans partial +
+  * final HashAggregate automatically). Double sums go through [[Q.dsum]] so the
+  * result is order-independent — required both for the DuckDB oracle and for
+  * run-to-run stability on a real cluster where partial-agg order varies.
+  */
+object Aggregates {
+
+  // A16 strength ladder — shared config, reference `build_customer_connections.py:17-39`.
+  private val strengthBounds = Seq(2.0 -> "1", 5.0 -> "2", 10.0 -> "3", 20.0 -> "4")
+
+  val qs: Seq[Q] = Seq(
+
+    // A1: multi-function hash agg per key (count/min/max/sum).
+    // Reference: checkin stats `build_customer_master.py:335-339`.
+    Q("a1_multi_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderdate")).cast("date").as("first_order"),
+          max(col("o_orderdate")).cast("date").as("last_order"),
+          Q.dsum(col("o_totalprice")).as("lifetime_value")),
+      Some(s"""SELECT o_custkey, COUNT(*) AS n_orders,
+              |CAST(MIN(o_orderdate) AS DATE) AS first_order,
+              |CAST(MAX(o_orderdate) AS DATE) AS last_order,
+              |${Q.dsumSql("o_totalprice")} AS lifetime_value
+              |FROM orders GROUP BY o_custkey""".stripMargin)),
+
+    // A2: group-sum by calendar period. Reference: `dashboard.py:527-531`.
+    Q("a2_period_revenue",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(Q.dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n")),
+      Some(s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+              |${Q.dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n
+              |FROM orders GROUP BY 1""".stripMargin),
+      bench = true),
+
+    // A3: value_counts — count by key. Reference: `customer_events_builder.py:681-691`.
+    Q("a3_value_counts",
+      (s, d) => Tables.events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      Some("SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type")),
+
+    // A4: exact distinct count per period.
+    // Reference: `build_conversion_rate_analysis.py:373-374` (nunique).
+    Q("a4_distinct_count",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers")),
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |COUNT(DISTINCT o_custkey) AS n_customers FROM orders GROUP BY 1""".stripMargin)),
+
+    // A5: conditional aggregates (gross / discounted / net in one pass).
+    // Reference: `dashboard.py:660-684`.
+    Q("a5_conditional_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Q.dsum(when(col("l_discount") === 0.0, col("l_extendedprice"))).as("gross_full"),
+          Q.dsum(when(col("l_discount") > 0.0,
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("discounted"),
+          Q.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net"),
+          count(lit(1)).as("n")),
+      Some(s"""SELECT l_returnflag,
+              |${Q.dsumSql("CASE WHEN l_discount = 0.0 THEN l_extendedprice END")} AS gross_full,
+              |${Q.dsumSql("CASE WHEN l_discount > 0.0 THEN l_extendedprice * (1.0 - l_discount) END")} AS discounted,
+              |${Q.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS net,
+              |COUNT(*) AS n
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // A6: percentage-of-total — agg joined against a deterministic grand total.
+    // Reference: `dashboard.py:622-631`.
+    Q("a6_pct_of_total",
+      (s, d) => {
+        val byPrio = Tables.orders(s, d).groupBy(col("o_orderpriority"))
+          .agg(Q.dsum(col("o_totalprice")).as("revenue"))
+        val total = Tables.orders(s, d).agg(Q.dsum(col("o_totalprice")).as("total"))
+        byPrio.crossJoin(broadcast(total))
+          .select(col("o_orderpriority"), col("revenue"),
+            round(col("revenue") / col("total") * 100, 6).as("pct"))
+      },
+      Some(s"""WITH t AS (SELECT ${Q.dsumSql("o_totalprice")} AS total FROM orders)
+              |SELECT o_orderpriority, ${Q.dsumSql("o_totalprice")} AS revenue,
+              |round(${Q.dsumSql("o_totalprice")} / (SELECT total FROM t) * 100, 6) AS pct
+              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // A7: cohort matrix — cohort month of first order × repeat-within-window rates.
+    // Reference: `build_conversion_rate_analysis.py:327-432`.
+    Q("a7_cohort_matrix",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val first = o.groupBy(col("o_custkey").as("custkey"))
+          .agg(min(col("o_orderdate")).as("first_dt"))
+        val second = o.join(first, o("o_custkey") === first("custkey") &&
+            o("o_orderdate") > first("first_dt"))
+          .groupBy(col("custkey").as("ck2"))
+          .agg(min(col("o_orderdate")).as("second_dt"))
+        first.join(second, first("custkey") === second("ck2"), "left")
+          .select(date_trunc("month", col("first_dt")).cast("date").as("cohort_month"),
+            when(datediff(col("second_dt").cast("date"), col("first_dt").cast("date")) <= 30, 1L)
+              .otherwise(0L).as("r30"),
+            when(datediff(col("second_dt").cast("date"), col("first_dt").cast("date")) <= 90, 1L)
+              .otherwise(0L).as("r90"))
+          .groupBy(col("cohort_month"))
+          .agg(count(lit(1)).as("n_customers"), sum(col("r30")).as("n_repeat_30d"),
+            sum(col("r90")).as("n_repeat_90d"))
+      },
+      Some("""WITH first AS (
+             |  SELECT o_custkey AS custkey, MIN(o_orderdate) AS first_dt FROM orders GROUP BY 1),
+             |second AS (
+             |  SELECT f.custkey, MIN(o.o_orderdate) AS second_dt
+             |  FROM first f JOIN orders o ON o.o_custkey = f.custkey AND o.o_orderdate > f.first_dt
+             |  GROUP BY 1)
+             |SELECT CAST(date_trunc('month', f.first_dt) AS DATE) AS cohort_month,
+             |  COUNT(*) AS n_customers,
+             |  CAST(SUM(CASE WHEN date_diff('day', CAST(f.first_dt AS DATE), CAST(s.second_dt AS DATE)) <= 30
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_30d,
+             |  CAST(SUM(CASE WHEN date_diff('day', CAST(f.first_dt AS DATE), CAST(s.second_dt AS DATE)) <= 90
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_90d
+             |FROM first f LEFT JOIN second s ON s.custkey = f.custkey
+             |GROUP BY 1""".stripMargin),
+      bench = true),
+
+    // A8: weekly + monthly snapshots unioned with a period_type tag
+    // (hand-rolled grouping sets). Reference: `build_conversion_rate_analysis.py:435-545`.
+    Q("a8_snapshot_periods",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def at(unit: String) = o.groupBy(date_trunc(unit, col("o_orderdate")).cast("date").as("period"))
+          .agg(Q.dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+          .withColumn("period_type", lit(unit))
+        at("week").unionByName(at("month"))
+      },
+      Some(s"""SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS period,
+              |${Q.dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n, 'week' AS period_type
+              |FROM orders GROUP BY 1
+              |UNION ALL
+              |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS period,
+              |${Q.dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n, 'month' AS period_type
+              |FROM orders GROUP BY 1""".stripMargin)),
+
+    // A9: duplicate-key group detection (groups with >1 member).
+    // Reference: duplicate emails `build_customer_master.py:141-150`.
+    Q("a9_dup_groups",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_acctbal"))
+        Tables.customer(s, d)
+          .withColumn("group_size", count(lit(1)).over(w))
+          .filter(col("group_size") > 1)
+          .select(col("c_custkey"), col("c_acctbal"), col("group_size"))
+      },
+      Some("""SELECT c_custkey, c_acctbal, group_size FROM (
+             |  SELECT c_custkey, c_acctbal, COUNT(*) OVER (PARTITION BY c_acctbal) AS group_size
+             |  FROM customer) WHERE group_size > 1""".stripMargin)),
+
+    // A10: first row per key after sort (min_by).
+    // Reference: first membership per owner `build_conversion_rate_analysis.py:143-150`.
+    Q("a10_first_per_key",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+            col("o_orderdate").cast("date").as("first_date"))
+      },
+      Some("""SELECT o_custkey, o_orderkey AS first_orderkey, CAST(o_orderdate AS DATE) AS first_date
+             |FROM orders
+             |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1""".stripMargin)),
+
+    // A11: latest record per key. Reference: `build_contact_preferences.py:462-468`.
+    Q("a11_latest_per_key",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            Q.tsFmt(col("ts")).as("last_ts"), col("event_type").as("last_type"))
+      },
+      Some(s"""SELECT user_id, event_id AS last_event_id, ${Q.tsFmtSql("ts")} AS last_ts,
+              |event_type AS last_type
+              |FROM events
+              |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin)),
+
+    // A12: count-in-window threshold ("offer eligibility").
+    // Reference: `customer_flags_engine.py:805-933`.
+    Q("a12_count_threshold",
+      (s, d) => Tables.events(s, d)
+        .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-25").cast("timestamp"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 30),
+      Some("""SELECT user_id, COUNT(*) AS n FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-25'
+             |GROUP BY user_id HAVING COUNT(*) >= 30""".stripMargin)),
+
+    // A13: activity-risk buckets from two trailing windows at a fixed as-of.
+    // Reference: `identify_at_risk_members.py:50-212` (rewritten from a row loop
+    // into one conditional-agg pass — the classic groupBy rewrite).
+    Q("a13_risk_buckets",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") >= lit("2024-01-24").cast("timestamp"), 1L).otherwise(0L)).as("n_last7"),
+          sum(when(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+            col("ts") < lit("2024-01-24").cast("timestamp"), 1L).otherwise(0L)).as("n_prior14"))
+        .withColumn("bucket",
+          when(col("n_last7") === 0 && col("n_prior14") === 0, "very_inactive")
+            .when(col("n_last7") === 0, "declining").otherwise("active")),
+      Some("""SELECT user_id,
+             |CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-24' THEN 1 ELSE 0 END) AS BIGINT) AS n_last7,
+             |CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-24'
+             |     THEN 1 ELSE 0 END) AS BIGINT) AS n_prior14,
+             |CASE WHEN SUM(CASE WHEN ts >= TIMESTAMP '2024-01-24' THEN 1 ELSE 0 END) = 0
+             |       AND SUM(CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-24' THEN 1 ELSE 0 END) = 0
+             |     THEN 'very_inactive'
+             |     WHEN SUM(CASE WHEN ts >= TIMESTAMP '2024-01-24' THEN 1 ELSE 0 END) = 0
+             |     THEN 'declining' ELSE 'active' END AS bucket
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // A14: long→wide pivot. Reference: `build_contact_preferences.py:469-485`.
+    Q("a14_pivot",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error")),
+      Some("""SELECT user_id,
+             |CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             |CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // A15: mode per key with deterministic tie-break (most-common category).
+    // Reference: `link_refunds_to_categories.py:122-129`.
+    Q("a15_mode_per_key",
+      (s, d) => {
+        val counts = Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("event_type"))
+        counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+      },
+      Some("""SELECT user_id, event_type AS mode_type, n FROM (
+             |  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+             |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) = 1""".stripMargin)),
+
+    // A16: weighted edge rollup — pair counts → bucketed strength score.
+    // Reference: `build_customer_connections.py:17-39`. Pairs here are
+    // (user, event_type) co-occurrence days; the ladder is the operator.
+    Q("a16_edge_rollup",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(countDistinct(col("ts").cast("date")).as("n_days"))
+        .withColumn("strength",
+          Categorize.bucketLadder(col("n_days").cast("double"), strengthBounds, "5")),
+      Some(s"""SELECT user_id, event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+              |${Categorize.bucketLadderSql("CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE)", strengthBounds, "5")} AS strength
+              |FROM events GROUP BY 1, 2""".stripMargin))
+  )
+}

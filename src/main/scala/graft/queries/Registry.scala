@@ -1,0 +1,18 @@
+package graft.queries
+
+/** All declared queries, keyed by name. Each family object contributes a Seq[Q];
+  * `SparkEntry` exposes the union to the driver's Verify/Bench harness. */
+object Registry {
+  def families: Seq[Seq[Q]] = Seq(
+    ScanFilter.qs,
+    Aggregates.qs,
+    WindowQs.qs,
+    SetOps.qs)
+
+  lazy val all: Seq[Q] = {
+    val qs = families.flatten
+    val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(",")}")
+    qs
+  }
+}

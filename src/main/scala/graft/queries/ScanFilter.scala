@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, filters, predicates (SURVEY.md §2.1–2.2).
+  *
+  * Every query here is written so the filter and the projection reach the
+  * parquet scan (PushedFilters / ReadSchema in `.explain`) — the reference
+  * always downloads and parses whole CSV objects
+  * (`/root/reference/data_pipeline/upload_data.py:69-95`).
+  */
+object ScanFilter {
+
+  val qs: Seq[Q] = Seq(
+
+    // S1: pruned scan — filter + column projection pushed into parquet.
+    Q("s1_scan_prune",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin),
+      bench = true),
+
+    // P2: date-range filter + counts per enum value.
+    // Reference: `pipeline_handler.py:48-50` (start <= Date <= end).
+    Q("p2_date_range",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderdate").between(lit("1996-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")))
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("revenue")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              |${Q.dsumSql("o_totalprice")} AS revenue
+              |FROM orders
+              |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+              |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // P4: negated compound predicate with pandas `na=False` null semantics
+    // (contains → null must behave as false). Reference: `pipeline_handler.py:56-59`.
+    Q("p4_nullsafe_predicate",
+      (s, d) => Tables.customer(s, d)
+        .filter(!coalesce(col("c_mktsegment").contains("BUILD"), lit(false)) ||
+          col("c_acctbal") >= 9000)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("c_acctbal")).as("balance")),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n, ${Q.dsumSql("c_acctbal")} AS balance
+              |FROM customer
+              |WHERE (NOT COALESCE(c_mktsegment LIKE '%BUILD%', FALSE)) OR c_acctbal >= 9000
+              |GROUP BY c_mktsegment""".stripMargin)),
+
+    // P5: case-insensitive multi-keyword regex predicate.
+    // Reference: `build_conversion_rate_analysis.py:114-117`.
+    Q("p5_regex_keyword",
+      (s, d) => Tables.documents(s, d)
+        .filter(lower(col("text")).rlike("spark|stream"))
+        .select(col("doc_id"), col("source"), col("n_chars")),
+      Some("""SELECT doc_id, source, n_chars FROM documents
+             |WHERE regexp_matches(lower(text), 'spark|stream')""".stripMargin)),
+
+    // P7: conditional (masked) column assignment via when/otherwise ladder.
+    // Reference: `stripe_and_square_helpers.py:127-183` (df.loc[mask] = v).
+    Q("p7_conditional_assign",
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("discount_band",
+          when(col("l_discount") >= 0.08, "high")
+            .when(col("l_discount") >= 0.04, "mid").otherwise("low"))
+        .withColumn("tax_adj",
+          when(col("l_returnflag") === "R", lit(0.0)).otherwise(col("l_tax")))
+        .groupBy(col("discount_band"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("tax_adj") * col("l_extendedprice")).as("tax_amt")),
+      Some(s"""SELECT CASE WHEN l_discount >= 0.08 THEN 'high'
+              |            WHEN l_discount >= 0.04 THEN 'mid' ELSE 'low' END AS discount_band,
+              |COUNT(*) AS n,
+              |${Q.dsumSql("(CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_tax END) * l_extendedprice")} AS tax_amt
+              |FROM lineitem GROUP BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sorts / dedup / unions / set ops / range splice (SURVEY.md §2.6 O1–O5). */
+object SetOps {
+
+  val qs: Seq[Q] = Seq(
+
+    // O2: schema-aligned union with null-fill for missing columns —
+    // pandas `pd.concat` semantics. Reference: `pipeline_handler.py:268-273`.
+    Q("o2_union_align",
+      (s, d) => {
+        val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(concat(lit("ev_"), col("event_id")).as("row_id"),
+            col("user_id").as("actor"), col("value").as("amount"),
+            lit("event_purchase").as("kind"))
+        val orders = Tables.orders(s, d)
+          .select(concat(lit("ord_"), col("o_orderkey")).as("row_id"),
+            col("o_custkey").as("actor"), col("o_totalprice").as("amount"),
+            lit("order").as("kind"), col("o_orderpriority").as("priority"))
+        purchases.unionByName(orders, allowMissingColumns = true)
+      },
+      Some("""SELECT 'ev_' || event_id AS row_id, user_id AS actor, value AS amount,
+             |       'event_purchase' AS kind, CAST(NULL AS VARCHAR) AS priority
+             |FROM events WHERE event_type = 'purchase'
+             |UNION ALL
+             |SELECT 'ord_' || o_orderkey AS row_id, o_custkey AS actor, o_totalprice AS amount,
+             |       'order' AS kind, o_orderpriority AS priority
+             |FROM orders""".stripMargin)),
+
+    // O3: dedup by key keep-first (arrival order = (ts, event_id)).
+    // Reference: `drop_duplicates(subset=['transaction_id'], keep='first')`
+    // `pipeline_handler.py:331,411,463`.
+    Q("o3_dedup_keepfirst",
+      (s, d) => {
+        val keyed = Tables.events(s, d).withColumn("txn_key", (col("event_id") / 4).cast("long"))
+        val w = Window.partitionBy(col("txn_key")).orderBy(Q.usecs(col("ts")), col("event_id"))
+        keyed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("txn_key"), col("event_id").as("kept_event_id"),
+            col("event_type").as("kept_type"))
+      },
+      Some("""SELECT txn_key, event_id AS kept_event_id, event_type AS kept_type FROM (
+             |  SELECT *, event_id // 4 AS txn_key FROM events)
+             |QUALIFY row_number() OVER (PARTITION BY txn_key ORDER BY epoch_us(ts), event_id) = 1""".stripMargin)),
+
+    // O4: set difference — keys present on one side only.
+    // Reference: `set(recent) - active_ids` `build_customer_master.py:314`.
+    Q("o4_set_diff",
+      (s, d) => Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+        .except(Tables.events(s, d).select(col("user_id").as("k")).distinct()),
+      Some("""SELECT DISTINCT o_custkey AS k FROM orders
+             |EXCEPT
+             |SELECT DISTINCT user_id AS k FROM events""".stripMargin)),
+
+    // O5: range replacement — keep rows outside [start,end], splice in a
+    // corrected slice for the range. Reference: `pipeline_handler.py:366-426`.
+    Q("o5_range_splice",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val lo = lit("1997-01-01").cast("timestamp")
+        val hi = lit("1998-01-01").cast("timestamp")
+        val outside = o.filter(col("o_orderdate") < lo || col("o_orderdate") >= hi)
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"),
+            col("o_totalprice").as("price"), lit("kept").as("provenance"))
+        val corrected = o.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"),
+            (col("o_totalprice") * 2).as("price"), lit("respliced").as("provenance"))
+        outside.unionByName(corrected)
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice AS price,
+             |       'kept' AS provenance
+             |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' OR o_orderdate >= TIMESTAMP '1998-01-01'
+             |UNION ALL
+             |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice * 2 AS price,
+             |       'respliced' AS provenance
+             |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin))
+  )
+}

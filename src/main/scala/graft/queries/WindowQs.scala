@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.Windows
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2.5 W1–W7).
+  *
+  * The reference hand-rolls each of these with dict counters and list scans
+  * (`/root/reference/data_pipeline/build_conversion_rate_analysis.py:203-218`);
+  * here each is a single window spec: one shuffle on the partition key, sorted
+  * once, then O(1)/O(log n) per row.
+  */
+object WindowQs {
+
+  val qs: Seq[Q] = Seq(
+
+    // W1: per-key visit ordinal.
+    Q("w1_seq_number",
+      (s, d) => Windows.sequenceNumber(
+          Tables.events(s, d), col("user_id"), Q.usecs(col("ts")), col("event_id"), "seq_no")
+        .select(col("user_id"), col("event_id"), col("seq_no").cast("long").as("seq_no")),
+      Some(s"""SELECT user_id, event_id,
+              |CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS seq_no
+              |FROM events""".stripMargin)),
+
+    // W2: rolling count over a trailing 24h range frame.
+    Q("w2_rolling_count",
+      (s, d) => Windows.rollingCount(
+          Tables.events(s, d).withColumn("us", Q.usecs(col("ts"))),
+          col("user_id"), col("us"), 86400L * 1000000L, "n_24h")
+        .select(col("event_id"), col("user_id"), col("n_24h")),
+      Some("""SELECT event_id, user_id,
+             |COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS n_24h
+             |FROM events""".stripMargin),
+      bench = true),
+
+    // W3: lag — gap to previous event per user, in seconds.
+    Q("w3_lag_gap",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        Tables.events(s, d).withColumn("us", Q.usecs(col("ts")))
+          .withColumn("gap_secs", ((col("us") - lag(col("us"), 1).over(w)) / 1000000L).cast("long"))
+          .select(col("user_id"), col("event_id"), col("gap_secs"))
+      },
+      Some("""SELECT user_id, event_id,
+             |CAST((epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+             |  (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) // 1000000 AS BIGINT) AS gap_secs
+             |FROM events""".stripMargin)),
+
+    // W4: last value before the partition's anchor (max prior timestamp).
+    Q("w4_prev_before_last",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+        Tables.events(s, d).withColumn("us", Q.usecs(col("ts")))
+          .withColumn("max_us", max(col("us")).over(w))
+          .groupBy(col("user_id"))
+          .agg(max(col("max_us")).as("last_us"),
+            max(when(col("us") < col("max_us"), col("us"))).as("prev_us"))
+          .select(col("user_id"), col("last_us"), col("prev_us"))
+      },
+      Some("""SELECT user_id, MAX(us) AS last_us,
+             |MAX(CASE WHEN us < max_us THEN us END) AS prev_us FROM (
+             |  SELECT user_id, epoch_us(ts) AS us,
+             |         MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS max_us
+             |  FROM events) GROUP BY user_id""".stripMargin)),
+
+    // W5: rank-1 dedup — best row per (key, subkey) by preference.
+    Q("w5_keep_best",
+      (s, d) => Windows.keepBest(Tables.events(s, d),
+          Seq(col("user_id"), col("event_type")), col("value"), col("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id").as("best_event_id"),
+          col("value").as("best_value")),
+      Some("""SELECT user_id, event_type, event_id AS best_event_id, value AS best_value
+             |FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+             |  ORDER BY value DESC, event_id) = 1""".stripMargin)),
+
+    // W6: deterministic top-k (row_number over sort, not orderBy.limit).
+    Q("w6_topk_customers",
+      (s, d) => Windows.topK(
+          Tables.orders(s, d).groupBy(col("o_custkey"))
+            .agg(Q.dsum(col("o_totalprice")).as("revenue")),
+          10, col("revenue"), col("o_custkey"))
+        .select(col("o_custkey"), col("revenue")),
+      Some(s"""SELECT o_custkey, revenue FROM (
+              |  SELECT o_custkey, ${Q.dsumSql("o_totalprice")} AS revenue
+              |  FROM orders GROUP BY o_custkey)
+              |QUALIFY row_number() OVER (ORDER BY revenue DESC, o_custkey) <= 10""".stripMargin)),
+
+    // W7: multi-window recency counts relative to a fixed as-of.
+    Q("w7_recency_counts",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") >= lit("2024-01-28").cast("timestamp"), 1L).otherwise(0L)).as("n_3d"),
+          sum(when(col("ts") >= lit("2024-01-21").cast("timestamp"), 1L).otherwise(0L)).as("n_10d"),
+          sum(when(col("ts") >= lit("2024-01-01").cast("timestamp"), 1L).otherwise(0L)).as("n_30d")),
+      Some("""SELECT user_id,
+             |CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-28' THEN 1 ELSE 0 END) AS BIGINT) AS n_3d,
+             |CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END) AS BIGINT) AS n_10d,
+             |CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_30d
+             |FROM events GROUP BY user_id""".stripMargin))
+  )
+}
