@@ -7,7 +7,10 @@ object Registry {
     ScanFilter.qs,
     Aggregates.qs,
     WindowQs.qs,
-    SetOps.qs)
+    SetOps.qs,
+    Joins.qs,
+    Explodes.qs,
+    Scalars.qs)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten

@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.{Categorize, Normalize}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scalar function families (SURVEY.md §2.8 M1–M10) — all pure codegen'd
+  * column expressions, no UDFs. */
+object Scalars {
+
+  // M3 config: ordered keyword table compiled into one `when` ladder on both
+  // engines. Reference: `utils/stripe_and_square_helpers.py:50-92`.
+  private val typeRules = Seq(
+    "promo" -> "promotional", "economy" -> "budget", "standard" -> "standard",
+    "small" -> "compact", "medium" -> "mid", "large" -> "big")
+
+  val qs: Seq[Q] = Seq(
+
+    // M1: string normalization (lower/trim/collapse/strip-non-alnum).
+    Q("m1_normalize",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          Normalize.normText(concat(col("c_mktsegment"), lit("   "), col("c_name"))).as("norm_label"),
+          Normalize.alnumOnly(col("c_name")).as("canon_name")),
+      Some(s"""SELECT c_custkey,
+              |${Normalize.normTextSql("c_mktsegment || '   ' || c_name")} AS norm_label,
+              |${Normalize.alnumOnlySql("c_name")} AS canon_name
+              |FROM customer""".stripMargin)),
+
+    // M2: regex extraction (groups, anchored patterns).
+    Q("m2_regex_extract",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "^(\\d+)-", 1).cast("long").as("priority_num"),
+          regexp_extract(col("o_orderpriority"), "-(\\w+)$", 1).as("priority_word")),
+      Some("""SELECT o_orderkey,
+             |CAST(regexp_extract(o_orderpriority, '^(\d+)-', 1) AS BIGINT) AS priority_num,
+             |regexp_extract(o_orderpriority, '-(\w+)$', 1) AS priority_word
+             |FROM orders""".stripMargin)),
+
+    // M3: first-match-wins keyword categorizer from a config table.
+    Q("m3_keyword_ladder",
+      (s, d) => Tables.part(s, d)
+        .withColumn("category", Categorize.keywordLadder(col("p_type"), typeRules, "other"))
+        .groupBy(col("category"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("p_retailprice")).as("retail_value")),
+      Some(s"""SELECT ${Categorize.keywordLadderSql("p_type", typeRules, "other")} AS category,
+              |COUNT(*) AS n, ${Q.dsumSql("p_retailprice")} AS retail_value
+              |FROM part GROUP BY 1""".stripMargin)),
+
+    // M4: date/time kit — trunc, last_day, datediff, months_between-style.
+    Q("m4_date_functions",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+        .select(col("o_orderkey"), col("od"),
+          trunc(col("od"), "MM").as("month_start"),
+          last_day(col("od")).as("month_end"),
+          (datediff(last_day(col("od")), trunc(col("od"), "MM")) + 1).cast("long").as("days_in_month"),
+          date_trunc("quarter", col("od")).cast("date").as("quarter_start"),
+          datediff(col("od"), trunc(col("od"), "MM")).cast("long").as("day_of_month_0")),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             |last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |date_diff('day', CAST(date_trunc('month', o_orderdate) AS DATE),
+             |          last_day(CAST(o_orderdate AS DATE))) + 1 AS days_in_month,
+             |CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+             |date_diff('day', CAST(date_trunc('month', o_orderdate) AS DATE),
+             |          CAST(o_orderdate AS DATE)) AS day_of_month_0
+             |FROM orders""".stripMargin)),
+
+    // M5: md5-based deterministic A/B bucketing (portable across engines).
+    // Reference: `customer_flags_config.py:58-132`.
+    Q("m5_md5_ab_split",
+      (s, d) => Tables.customer(s, d)
+        .withColumn("ab_group", Normalize.abGroup(col("c_name"), 10))
+        .groupBy(col("ab_group")).agg(count(lit(1)).as("n")),
+      Some(s"""SELECT ${Normalize.abGroupSql("c_name", 10)} AS ab_group, COUNT(*) AS n
+              |FROM customer GROUP BY 1""".stripMargin)),
+
+    // M7: money math — tax decomposition + proportional allocation with
+    // last-row rounding fix, in exact decimal so the adjustment is
+    // order-independent. Reference: `fetch_square_data.py:623-706`,
+    // tax split `pipeline_handler.py:87-89`.
+    Q("m7_money_allocation",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d).select(col("o_orderkey").as("ok"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("order_total"))
+        val totals = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("lines_total"))
+        val w = Window.partitionBy(col("l_orderkey"))
+        li.join(totals, Seq("l_orderkey")).join(o, col("l_orderkey") === col("ok"))
+          .withColumn("alloc",
+            round(col("l_extendedprice") / col("lines_total").cast("double") *
+              col("order_total").cast("double"), 2).cast(DecimalType(18, 2)))
+          .withColumn("alloc_sum", sum(col("alloc")).over(w))
+          .withColumn("is_last", col("l_linenumber") === max(col("l_linenumber")).over(w))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            when(col("is_last"), (col("order_total") - (col("alloc_sum") - col("alloc"))).cast(DecimalType(18, 2)))
+              .otherwise(col("alloc")).cast("double").as("allocated"))
+      },
+      Some("""WITH totals AS (
+             |  SELECT l_orderkey AS tk, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS lines_total
+             |  FROM lineitem GROUP BY 1),
+             |base AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(round(l_extendedprice / CAST(lines_total AS DOUBLE)
+             |         * CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS DECIMAL(18,2)) AS alloc,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS order_total
+             |  FROM lineitem JOIN totals ON l_orderkey = tk
+             |  JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT l_orderkey, l_linenumber,
+             |  CAST(CASE WHEN l_linenumber = MAX(l_linenumber) OVER (PARTITION BY l_orderkey)
+             |    THEN CAST(order_total - (SUM(alloc) OVER (PARTITION BY l_orderkey) - alloc) AS DECIMAL(18,2))
+             |    ELSE alloc END AS DOUBLE) AS allocated
+             |FROM base""".stripMargin),
+      bench = true),
+
+    // M8: JSON payload extraction (tolerant, schema-on-read).
+    // Reference: `customer_events_builder.py:196-203`, `customer_flags_engine.py:459-491`.
+    Q("m8_json_extract",
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("total_value")),
+      Some(s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, COUNT(*) AS n,
+              |${Q.dsumSql("value")} AS total_value
+              |FROM events GROUP BY 1""".stripMargin)),
+
+    // M9: array/set aggregation with deterministic ordering + delimited join.
+    // Reference: sources pipe-join `build_customer_master.py:263-265`.
+    Q("m9_array_set_agg",
+      (s, d) => Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(concat_ws(",", array_sort(collect_set(col("c_mktsegment")))).as("segments"),
+          countDistinct(col("c_mktsegment")).as("n_segments")),
+      Some("""SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+             |COUNT(DISTINCT c_mktsegment) AS n_segments
+             |FROM customer GROUP BY c_nationkey""".stripMargin)),
+
+    // M6+M10: similarity ratio + rounding/casting kit in one pass.
+    Q("m10_cast_round",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          round(col("c_acctbal"), 1).as("bal_1dp"),
+          col("c_acctbal").cast("long").as("bal_int"),
+          format_string("%09d", col("c_custkey")).as("key_padded"),
+          round(Normalize.levRatio(col("c_name"), lit("Customer#000000000")), 6).as("sim_to_zero")),
+      Some(s"""SELECT c_custkey, round(c_acctbal, 1) AS bal_1dp,
+              |CAST(TRUNC(c_acctbal) AS BIGINT) AS bal_int,
+              |format('{:09d}', c_custkey) AS key_padded,
+              |round(${Normalize.levRatioSql("c_name", "'Customer#000000000'")}, 6) AS sim_to_zero
+              |FROM customer""".stripMargin))
+  )
+}
