@@ -1,0 +1,90 @@
+package graft.flags
+
+/** Rule-driven customer flagging (SURVEY.md §2.9 U1).
+  *
+  * The reference's flag engine evaluates 12 Python rule objects against each
+  * customer's time-sorted event list
+  * (`/root/reference/data_pipeline/customer_flags_config.py:135-170` base
+  * contract, `customer_flags_engine.py:131-205` per-customer evaluation).
+  * This is the engine's one deliberately procedural region: rules are plain
+  * Scala over an in-memory per-user event slice, applied inside
+  * `Dataset.groupByKey(_.userId).flatMapGroups` — state-free per group, so it
+  * scales horizontally with the number of users and never materializes more
+  * than one user's events at a time.
+  *
+  * Money is summed in BigDecimal (exact, order-independent) — the reference's
+  * float-dollar arithmetic is its weakest numeric decision; the oracle mirrors
+  * this with DECIMAL sums.
+  */
+final case class Ev(userId: Long, eventId: Long, eventType: String, us: Long, value: Double)
+
+final case class Flag(user_id: Long, flag_type: String, flag_data: String)
+
+trait FlagRule {
+  def name: String
+
+  /** `events` is the user's full event list sorted by (us, eventId);
+    * `asOfUs` is the evaluation clock in epoch micros (explicit — the
+    * reference's scattered `datetime.now()` made results irreproducible). */
+  def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag]
+}
+
+object FlagRules {
+  private val Hour  = 3600L * 1000000L
+  private val Day   = 24L * Hour
+
+  /** No activity in the trailing 24h. (Reference analogue: winback/at-risk
+    * recency rules, `customer_flags_config.py:1421-1905`.) */
+  object Inactive24h extends FlagRule {
+    val name = "inactive_24h"
+    def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
+      val lastUs = events.last.us
+      if (lastUs < asOfUs - Day)
+        Some(Flag(userId, name, s"hours_since_last=${(asOfUs - lastUs) / Hour}"))
+      else None
+    }
+  }
+
+  /** >= 80 events in the trailing 30 days. */
+  object PowerUser extends FlagRule {
+    val name = "power_user"
+    def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
+      val n = events.count(e => e.us >= asOfUs - 30 * Day && e.us < asOfUs)
+      if (n >= 80) Some(Flag(userId, name, s"n_30d=$n")) else None
+    }
+  }
+
+  /** Purchase spend >= $800 in the trailing 30 days (exact decimal cents). */
+  object BigSpender extends FlagRule {
+    val name = "big_spender"
+    def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
+      val cents = events.iterator
+        .filter(e => e.eventType == "purchase" && e.us >= asOfUs - 30 * Day && e.us < asOfUs)
+        .map(e => BigDecimal.valueOf(e.value))
+        .foldLeft(BigDecimal(0))(_ + _) * 100
+      if (cents >= 80000) Some(Flag(userId, name, s"spend_30d_cents=${cents.toLongExact}"))
+      else None
+    }
+  }
+
+  /** >= 20 errors and an error share >= 25% in the trailing 30 days
+    * (integer arithmetic — no float ratio). */
+  object ErrorProne extends FlagRule {
+    val name = "error_prone"
+    def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
+      val recent = events.filter(e => e.us >= asOfUs - 30 * Day && e.us < asOfUs)
+      val errs = recent.count(_.eventType == "error")
+      if (errs >= 20 && errs * 4 >= recent.size)
+        Some(Flag(userId, name, s"err_30d=$errs,total_30d=${recent.size}"))
+      else None
+    }
+  }
+
+  /** Registry — mirrors `ACTIVE_RULES` `customer_flags_config.py:1888-1905`. */
+  val active: Seq[FlagRule] = Seq(Inactive24h, PowerUser, BigSpender, ErrorProne)
+
+  def evaluateAll(userId: Long, events: Seq[Ev], asOfUs: Long): Seq[Flag] = {
+    val sorted = events.sortBy(e => (e.us, e.eventId))
+    active.flatMap(_.evaluate(userId, sorted, asOfUs))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators (BASELINE north star: LLM-data-pipeline
+  * dedup at 100 TB).
+  *
+  * All hashing is md5-based (bit-identical across JVM/C engines) and every
+  * stage is a hash-partitioned groupBy/join — shingling explodes documents to
+  * (doc, shingle) rows, signatures reduce them back to (doc, seed) rows, and
+  * LSH banding turns near-dup search into an equi-join on band signatures, so
+  * candidate generation never compares all pairs. This is the
+  * shingle→minhash→band→bucket-join pipeline from Broder '97 / the MMDS book,
+  * expressed as Catalyst-friendly relational ops.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical normalized texts, keep the minimum id.
+    * (Reference analogue: transaction-id dedup `pipeline_handler.py:331`.) */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(Normalize.normText(col(textCol))).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
+
+  /** Distinct word k-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.filter(size(split(col(textCol), " ")) >= k)
+      .select(col(idCol), expr(
+        s"""explode(transform(sequence(0, size(split($textCol, ' ')) - $k),
+           |  i -> array_join(slice(split($textCol, ' '), i + 1, $k), ' ')))""".stripMargin)
+        .as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: for each of `numHashes` seeds, the minimum
+    * md5(seed|shingle) prefix. Output: (id, seed, mh). */
+  def minhash(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    sh.withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(substring(md5(concat(col("seed").cast("string"), lit("|"), col("shingle"))), 1, 16))
+        .as("mh"))
+
+  /** LSH band signatures: rows of `bandSize` consecutive seeds concatenated.
+    * Output: (id, band, sig). */
+  def lshBands(mh: DataFrame, idCol: String, bandSize: Int): DataFrame = {
+    val positions = (0 until bandSize).map(r =>
+      max(when(col("seed") % bandSize === r, col("mh"))))
+    mh.groupBy(col(idCol), expr(s"seed div $bandSize").as("band"))
+      .agg(concat_ws("|", positions: _*).as("sig"))
+  }
+
+  /** Candidate pairs sharing >= 1 band signature: (id_a, id_b, n_bands).
+    * The equi-join on (band, sig) is what makes this scale: candidates are
+    * bounded by bucket occupancy, never all-pairs. */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.toDF("id_a", "band_a", "sig_a")
+    val b = bands.toDF("id_b", "band_b", "sig_b")
+    a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+        col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Exact shingle-set Jaccard for given candidate pairs (verification stage
+    * of the LSH pipeline — only runs on candidates). */
+  def jaccardFor(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val shA = sh.toDF("sa_id", "sa_shingle")
+    val shB = sh.toDF("sb_id", "sb_shingle")
+    val inter = pairs.select(col("id_a"), col("id_b"))
+      .join(shA, col("id_a") === col("sa_id"))
+      .join(shB, col("id_b") === col("sb_id") && col("sa_shingle") === col("sb_shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.toDF("ja", "n_a"), col("id_a") === col("ja"))
+      .join(sizes.toDF("jb", "n_b"), col("id_b") === col("jb"))
+      .withColumn("jaccard", round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+        (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))).cast("double"), 6))
+      .drop("ja", "jb")
+  }
+
+  /** 16-bit SimHash per document: per-token md5 hex-digit parities vote on
+    * each bit, weighted by token frequency. Output: (id, simhash BIGINT). */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    tokens
+      .withColumn("bit", explode(sequence(lit(0), lit(15))))
+      .withColumn("vote", (ascii(expr("substr(md5(tok), bit + 1, 1)")) % 2) * 2 - 1)
+      .groupBy(col(idCol), col("bit")).agg(sum(col("vote")).as("votes"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("votes") > 0, expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0L))
+        .as("simhash"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over embedding columns
+  * (BASELINE north star: similarity search at 100 TB).
+  *
+  * Dot products and squared norms are computed in exact DECIMAL arithmetic
+  * over the float vectors (order-independent, so identical on any engine or
+  * partitioning), then the cosine is finished in double. Brute force is the
+  * correctness baseline; the partition-pruned variant restricts the scan to a
+  * coarse bucket (here the `label` column stands in for an IVF/k-means or LSH
+  * cell assignment), which is the structure that turns an O(N) scan into an
+  * O(N/cells) one on a cluster — the bucket column becomes the shuffle /
+  * partition-pruning key.
+  */
+object SimilaritySearch {
+
+  /** Exact decimal dot product of two float-array columns (as SQL expr). */
+  def dotExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DECIMAL(18,9)) * CAST(y AS DECIMAL(18,9))),
+       |  CAST(0 AS DECIMAL(38,18)), (acc, v) -> CAST(acc + v AS DECIMAL(38,18)))""".stripMargin
+
+  /** Exact decimal squared norm of a float-array column (as SQL expr). */
+  def normSqExpr(a: String): String = dotExpr(a, a)
+
+  /** Cosine similarity column from exact components. */
+  def cosine(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
+
+  /** Brute-force top-k cosine neighbors of one query vector.
+    * `emb` must have (idCol, vecCol); the query row is broadcast. */
+  def topKNeighbors(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, bucketCol: Option[String] = None): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"),
+        (if (bucketCol.isDefined) col(bucketCol.get) else lit(0)).as("q_bucket"))
+    val candidates = emb.filter(col(idCol) =!= queryId)
+    val joined = bucketCol match {
+      case Some(bc) => candidates.join(broadcast(q), col(bc) === col("q_bucket"))
+      case None     => candidates.crossJoin(broadcast(q))
+    }
+    val scored = joined
+      .withColumn("cos_sim", round(cosine(
+        expr(dotExpr(vecCol, "q_vec")),
+        expr(normSqExpr(vecCol)), expr(normSqExpr("q_vec"))), 6))
+    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(idCol), col("cos_sim"), col("rank").cast("long").as("rank"))
+  }
+
+  /** All near-duplicate pairs with cosine >= threshold, blocked by a bucket
+    * column (embedding-cosine near-dup dedup). */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col(bucketCol).as("bkt_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col(bucketCol).as("bkt_b"))
+    a.join(b, col("bkt_a") === col("bkt_b") && col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(
+        expr(dotExpr("vec_a", "vec_b")),
+        expr(normSqExpr("vec_a")), expr(normSqExpr("vec_b"))), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("bkt_a").as("bucket"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language-ID heuristic, quality
+  * scoring, token counting, fingerprinting (BASELINE north star).
+  * All pure column expressions — codegen'd, shuffle-free per row. */
+object TextAnalysis {
+
+  /** Stopword-marker hit counts per language; the language-ID heuristic picks
+    * the best-scoring marker set (first-match-wins on ties). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "fr" -> Seq("le", "la", "les", "des"))
+
+  private def hitCount(textCol: String, words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter(split(lower($textCol), ' '), w -> w IN ($set)))"
+  }
+
+  private def hitCountSql(textCol: String, words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(lower($textCol), ' '), w -> w IN ($set)))"
+  }
+
+  /** Predicted language: the marker set with the most hits; 'und' if none. */
+  def langId(textCol: String): Column = {
+    val counts = langMarkers.map { case (lang, words) => lang -> expr(hitCount(textCol, words)) }
+    val best = counts.map(_._2).reduce(greatest(_, _))
+    counts.foldLeft(Option.empty[Column]) { case (acc, (lang, c)) =>
+      val hit = c === best && best > 0
+      Some(acc.fold(when(hit, lang))(_.when(hit, lang)))
+    }.get.otherwise("und")
+  }
+
+  def langIdSql(textCol: String): String = {
+    val counts = langMarkers.map { case (lang, words) => lang -> hitCountSql(textCol, words) }
+    val best = counts.map(_._2).mkString("greatest(", ", ", ")")
+    val whens = counts.map { case (lang, c) =>
+      s"WHEN $c = $best AND $best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  /** Whitespace token count. */
+  def wsTokens(c: Column): Column = size(split(c, " ")).cast("long")
+
+  def wsTokensSql(e: String): String = s"CAST(len(string_split($e, ' ')) AS BIGINT)"
+
+  /** BPE-ish subword count: alpha runs, digit runs, single other chars. */
+  def bpeTokens(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+
+  def bpeTokensSql(e: String): String =
+    s"CAST(len(regexp_extract_all(lower($e), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)"
+
+  /** Heuristic quality score in [0,1]: length, stopword share, token length. */
+  def qualityScore(textCol: String): Column = {
+    val nTok = expr(s"size(split($textCol, ' '))").cast("double")
+    val stop = expr(hitCount(textCol, Seq("the", "a", "of", "and"))).cast("double")
+    val avgLen = (length(col(textCol)) - (nTok - 1)) / nTok
+    round(least(lit(1.0), nTok / 50) * 0.5 +
+      (lit(1.0) - stop / nTok) * 0.3 +
+      least(lit(1.0), avgLen / 6) * 0.2, 6)
+  }
+
+  def qualityScoreSql(textCol: String): String = {
+    val nTok = s"CAST(len(string_split($textCol, ' ')) AS DOUBLE)"
+    val stop = s"CAST(${hitCountSql(textCol, Seq("the", "a", "of", "and"))} AS DOUBLE)"
+    s"""round(least(1.0, $nTok / 50) * 0.5 +
+       |(1.0 - $stop / $nTok) * 0.3 +
+       |least(1.0, ((length($textCol) - ($nTok - 1)) / $nTok) / 6) * 0.2, 6)""".stripMargin
+  }
+
+  /** Content fingerprint: md5 of the whitespace/case-normalized text. */
+  def fingerprint(c: Column): Column = md5(Normalize.normText(c))
+
+  def fingerprintSql(e: String): String = s"md5(${Normalize.normTextSql(e)})"
+}

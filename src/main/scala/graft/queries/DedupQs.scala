@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.{Dedup, Normalize}
+import org.apache.spark.sql.functions._
+
+/** Deduplication queries over `documents` (BASELINE north star ops).
+  * Oracles re-derive the full pipelines in DuckDB SQL — the md5-based hashing
+  * makes every stage engine-portable. */
+object DedupQs {
+
+  // Shared oracle CTEs: distinct 3-gram shingles per doc.
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(greatest(len(string_split(text, ' ')) - 2, 0)),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS shingle
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // D1: exact dedup via normalized-text hash groups.
+    Q("d1_exact_dedup",
+      (s, d) => Dedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text"),
+      Some(s"""SELECT md5(${Normalize.normTextSql("text")}) AS text_hash,
+              |MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+              |FROM documents GROUP BY 1""".stripMargin)),
+
+    // D2: full MinHash-LSH near-dup pipeline — shingle → 8-seed minhash →
+    // 4 bands of 2 → bucket-join candidates → exact-Jaccard verification.
+    Q("d2_minhash_lsh",
+      (s, d) => {
+        val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
+        val bands = Dedup.lshBands(Dedup.minhash(sh, "doc_id", 8), "doc_id", 2)
+        val cands = Dedup.lshCandidates(bands, "doc_id")
+        Dedup.jaccardFor(cands, sh, "doc_id")
+          .withColumn("is_dup", col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("n_bands"), col("jaccard"), col("is_dup"))
+      },
+      Some(s"""WITH $shinglesCte,
+              |mh AS (
+              |  SELECT doc_id, i AS seed, MIN(substr(md5(i || '|' || shingle), 1, 16)) AS h
+              |  FROM sh, range(8) t(i) GROUP BY 1, 2),
+              |bands AS (
+              |  SELECT doc_id, seed // 2 AS band,
+              |    MAX(CASE WHEN seed % 2 = 0 THEN h END) || '|' ||
+              |    MAX(CASE WHEN seed % 2 = 1 THEN h END) AS sig
+              |  FROM mh GROUP BY 1, 2),
+              |cands AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+              |  FROM cands c
+              |  JOIN sh a ON a.doc_id = c.id_a
+              |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              |  GROUP BY 1, 2)
+              |SELECT c.id_a, c.id_b, c.n_bands,
+              |  round(COALESCE(n_inter, 0) / CAST(sa.n_sh + sb.n_sh - COALESCE(n_inter, 0) AS DOUBLE), 6) AS jaccard,
+              |  round(COALESCE(n_inter, 0) / CAST(sa.n_sh + sb.n_sh - COALESCE(n_inter, 0) AS DOUBLE), 6) >= 0.5 AS is_dup
+              |FROM cands c
+              |LEFT JOIN inter USING (id_a, id_b)
+              |JOIN sizes sa ON sa.doc_id = c.id_a
+              |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin),
+      bench = true),
+
+    // D3: 16-bit SimHash fingerprints (frequency-weighted bit votes).
+    Q("d3_simhash",
+      (s, d) => Dedup.simhash16(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |votes AS (
+             |  SELECT doc_id, i AS bit,
+             |    SUM((ascii(substr(md5(tok), i + 1, 1)) % 2) * 2 - 1) AS votes
+             |  FROM toks, range(16) t(i) WHERE tok <> '' GROUP BY 1, 2)
+             |SELECT doc_id,
+             |  CAST(SUM(CASE WHEN votes > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+             |FROM votes GROUP BY doc_id""".stripMargin)),
+
+    // D4: n-gram Jaccard near-dup, blocked by source (all within-block pairs,
+    // exact — the non-LSH comparison point).
+    Q("d4_ngram_jaccard",
+      (s, d) => {
+        val ds = Dedup.shingles(
+          Tables.documents(s, d).withColumn("doc_src", col("source")), "doc_id", "text", 3)
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+        val a = ds.toDF("id_a", "sa_shingle", "src_a")
+        val b = ds.toDF("id_b", "sb_shingle", "src_b")
+        val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val inter = a.join(b, col("src_a") === col("src_b") &&
+            col("sa_shingle") === col("sb_shingle") && col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.toDF("ja", "n_a"), col("id_a") === col("ja"))
+          .join(sizes.toDF("jb", "n_b"), col("id_b") === col("jb"))
+          .withColumn("jaccard", round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+          .filter(col("jaccard") >= 0.3)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+      },
+      Some(s"""WITH $shinglesCte,
+              |ds AS (
+              |  SELECT sh.doc_id, shingle, source FROM sh
+              |  JOIN documents USING (doc_id)),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ds GROUP BY 1),
+              |inter AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+              |  FROM ds a JOIN ds b
+              |    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+              |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+              |WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.3""".stripMargin))
+  )
+}

@@ -10,7 +10,12 @@ object Registry {
     SetOps.qs,
     Joins.qs,
     Explodes.qs,
-    Scalars.qs)
+    Scalars.qs,
+    FlagQs.qs,
+    DedupQs.qs,
+    SimilarityQs.qs,
+    TextQs.qs,
+    MultimodalQs.qs)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.SimilaritySearch
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `embeddings` (BASELINE north star ops).
+  * Exact-decimal dot products make cosine values engine-identical. */
+object SimilarityQs {
+
+  // Oracle-side exact-decimal dot product of two list<float> expressions,
+  // mirroring SimilaritySearch.dotExpr. DuckDB 1.0's range() only accepts
+  // constants, so the testdata's fixed dimensionality (64 at every sf) is
+  // inlined; the Spark side stays dimension-agnostic via zip_with.
+  private val dim = 64
+
+  private def dotSql(a: String, b: String): String =
+    s"""(SELECT SUM(CAST($a[i + 1] AS DECIMAL(18,9)) * CAST($b[i + 1] AS DECIMAL(18,9)))
+       |  FROM range($dim) t(i))""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"""round(CAST(${dotSql(a, b)} AS DOUBLE) /
+       |  (sqrt(CAST(${dotSql(a, a)} AS DOUBLE)) * sqrt(CAST(${dotSql(b, b)} AS DOUBLE))), 6)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // K1: brute-force exact top-10 cosine neighbors of vec_id 0 — the
+    // correctness baseline every ANN variant is judged against.
+    Q("k1_knn_bruteforce",
+      (s, d) => SimilaritySearch.topKNeighbors(
+        Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 10),
+      Some(s"""WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+              |scored AS (
+              |  SELECT vec_id, ${cosSql("embedding", "q_vec")} AS cos_sim
+              |  FROM embeddings, q WHERE vec_id <> 0)
+              |SELECT vec_id, cos_sim,
+              |  CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+              |FROM scored
+              |QUALIFY row_number() OVER (ORDER BY cos_sim DESC, vec_id) <= 10""".stripMargin),
+      bench = true),
+
+    // K2: partition-pruned ANN — search only the query's coarse bucket
+    // (label = stand-in IVF cell). The scan shrinks by the bucket count; on a
+    // cluster the bucket is the partition-pruning key.
+    Q("k2_knn_ivf_bucket",
+      (s, d) => SimilaritySearch.topKNeighbors(
+        Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 5,
+        bucketCol = Some("label")),
+      Some(s"""WITH q AS (SELECT embedding AS q_vec, label AS q_label FROM embeddings WHERE vec_id = 0),
+              |scored AS (
+              |  SELECT vec_id, ${cosSql("embedding", "q_vec")} AS cos_sim
+              |  FROM embeddings, q WHERE vec_id <> 0 AND label = q_label)
+              |SELECT vec_id, cos_sim,
+              |  CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+              |FROM scored
+              |QUALIFY row_number() OVER (ORDER BY cos_sim DESC, vec_id) <= 5""".stripMargin)),
+
+    // K3: embedding-cosine near-dup pairs within buckets (dedup by vector).
+    Q("k3_embedding_neardup",
+      (s, d) => SimilaritySearch.nearDupPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label", threshold = 0.4),
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS bucket,
+              |${cosSql("a.embedding", "b.embedding")} AS cos_sim
+              |FROM embeddings a JOIN embeddings b
+              |  ON a.label = b.label AND a.vec_id < b.vec_id
+              |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin))
+  )
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over `documents` (BASELINE north star ops). */
+object TextQs {
+
+  val qs: Seq[Q] = Seq(
+
+    // T1: n-gram/stopword language-ID heuristic vs the labeled lang column.
+    Q("t1_lang_id",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("predicted_lang", TextAnalysis.langId("text"))
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n")),
+      Some(s"""SELECT lang, ${TextAnalysis.langIdSql("text")} AS predicted_lang, COUNT(*) AS n
+              |FROM documents GROUP BY 1, 2""".stripMargin)),
+
+    // T2: quality scoring (length / stopword share / token length).
+    Q("t2_quality_score",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.qualityScore("text").as("quality"),
+          TextAnalysis.wsTokens(col("text")).as("n_tokens")),
+      Some(s"""SELECT doc_id, ${TextAnalysis.qualityScoreSql("text")} AS quality,
+              |${TextAnalysis.wsTokensSql("text")} AS n_tokens
+              |FROM documents""".stripMargin),
+      bench = true),
+
+    // T3: token counting — whitespace tokens + BPE-ish subword regex.
+    Q("t3_token_counts",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.wsTokens(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeTokens(col("text")).as("bpe_tokens"),
+          col("n_chars")),
+      Some(s"""SELECT doc_id, ${TextAnalysis.wsTokensSql("text")} AS ws_tokens,
+              |${TextAnalysis.bpeTokensSql("text")} AS bpe_tokens, n_chars
+              |FROM documents""".stripMargin)),
+
+    // T4: document fingerprinting (normalized-content hash + shard bucket).
+    Q("t4_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+          substring(TextAnalysis.fingerprint(col("text")), 1, 2).as("shard")),
+      Some(s"""SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fingerprint,
+              |substr(${TextAnalysis.fingerprintSql("text")}, 1, 2) AS shard
+              |FROM documents""".stripMargin))
+  )
+}
