@@ -1,0 +1,133 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level tests on tiny inline DataFrames, including brute-force
+  * equivalence properties for the blocked/bucketed operators — the scale
+  * tricks must not change semantics. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Categorize.keywordLadder is first-match-wins with default") {
+    val df = Seq("PROMO SMALL X", "plain large", "nothing").toDF("t")
+      .withColumn("cat", Categorize.keywordLadder(col("t"),
+        Seq("promo" -> "P", "small" -> "S", "large" -> "L"), "other"))
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("P", "L", "other"))
+  }
+
+  test("Normalize.normText is idempotent and alnumOnly strips symbols") {
+    val raw = Seq("  A   b\tC ", "x--y__z!!", "").toDF("t")
+      .select(Normalize.normText(col("t")).as("n1"), Normalize.alnumOnly(col("t")).as("a"))
+    val rows = raw.collect()
+    assert(rows(0).getString(0) == "a b c")
+    assert(rows(1).getString(1) == "xyz")
+    // idempotence
+    val again = raw.select(Normalize.normText(col("n1")).as("n2")).collect()
+    assert(again.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq)
+  }
+
+  test("Normalize.abGroup is stable and lands in [0, groups)") {
+    val df = (1 to 200).map(i => s"user_$i").toDF("t")
+      .withColumn("g", Normalize.abGroup(col("t"), 10))
+    val gs = df.collect().map(_.getLong(1))
+    assert(gs.forall(g => g >= 0 && g < 10))
+    assert(gs.distinct.length == 10) // 200 keys hit every bucket w.h.p.
+    val gs2 = df.withColumn("g2", Normalize.abGroup(col("t"), 10)).collect().map(_.getLong(2))
+    assert(gs.toSeq == gs2.toSeq)
+  }
+
+  test("TimeJoins.proximityPairs equals brute force on random data") {
+    val rnd = new scala.util.Random(42)
+    val events = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(3).toString, rnd.nextLong(100000L)))
+    val df = events.toDF("id", "key", "us")
+    val tol = 5000L
+    val got = TimeJoins.proximityPairs(df, Seq("key"), "us", "id", tol)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (i1, k1, t1) <- events; (i2, k2, t2) <- events
+      if k1 == k2 && i1 < i2 && math.abs(t1 - t2) <= tol
+    } yield (i1, i2)).toSet
+    assert(got == brute)
+  }
+
+  test("TimeJoins.asOf picks the latest right row at-or-before, deterministically") {
+    val left = Seq((1L, 100L), (1L, 50L), (2L, 10L)).toDF("l_key", "l_us")
+      .withColumn("l_id", monotonically_increasing_id())
+    val right = Seq((1L, 90L, "a"), (1L, 90L, "b"), (1L, 20L, "c"), (2L, 50L, "d"))
+      .toDF("r_key", "r_us", "r_tag")
+      .withColumn("r_id", col("r_us") + when(col("r_tag") === "b", 1).otherwise(0))
+    val out = TimeJoins.asOf(left, right, "l_key", "r_key", "l_us", "r_us", "r_id", "l_id")
+      .select("l_key", "l_us", "r_tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // left (1,100) → right at 90, tie between a/b broken by r_id → "a"
+    // left (1,50)  → right at 20 → "c"; left (2,10) → nothing (inner)
+    assert(out == Set((1L, 100L, "a"), (1L, 50L, "c")))
+  }
+
+  test("Dedup: minhash-LSH candidates + exact jaccard find the true near-dup") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different words about spark query engines and columnar scans"),
+      (4L, "another unrelated sentence mentioning databases joins and aggregations")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, "doc_id", 8), "doc_id", 2), "doc_id")
+    val verified = Dedup.jaccardFor(cands, sh, "doc_id")
+      .filter(col("jaccard") >= 0.5).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == Set((1L, 2L)))
+  }
+
+  test("Dedup.simhash16: identical texts agree, disjoint texts differ") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val sig = Dedup.simhash16(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    assert(sig.values.forall(s => s >= 0 && s < 65536))
+  }
+
+  test("SimilaritySearch.topKNeighbors ranks an identical vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),   // identical → cos 1
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),   // orthogonal → cos 0
+      (3L, Array(-1.0f, 0.0f, 0.0f), 0),  // opposite → cos -1
+      (4L, Array(1.0f, 1.0f, 0.0f), 0)    // cos ~0.7071
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.topKNeighbors(emb, "vec_id", "embedding", 0L, 3)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 2L))
+    assert(out(0)._2 == 1.0)
+    assert(math.abs(out(1)._2 - 0.707107) < 1e-6)
+  }
+
+  test("Multimodal.decodeStub is deterministic and schema-complete") {
+    val docs = Seq((1L, "hello"), (2L, "world")).toDF("doc_id", "text")
+    val media = Multimodal.asBinaryTable(docs, "doc_id", "text")
+    val metas = Multimodal.decodeStub(spark, media, "doc_id").collect().sortBy(_.docId)
+    assert(metas.length == 2)
+    assert(metas(0).byteLen == 5)
+    assert(metas.forall(m => m.width >= 64 && m.width < 128))
+    val again = Multimodal.decodeStub(spark, media, "doc_id").collect().sortBy(_.docId)
+    assert(metas.toSeq == again.toSeq)
+  }
+
+  test("TextAnalysis: langId picks marker language, tokens counted consistently") {
+    val df = Seq("the cat and the dog of a house", "der hund und die katze",
+      "xyzzy plugh").toDF("text")
+      .select(TextAnalysis.langId("text").as("lang"),
+        TextAnalysis.wsTokens(col("text")).as("n"))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows(0)._1 == "en" && rows(0)._2 == 8)
+    assert(rows(1)._1 == "de" && rows(1)._2 == 5)
+    assert(rows(2)._1 == "und")
+  }
+}
