@@ -1,5 +1,11 @@
 package graft
+
+import graft.queries.Registry
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main: times the headline (`bench = true`) queries on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line for the driver.
+  * `SPARK_GRAFT_BENCH_ALL=1` times every registry query instead. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,15 +19,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) Registry.all
+             else Registry.all.filter(_.bench)
+
+    // Warm the JVM/codegen paths once so the first timed query isn't charged
+    // for classloading (headline queries should measure the plan, not sbt).
+    qs.headOption.foreach(q => try q.run(spark, sfDir).count() catch { case _: Throwable => () })
+
+    val results = qs.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,21 +31,23 @@ object SimilaritySearch {
     dot.cast("double") / (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
 
   /** Brute-force top-k cosine neighbors of one query vector.
-    * `emb` must have (idCol, vecCol); the query row is broadcast. */
+    * `emb` must have (idCol, vecCol); the query row (with its norm
+    * precomputed once) is broadcast; each candidate's norm is computed once —
+    * per-row work is exactly one dot product plus one norm. */
   def topKNeighbors(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, bucketCol: Option[String] = None): DataFrame = {
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"),
+        sqrt(expr(normSqExpr(vecCol)).cast("double")).as("q_norm"),
         (if (bucketCol.isDefined) col(bucketCol.get) else lit(0)).as("q_bucket"))
     val candidates = emb.filter(col(idCol) =!= queryId)
+      .withColumn("c_norm", sqrt(expr(normSqExpr(vecCol)).cast("double")))
     val joined = bucketCol match {
       case Some(bc) => candidates.join(broadcast(q), col(bc) === col("q_bucket"))
       case None     => candidates.crossJoin(broadcast(q))
     }
-    val scored = joined
-      .withColumn("cos_sim", round(cosine(
-        expr(dotExpr(vecCol, "q_vec")),
-        expr(normSqExpr(vecCol)), expr(normSqExpr("q_vec"))), 6))
+    val scored = joined.withColumn("cos_sim",
+      round(expr(dotExpr(vecCol, "q_vec")).cast("double") / (col("c_norm") * col("q_norm")), 6))
     val w = Window.orderBy(col("cos_sim").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col(idCol), col("cos_sim"), col("rank").cast("long").as("rank"))
@@ -55,12 +57,14 @@ object SimilaritySearch {
     * column (embedding-cosine near-dup dedup). */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col(bucketCol).as("bkt_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col(bucketCol).as("bkt_b"))
+    val withNorm = emb.withColumn("__norm", sqrt(expr(normSqExpr(vecCol)).cast("double")))
+    val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col(bucketCol).as("bkt_a"), col("__norm").as("norm_a"))
+    val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col(bucketCol).as("bkt_b"), col("__norm").as("norm_b"))
     a.join(b, col("bkt_a") === col("bkt_b") && col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(
-        expr(dotExpr("vec_a", "vec_b")),
-        expr(normSqExpr("vec_a")), expr(normSqExpr("vec_b"))), 6))
+      .withColumn("cos_sim", round(
+        expr(dotExpr("vec_a", "vec_b")).cast("double") / (col("norm_a") * col("norm_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("bkt_a").as("bucket"), col("cos_sim"))
   }

@@ -26,12 +26,13 @@ object DedupQs {
               |MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
               |FROM documents GROUP BY 1""".stripMargin)),
 
-    // D2: full MinHash-LSH near-dup pipeline — shingle → 8-seed minhash →
-    // 4 bands of 2 → bucket-join candidates → exact-Jaccard verification.
+    // D2: full MinHash-LSH near-dup pipeline — shingle → 8 32-bit minhashes
+    // (2 md5 digests split 4 ways) → 4 bands of 2 → bucket-join candidates →
+    // exact-Jaccard verification.
     Q("d2_minhash_lsh",
       (s, d) => {
         val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
-        val bands = Dedup.lshBands(Dedup.minhash(sh, "doc_id", 8), "doc_id", 2)
+        val bands = Dedup.lshBands(Dedup.minhash(sh, "doc_id", 8), "doc_id", 2, 8)
         val cands = Dedup.lshCandidates(bands, "doc_id")
         Dedup.jaccardFor(cands, sh, "doc_id")
           .withColumn("is_dup", col("jaccard") >= 0.5)
@@ -39,13 +40,15 @@ object DedupQs {
       },
       Some(s"""WITH $shinglesCte,
               |mh AS (
-              |  SELECT doc_id, i AS seed, MIN(substr(md5(i || '|' || shingle), 1, 16)) AS h
-              |  FROM sh, range(8) t(i) GROUP BY 1, 2),
+              |  SELECT doc_id,
+              |${(0 until 8).map(i =>
+                  s"    MIN(substr(md5('${i / 4}|' || shingle), ${(i % 4) * 8 + 1}, 8)) AS mh_$i")
+                  .mkString(",\n")}
+              |  FROM sh GROUP BY doc_id),
               |bands AS (
-              |  SELECT doc_id, seed // 2 AS band,
-              |    MAX(CASE WHEN seed % 2 = 0 THEN h END) || '|' ||
-              |    MAX(CASE WHEN seed % 2 = 1 THEN h END) AS sig
-              |  FROM mh GROUP BY 1, 2),
+              |${(0 until 4).map(b =>
+                  s"  SELECT doc_id, $b AS band, mh_${2 * b} || '|' || mh_${2 * b + 1} AS sig FROM mh")
+                  .mkString("\n  UNION ALL\n")}),
               |cands AS (
               |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
               |  FROM bands a JOIN bands b
