@@ -12,6 +12,7 @@ object Registry {
     Explodes.qs,
     Scalars.qs,
     FlagQs.qs,
+    IdentityQs.qs,
     DedupQs.qs,
     SimilarityQs.qs,
     TextQs.qs,

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming forms of the reference's micro-batch behaviors
+  * (SURVEY.md §2.10).
+  *
+  * The reference has no true streams — its "incremental" pattern is
+  * fetch-last-N-days → concat → drop_duplicates
+  * (`/root/reference/pipeline_handler.py:299-355`) on a 3×/day cron. These
+  * operators are the same semantics expressed as continuous queries, so the
+  * engine can run them either as scheduled batches or as an always-on stream
+  * without code changes downstream.
+  */
+object Streams {
+
+  /** Parquet schema of the events table as written by the generator (ts is
+    * nanos-as-long under `spark.sql.legacy.parquet.nanosAsLong`). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based event stream over a directory of parquet files, normalized to
+    * a microsecond `ts` timestamp. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsRawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Incremental append + key dedup: the `drop_duplicates(transaction_id,
+    * keep='first')` pattern with a watermark bounding the dedup state —
+    * exactly-once per key within the lateness horizon. */
+  def dedupByKey(stream: DataFrame, keyCol: String, lateness: String): DataFrame =
+    stream.withWatermark("ts", lateness).dropDuplicates(keyCol)
+
+  /** Tumbling-window per-type counts + value sums with watermarking —
+    * the streaming form of A2's calendar-period aggregation. */
+  def windowedCounts(stream: DataFrame, window_ : String, lateness: String): DataFrame =
+    stream.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  final case class UserTotals(userId: Long, n: Long, purchases: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user totals —
+    * the streaming seat of the flags engine's per-customer evaluation. */
+  def runningUserTotals(spark: SparkSession, stream: DataFrame): Dataset[UserTotals] = {
+    import spark.implicits._
+    stream.select(col("user_id").as("userId"), col("event_type").as("eventType"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0L))
+          val batch = it.toSeq
+          val next = UserTotals(uid, prev.n + batch.size,
+            prev.purchases + batch.count(_._2 == "purchase"))
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics driven synchronously: parquet files feed each query via
+  * a memory sink and `processAllAvailable`, and the results are reconciled
+  * against the equivalent batch computation on the same data. */
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Streaming file sources require a directory; stage the single events
+    * parquet into a temp dir via symlink (testdata itself is read-only). */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"),
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"))
+    d.toString
+  }
+
+  private def batchEvents = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("windowed counts match the batch equivalent") {
+    val q = Streams.windowedCounts(Streams.eventStream(spark, dir), "1 hour", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("win_counts").start()
+    q.processAllAvailable(); q.stop()
+    // Append mode only emits closed windows; the final (unclosed) windows stay
+    // in state. Compare the emitted subset against batch truth.
+    val got = spark.table("win_counts")
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val want = batchEvents
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(want), "every emitted window must match batch truth")
+  }
+
+  test("dedupByKey keeps one row per key") {
+    val q = Streams.dedupByKey(
+        Streams.eventStream(spark, dir).withColumn("dup_key", expr("event_id div 4")),
+        "dup_key", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup_out")
+    val nKeys = batchEvents.select(expr("event_id div 4")).distinct().count()
+    assert(out.count() == nKeys)
+    assert(out.groupBy("dup_key").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("runningUserTotals accumulates keyed state across a batch") {
+    val q = Streams.runningUserTotals(spark, Streams.eventStream(spark, dir))
+      .writeStream.outputMode(OutputMode.Update).format("memory").queryName("totals").start()
+    q.processAllAvailable(); q.stop()
+    // Latest state per user must equal the batch per-user counts.
+    val latest = spark.table("totals")
+      .groupBy("userId").agg(max("n").as("n"), max("purchases").as("purchases"))
+    val want = batchEvents.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+    val joined = latest.join(want, latest("userId") === want("user_id"))
+      .filter(latest("n") =!= want("n") || latest("purchases") =!= want("purchases"))
+    assert(latest.count() == want.count())
+    assert(joined.count() == 0)
+  }
+}
