@@ -21,6 +21,28 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** S2: full-table overwrite sink — the reference's whole-file S3 put
+    * (`upload_data.py:37-46`), as a proper partition-parallel writer. */
+  def write(df: DataFrame, path: String, format: String = "parquet"): Unit =
+    df.write.mode("overwrite").format(format)
+      .option("header", "true") // no-op for parquet, header for csv parity
+      .save(path)
+
+  /** S3: snapshot sink — besides the live table, a dated immutable copy
+    * (`pipeline_handler.py:343-354` writes `…_YYYY-MM-DD` on month start). */
+  def writeSnapshot(df: DataFrame, basePath: String, asOfDate: String,
+      format: String = "parquet"): Unit = {
+    write(df, basePath, format)
+    write(df, s"${basePath}_$asOfDate", format)
+  }
+
+  /** S1 CSV parity source: schema-on-read CSV with explicit StructType and
+    * null-on-error coercion, matching `pd.read_csv` + `to_datetime(errors=
+    * 'coerce')` (`shared/data_loader.py:21-28`). */
+  def readCsv(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.option("header", "true").option("mode", "PERMISSIVE").schema(schema).csv(path)
+
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")

@@ -147,6 +147,30 @@ object Aggregates {
               |${Q.dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n, 'month' AS period_type
               |FROM orders GROUP BY 1""".stripMargin)),
 
+    // A8b: the same two-grain snapshot as one GROUPING SETS pass (SURVEY §2.4
+    // note: the idiomatic form of the hand-rolled union) — single scan, one
+    // shuffle, Catalyst expands the sets.
+    Q("a8b_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql(s"""SELECT COALESCE(week, month) AS period,
+                 |  CASE WHEN GROUPING(week) = 0 THEN 'week' ELSE 'month' END AS period_type,
+                 |  ${Q.dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n
+                 |FROM (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+                 |             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 |             o_totalprice
+                 |      FROM orders_v)
+                 |GROUP BY GROUPING SETS ((week), (month))""".stripMargin)
+      },
+      Some(s"""SELECT COALESCE(week, month) AS period,
+              |  CASE WHEN GROUPING(week) = 0 THEN 'week' ELSE 'month' END AS period_type,
+              |  ${Q.dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n
+              |FROM (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+              |             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+              |             o_totalprice
+              |      FROM orders)
+              |GROUP BY GROUPING SETS ((week), (month))""".stripMargin)),
+
     // A9: duplicate-key group detection (groups with >1 member).
     // Reference: duplicate emails `build_customer_master.py:141-150`.
     Q("a9_dup_groups",

@@ -39,6 +39,26 @@ object Explodes {
              |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)),
 
+    // G4b: same pairs via the custom Catalyst Generator (graft.plans
+    // .PairCombinations) — group-local pair generation with no self-join
+    // shuffle; must agree exactly with the relational g4 oracle.
+    Q("g4b_pairwise_generator",
+      (s, d) => {
+        val groups = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_set(col("l_suppkey"))).as("supps"))
+        graft.plans.PairCombinations.pairsOf(s, groups, "supps", Seq("l_orderkey"))
+          .groupBy(col("a").as("supp_a"), col("b").as("supp_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+      },
+      Some("""SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, COUNT(*) AS n_orders
+             |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+             |JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)),
+
     // G5: one row → N typed rows via explode(array(struct...)).
     // Reference: pass transfer → two events `customer_events_builder.py:499-575`.
     Q("g5_row_to_events",

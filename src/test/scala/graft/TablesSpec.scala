@@ -1,0 +1,44 @@
+package graft
+
+import graft.core.Tables
+import graft.plans.PairCombinations
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TablesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CSV round-trip preserves values under an explicit schema") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val src = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus")
+    Tables.write(src, s"$tmp/orders_csv", "csv")
+    val back = Tables.readCsv(spark, s"$tmp/orders_csv", src.schema)
+    assert(back.count() == src.count())
+    val diff = back.exceptAll(src).count() + src.exceptAll(back).count()
+    assert(diff == 0, "CSV round-trip must be lossless under explicit schema")
+  }
+
+  test("snapshot sink writes the live table plus a dated copy") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val src = Tables.nation(spark, "/root/testdata/sf0.001")
+    Tables.writeSnapshot(src, s"$tmp/nation", "2026-08-12")
+    assert(spark.read.parquet(s"$tmp/nation").count() == src.count())
+    assert(spark.read.parquet(s"$tmp/nation_2026-08-12").count() == src.count())
+  }
+
+  test("pair_combinations generator equals the self-join formulation") {
+    val df = Seq((1L, Seq(3L, 1L, 2L)), (2L, Seq(7L)), (3L, Seq.empty[Long]))
+      .toDF("k", "xs").withColumn("xs", array_sort(col("xs")))
+    val got = PairCombinations.pairsOf(spark, df, "xs", Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 2L), (1L, 1L, 3L), (1L, 2L, 3L)))
+  }
+
+  test("pair_combinations is callable from SQL") {
+    PairCombinations.register(spark)
+    val n = spark.sql("SELECT pair_combinations(array(1, 2, 3, 4)) AS (a, b)").count()
+    assert(n == 6)
+  }
+}
