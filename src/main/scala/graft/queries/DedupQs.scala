@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.ops.{Dedup, Normalize}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication queries over `documents` (BASELINE north star ops).
@@ -82,6 +83,31 @@ object DedupQs {
              |SELECT doc_id,
              |  CAST(SUM(CASE WHEN votes > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
              |FROM votes GROUP BY doc_id""".stripMargin)),
+
+    // D3b: SimHash collision groups — documents sharing an identical 16-bit
+    // fingerprint are dedup candidates (hamming-0 buckets; the planted
+    // near-dups collide because a 1-2 token edit rarely flips a bit vote).
+    Q("d3b_simhash_groups",
+      (s, d) => {
+        val sig = Dedup.simhash16(Tables.documents(s, d), "doc_id", "text")
+        val w = Window.partitionBy(col("simhash"))
+        sig.withColumn("group_size", count(lit(1)).over(w))
+          .filter(col("group_size") > 1)
+          .select(col("simhash"), col("doc_id"), col("group_size"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |votes AS (
+             |  SELECT doc_id, i AS bit,
+             |    SUM((ascii(substr(md5(tok), i + 1, 1)) % 2) * 2 - 1) AS votes
+             |  FROM toks, range(16) t(i) WHERE tok <> '' GROUP BY 1, 2),
+             |sig AS (
+             |  SELECT doc_id,
+             |    CAST(SUM(CASE WHEN votes > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+             |  FROM votes GROUP BY doc_id)
+             |SELECT simhash, doc_id, group_size FROM (
+             |  SELECT simhash, doc_id, COUNT(*) OVER (PARTITION BY simhash) AS group_size FROM sig)
+             |WHERE group_size > 1""".stripMargin)),
 
     // D4: n-gram Jaccard near-dup, blocked by source (all within-block pairs,
     // exact — the non-LSH comparison point).

@@ -210,6 +210,87 @@ object Joins {
              |  QUALIFY row_number() OVER (PARTITION BY e.event_id
              |    ORDER BY epoch_us(p.ts) DESC, p.event_id) = 1)""".stripMargin)),
 
+    // J7b: the same fuzzy join through the native bounded-Levenshtein
+    // expression (graft.plans.BoundedLevenshtein, banded DP with early exit,
+    // codegen'd) — `bounded_levenshtein(a,b,k) <= k` ≡ `levenshtein(a,b) <= k`
+    // at a fraction of the comparisons.
+    Q("j7b_fuzzy_bounded_native",
+      (s, d) => {
+        graft.plans.BoundedLevenshtein.register(s)
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"),
+            regexp_extract(col("c_name"), "#(\\d+)", 1).as("c_num"))
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey"),
+            regexp_extract(col("s_name"), "#(\\d+)", 1).as("s_num"))
+        c.join(broadcast(sup), col("c_num").cast("long") % 100 === col("s_num").cast("long") % 100)
+          .withColumn("dist", expr("bounded_levenshtein(c_num, s_num, 1)").cast("long"))
+          .filter(col("dist") <= 1)
+          .select(col("c_custkey"), col("s_suppkey"), col("dist"))
+      },
+      Some(s"""SELECT c_custkey, s_suppkey,
+              |  CAST(levenshtein(regexp_extract(c_name, '#([0-9]+)', 1),
+              |                   regexp_extract(s_name, '#([0-9]+)', 1)) AS BIGINT) AS dist
+              |FROM customer JOIN supplier
+              |  ON CAST(regexp_extract(c_name, '#([0-9]+)', 1) AS BIGINT) % 100
+              |   = CAST(regexp_extract(s_name, '#([0-9]+)', 1) AS BIGINT) % 100
+              |WHERE levenshtein(regexp_extract(c_name, '#([0-9]+)', 1),
+              |                  regexp_extract(s_name, '#([0-9]+)', 1)) <= 1""".stripMargin)),
+
+    // J9b: the reference's full refund pipeline: linked refunds adopt the
+    // MODE of their matched categories; UNMATCHED refund value is
+    // redistributed across categories proportionally to the linked share —
+    // crosstab of linked-category totals joined back.
+    // Reference: `link_refunds_to_categories.py:33,74-150` (mode at 122-129,
+    // redistribution at the tail).
+    Q("j9b_refund_redistribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+            col("value").as("e_value"), Q.usecs(col("ts")).as("e_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+            col("value").as("p_value"), Q.usecs(col("ts")).as("p_us"),
+            (get_json_object(col("props"), "$.k").cast("long") % 5).as("p_cat"))
+        val linked = TimeJoins.amountDateMatch(errors, purchases, "e_user", "p_user",
+          "e_value", "p_value", "e_us", "p_us", "e_id", "p_id", 7L * 86400L * 1000000L)
+        val linkedByCat = linked.groupBy(col("p_cat").as("category"))
+          .agg(Q.dsum(col("e_value")).as("linked_refunds"))
+        val totalLinked = linkedByCat.agg(Q.dsum(col("linked_refunds")).as("total_linked"))
+        val totalUnmatched = errors.join(linked.select(col("e_id").as("l_id")),
+            col("e_id") === col("l_id"), "left_anti")
+          .agg(coalesce(Q.dsum(col("e_value")), lit(0.0)).as("total_unmatched"))
+        linkedByCat.crossJoin(broadcast(totalLinked)).crossJoin(broadcast(totalUnmatched))
+          .select(col("category"), col("linked_refunds"),
+            round(col("linked_refunds") + col("total_unmatched") *
+              (col("linked_refunds") / col("total_linked")), 4).as("effective_refunds"))
+      },
+      Some(s"""WITH linked AS (
+              |  SELECT e_id, e_value, p_cat FROM (
+              |    SELECT e.event_id AS e_id, e.value AS e_value,
+              |           CAST(json_extract_string(p.props, '$$.k') AS BIGINT) % 5 AS p_cat,
+              |           epoch_us(p.ts) AS p_us, p.event_id AS p_id
+              |    FROM events e JOIN events p
+              |      ON e.user_id = p.user_id AND e.event_type = 'error' AND p.event_type = 'purchase'
+              |     AND round(e.value, 0) = round(p.value, 0)
+              |     AND epoch_us(p.ts) <= epoch_us(e.ts)
+              |     AND epoch_us(p.ts) >= epoch_us(e.ts) - 604800000000
+              |    QUALIFY row_number() OVER (PARTITION BY e.event_id
+              |      ORDER BY epoch_us(p.ts) DESC, p.event_id) = 1)),
+              |by_cat AS (
+              |  SELECT p_cat AS category, ${Q.dsumSql("e_value")} AS linked_refunds
+              |  FROM linked GROUP BY 1),
+              |tot AS (SELECT ${Q.dsumSql("linked_refunds")} AS total_linked FROM by_cat),
+              |unm AS (
+              |  SELECT COALESCE(${Q.dsumSql("value")}, 0.0) AS total_unmatched
+              |  FROM events WHERE event_type = 'error'
+              |    AND event_id NOT IN (SELECT e_id FROM linked))
+              |SELECT category, linked_refunds,
+              |  round(linked_refunds + total_unmatched * (linked_refunds / total_linked), 4)
+              |    AS effective_refunds
+              |FROM by_cat, tot, unm""".stripMargin)),
+
     // J10: semi + anti joins — customers who ordered but never raised an event.
     // Reference: `~isin` membership filters `build_customer_master.py:285-321`.
     Q("j10_semi_anti",
