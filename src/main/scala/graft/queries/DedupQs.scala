@@ -32,6 +32,10 @@ object DedupQs {
     // exact-Jaccard verification.
     Q("d2_minhash_lsh",
       (s, d) => {
+        // The shingle set feeds both the signature path and the verification
+        // join; recomputing beats caching here (measured — the scan+explode is
+        // cheaper than materializing 750k rows). At cluster scale it would be
+        // a checkpointed table instead.
         val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
         val bands = Dedup.lshBands(Dedup.minhash(sh, "doc_id", 8), "doc_id", 2, 8)
         val cands = Dedup.lshCandidates(bands, "doc_id")

@@ -16,7 +16,8 @@ object Registry {
     DedupQs.qs,
     SimilarityQs.qs,
     TextQs.qs,
-    MultimodalQs.qs)
+    MultimodalQs.qs,
+    Dashboard.qs)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten
