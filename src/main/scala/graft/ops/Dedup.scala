@@ -23,14 +23,18 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
 
-  /** Distinct word k-gram shingles per document: (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.filter(size(split(col(textCol), " ")) >= k)
+  /** Word k-gram shingles per document: (id, shingle). `dedup = false` skips
+    * the distinct shuffle — correct whenever the consumer is duplicate-
+    * insensitive (min-hash, countDistinct). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int,
+      dedup: Boolean = true): DataFrame = {
+    val raw = df.filter(size(split(col(textCol), " ")) >= k)
       .select(col(idCol), expr(
         s"""explode(transform(sequence(0, size(split($textCol, ' ')) - $k),
            |  i -> array_join(slice(split($textCol, ' '), i + 1, $k), ' ')))""".stripMargin)
         .as("shingle"))
-      .distinct()
+    if (dedup) raw.distinct() else raw
+  }
 
   /** MinHash signatures, wide form: `numHashes` 32-bit minhashes per id as
     * columns mh_0..mh_{n-1}.
@@ -50,6 +54,11 @@ object Dedup {
     val mins = (0 until numHashes).map { i =>
       min(substring(col(s"__d${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"mh_$i")
     }
+    // min is duplicate-insensitive, so raw (non-distinct) shingles are fine —
+    // and keeping countDistinct OUT of this aggregate matters: a fused
+    // countDistinct forces Spark's expanded two-phase distinct aggregation,
+    // which shuffles the full shingle set (measured slower than a separate
+    // candidate-only size pass).
     withDigests.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
@@ -76,11 +85,16 @@ object Dedup {
   }
 
   /** Exact shingle-set Jaccard for given candidate pairs (verification stage
-    * of the LSH pipeline — only runs on candidates). */
-  def jaccardFor(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val shA = sh.toDF("sa_id", "sa_shingle")
-    val shB = sh.toDF("sb_id", "sb_shingle")
+    * of the LSH pipeline). `shRaw` may contain duplicates — it's semi-filtered
+    * to the candidate docs FIRST, then deduped and sized (tiny), so the full
+    * corpus never pays a distinct shuffle. */
+  def jaccardFor(pairs: DataFrame, shRaw: DataFrame, idCol: String): DataFrame = {
+    val candIds = pairs.select(col("id_a").as("cid"))
+      .unionByName(pairs.select(col("id_b").as("cid"))).distinct()
+    val shCand = shRaw.join(candIds, shRaw(idCol) === candIds("cid"), "left_semi").distinct()
+    val sizes = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val shA = shCand.toDF("sa_id", "sa_shingle")
+    val shB = shCand.toDF("sb_id", "sb_shingle")
     val inter = pairs.select(col("id_a"), col("id_b"))
       .join(shA, col("id_a") === col("sa_id"))
       .join(shB, col("id_b") === col("sb_id") && col("sa_shingle") === col("sb_shingle"))

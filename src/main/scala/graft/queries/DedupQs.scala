@@ -32,14 +32,13 @@ object DedupQs {
     // exact-Jaccard verification.
     Q("d2_minhash_lsh",
       (s, d) => {
-        // The shingle set feeds both the signature path and the verification
-        // join; recomputing beats caching here (measured — the scan+explode is
-        // cheaper than materializing 750k rows). At cluster scale it would be
-        // a checkpointed table instead.
-        val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
-        val bands = Dedup.lshBands(Dedup.minhash(sh, "doc_id", 8), "doc_id", 2, 8)
-        val cands = Dedup.lshCandidates(bands, "doc_id")
-        Dedup.jaccardFor(cands, sh, "doc_id")
+        // One heavy pass over RAW shingles (no distinct shuffle — minhash is
+        // duplicate-insensitive); the verification stage semi-filters to the
+        // candidates' shingles before deduping and sizing them.
+        val shRaw = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3, dedup = false)
+        val mh = Dedup.minhash(shRaw, "doc_id", 8)
+        val cands = Dedup.lshCandidates(Dedup.lshBands(mh, "doc_id", 2, 8), "doc_id")
+        Dedup.jaccardFor(cands, shRaw, "doc_id")
           .withColumn("is_dup", col("jaccard") >= 0.5)
           .select(col("id_a"), col("id_b"), col("n_bands"), col("jaccard"), col("is_dup"))
       },

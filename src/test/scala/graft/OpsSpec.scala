@@ -76,9 +76,10 @@ class OpsSpec extends AnyFunSuite {
       (3L, "completely different words about spark query engines and columnar scans"),
       (4L, "another unrelated sentence mentioning databases joins and aggregations")
     ).toDF("doc_id", "text")
-    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
-    val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, "doc_id", 8), "doc_id", 2, 8), "doc_id")
-    val verified = Dedup.jaccardFor(cands, sh, "doc_id")
+    val shRaw = Dedup.shingles(docs, "doc_id", "text", 3, dedup = false)
+    val mh = Dedup.minhash(shRaw, "doc_id", 8)
+    val cands = Dedup.lshCandidates(Dedup.lshBands(mh, "doc_id", 2, 8), "doc_id")
+    val verified = Dedup.jaccardFor(cands, shRaw, "doc_id")
       .filter(col("jaccard") >= 0.5).select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(verified == Set((1L, 2L)))
