@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** Topologically-ordered job runner with per-job failure isolation
+  * (SURVEY.md §3 EP1/EP2, §7.1 `pipeline/Dag.scala`).
+  *
+  * The reference sequences ~25 fetch→transform→upload stages, each wrapped in
+  * try/except so one failure doesn't halt the day's run
+  * (`/root/reference/run_daily_pipeline.py:49-55`). Here the same contract is
+  * explicit: jobs declare dependencies, run in topological order, a failed
+  * job is recorded and its transitive dependents are SKIPPED (running them on
+  * missing/stale inputs — the reference's actual behavior — is the one
+  * deviation we do not reproduce), and everything independent still runs.
+  */
+final case class Job(name: String, deps: Seq[String], run: SparkSession => Unit)
+
+final case class JobResult(name: String, status: String, // ok | failed | skipped
+    error: Option[String], durationMs: Long)
+
+final class Dag(jobs: Seq[Job]) {
+  require(jobs.map(_.name).distinct.size == jobs.size, "duplicate job names")
+  private val byName = jobs.map(j => j.name -> j).toMap
+  jobs.foreach(j => j.deps.foreach(d =>
+    require(byName.contains(d), s"job ${j.name} depends on unknown job $d")))
+
+  /** Kahn topological order; deterministic (insertion order among ready jobs). */
+  private def topoOrder: Seq[Job] = {
+    val order = scala.collection.mutable.ArrayBuffer.empty[Job]
+    val done = scala.collection.mutable.Set.empty[String]
+    var remaining = jobs
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(_.deps.forall(done.contains))
+      require(ready.nonEmpty, s"dependency cycle among: ${remaining.map(_.name).mkString(",")}")
+      ready.foreach { j => order += j; done += j.name }
+      remaining = blocked
+    }
+    order.toSeq
+  }
+
+  def run(spark: SparkSession): Seq[JobResult] = {
+    val failed = scala.collection.mutable.Set.empty[String]
+    topoOrder.map { job =>
+      val t0 = System.nanoTime()
+      if (job.deps.exists(failed.contains)) {
+        failed += job.name // transitively poison dependents
+        JobResult(job.name, "skipped",
+          Some(s"upstream failed: ${job.deps.filter(failed.contains).mkString(",")}"), 0L)
+      } else {
+        try {
+          job.run(spark)
+          JobResult(job.name, "ok", None, (System.nanoTime() - t0) / 1000000L)
+        } catch {
+          case e: Throwable =>
+            failed += job.name
+            JobResult(job.name, "failed", Some(e.toString.take(500)),
+              (System.nanoTime() - t0) / 1000000L)
+        }
+      }
+    }
+  }
+}

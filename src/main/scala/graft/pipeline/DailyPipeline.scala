@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.core.Tables
+import graft.queries.Registry
+import org.apache.spark.sql.SparkSession
+
+/** The engine's EP1-shaped daily batch: materialize the warehouse's derived
+  * tables from the raw tables in dependency order (SURVEY.md §3 EP1).
+  * Each output table is one declared query; writes are full-overwrite parquet
+  * exactly like the reference's whole-object S3 puts.
+  *
+  * Runnable: `runMain graft.pipeline.DailyPipeline <sfDir> <outDir>` */
+object DailyPipeline {
+
+  /** The warehouse build: raw → facts → derived reports → dashboard marts. */
+  def jobs(sfDir: String, outDir: String): Seq[Job] = {
+    def materialize(query: String, table: String, deps: Seq[String] = Nil): Job =
+      Job(table, deps, s =>
+        Tables.write(Registry.all.find(_.name == query).get.run(s, sfDir), s"$outDir/$table"))
+
+    Seq(
+      materialize("o2_union_align", "combined_transactions"),
+      materialize("a1_multi_agg", "customer_order_stats"),
+      materialize("j1_left_join_stats", "customer_master", Seq("customer_order_stats")),
+      materialize("u1_flag_rules", "customer_flags", Seq("customer_master")),
+      materialize("j6_proximity_pairs", "customer_interactions"),
+      materialize("a16_edge_rollup", "customer_connections", Seq("customer_interactions")),
+      materialize("a7_cohort_matrix", "conversion_cohorts"),
+      materialize("j4_interval_active", "daily_active_timeline"),
+      materialize("ep3_revenue_dashboard", "revenue_dashboard", Seq("combined_transactions")),
+      materialize("a13_risk_buckets", "at_risk_members", Seq("customer_master")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_warehouse"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .withExtensions(new graft.plans.BucketedProximityJoin.Extensions)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = new Dag(jobs(sfDir, outDir)).run(spark)
+    results.foreach(r => println(
+      s"[pipeline] ${r.name}: ${r.status} (${r.durationMs} ms)${r.error.map(" — " + _).getOrElse("")}"))
+    val ok = results.count(_.status == "ok")
+    println(s"[pipeline] $ok/${results.size} jobs ok → $outDir")
+    spark.stop()
+    if (ok != results.size) sys.exit(1)
+  }
+}

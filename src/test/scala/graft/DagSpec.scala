@@ -1,0 +1,31 @@
+package graft
+
+import graft.pipeline.{Dag, Job}
+import org.scalatest.funsuite.AnyFunSuite
+
+class DagSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("jobs run in dependency order; failures poison dependents only") {
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dag = new Dag(Seq(
+      Job("a", Nil, _ => ran += "a"),
+      Job("b", Seq("a"), _ => { ran += "b"; throw new RuntimeException("boom") }),
+      Job("c", Seq("b"), _ => ran += "c"),      // skipped (b failed)
+      Job("d", Seq("a"), _ => ran += "d"),      // independent of b — runs
+      Job("e", Seq("c", "d"), _ => ran += "e")  // skipped (c skipped)
+    ))
+    val results = dag.run(spark).map(r => r.name -> r.status).toMap
+    assert(ran.toSeq == Seq("a", "b", "d"))
+    assert(results == Map("a" -> "ok", "b" -> "failed", "c" -> "skipped",
+      "d" -> "ok", "e" -> "skipped"))
+  }
+
+  test("cycles and unknown deps are rejected at construction") {
+    intercept[IllegalArgumentException] {
+      new Dag(Seq(Job("a", Seq("missing"), _ => ())))
+    }
+    val cyclic = new Dag(Seq(Job("a", Seq("b"), _ => ()), Job("b", Seq("a"), _ => ())))
+    intercept[IllegalArgumentException] { cyclic.run(spark) }
+  }
+}
