@@ -28,10 +28,14 @@ object Dedup {
     * insensitive (min-hash, countDistinct). */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int,
       dedup: Boolean = true): DataFrame = {
-    val raw = df.filter(size(split(col(textCol), " ")) >= k)
+    // Project the split ONCE — inlining `split(text)` into the filter, the
+    // sequence bound, and the slice makes Spark tokenize every row three
+    // times (no subexpression elimination across the Generate boundary).
+    val raw = df.select(col(idCol), split(col(textCol), " ").as("__words"))
+      .filter(size(col("__words")) >= k)
       .select(col(idCol), expr(
-        s"""explode(transform(sequence(0, size(split($textCol, ' ')) - $k),
-           |  i -> array_join(slice(split($textCol, ' '), i + 1, $k), ' ')))""".stripMargin)
+        s"""explode(transform(sequence(0, size(__words) - $k),
+           |  i -> array_join(slice(__words, i + 1, $k), ' ')))""".stripMargin)
         .as("shingle"))
     if (dedup) raw.distinct() else raw
   }

@@ -37,7 +37,11 @@ object DedupQs {
         // candidates' shingles before deduping and sizing them.
         val shRaw = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3, dedup = false)
         val mh = Dedup.minhash(shRaw, "doc_id", 8)
+        // The candidate set is tiny but feeds three consumers (semi-filter,
+        // intersection, final join); eager localCheckpoint materializes the
+        // signature pipeline exactly once and truncates the lineage.
         val cands = Dedup.lshCandidates(Dedup.lshBands(mh, "doc_id", 2, 8), "doc_id")
+          .localCheckpoint(true)
         Dedup.jaccardFor(cands, shRaw, "doc_id")
           .withColumn("is_dup", col("jaccard") >= 0.5)
           .select(col("id_a"), col("id_b"), col("n_bands"), col("jaccard"), col("is_dup"))
