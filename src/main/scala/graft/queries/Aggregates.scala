@@ -58,6 +58,16 @@ object Aggregates {
       Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
              |COUNT(DISTINCT o_custkey) AS n_customers FROM orders GROUP BY 1""".stripMargin)),
 
+    // A4b: approximate distinct (HyperLogLog++) — the at-scale alternative to
+    // A4's exact count (SURVEY §2.4 note). No SQL oracle: HLL estimates are
+    // engine-specific; the driver records a rows-only check and AggSpec bounds
+    // the relative error against the exact count.
+    Q("a4b_approx_distinct",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers")),
+      None),
+
     // A5: conditional aggregates (gross / discounted / net in one pass).
     // Reference: `dashboard.py:660-684`.
     Q("a5_conditional_agg",

@@ -37,6 +37,25 @@ object WindowQs {
              |FROM events""".stripMargin),
       bench = true),
 
+    // W2b: ROWS frame — 5-row trailing moving sum per customer (the
+    // complementary frame spec to W2's RANGE frame).
+    Q("w2b_moving_sum_rows",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-4, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("moving_sum_5",
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .over(w).cast("double"))
+          .select(col("o_orderkey"), col("o_custkey"), col("moving_sum_5"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_5
+             |FROM orders""".stripMargin)),
+
     // W3: lag — gap to previous event per user, in seconds.
     Q("w3_lag_gap",
       (s, d) => {
