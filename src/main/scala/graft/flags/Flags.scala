@@ -67,14 +67,14 @@ object FlagRules {
     }
   }
 
-  /** >= 20 errors and an error share >= 25% in the trailing 30 days
+  /** >= 10 errors and an error share >= 25% in the trailing 30 days
     * (integer arithmetic — no float ratio). */
   object ErrorProne extends FlagRule {
     val name = "error_prone"
     def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
       val recent = events.filter(e => e.us >= asOfUs - 30 * Day && e.us < asOfUs)
       val errs = recent.count(_.eventType == "error")
-      if (errs >= 20 && errs * 4 >= recent.size)
+      if (errs >= 10 && errs * 4 >= recent.size)
         Some(Flag(userId, name, s"err_30d=$errs,total_30d=${recent.size}"))
       else None
     }

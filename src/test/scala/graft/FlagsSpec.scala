@@ -44,11 +44,11 @@ class FlagsSpec extends AnyFunSuite {
   }
 
   test("error_prone needs both absolute count and 25% share") {
-    val manyErrsHighShare = (1 to 20).map(i => ev(i.toLong, "error", i * Hour)) ++
-      (1 to 60).map(i => ev(100 + i.toLong, "view", i * Hour))
-    val manyErrsLowShare = (1 to 20).map(i => ev(i.toLong, "error", i * Hour)) ++
+    val manyErrsHighShare = (1 to 10).map(i => ev(i.toLong, "error", i * Hour)) ++
+      (1 to 30).map(i => ev(100 + i.toLong, "view", i * Hour))
+    val manyErrsLowShare = (1 to 10).map(i => ev(i.toLong, "error", i * Hour)) ++
       (1 to 100).map(i => ev(100 + i.toLong, "view", (i % 700) * Hour))
-    val fewErrs = (1 to 19).map(i => ev(i.toLong, "error", i * Hour))
+    val fewErrs = (1 to 9).map(i => ev(i.toLong, "error", i * Hour))
     assert(FlagRules.evaluateAll(7L, manyErrsHighShare, asOf).exists(_.flag_type == "error_prone"))
     assert(!FlagRules.evaluateAll(7L, manyErrsLowShare, asOf).exists(_.flag_type == "error_prone"))
     assert(!FlagRules.evaluateAll(7L, fewErrs, asOf).exists(_.flag_type == "error_prone"))
