@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * plan from growing. Identity graphs are near-bipartite clusters with tiny
   * diameter, so this converges in a handful of rounds at any scale.
   */
-object Identity {
+object Identity extends org.apache.spark.internal.Logging {
 
   /** Connected components over undirected `edges` (src, dst) covering `nodes`
     * (id). Returns (id, comp_id) with comp_id = min node id in the component. */
@@ -46,6 +46,9 @@ object Identity {
       converged = changed == 0
       iter += 1
     }
+    if (!converged) logWarning(
+      s"connectedComponents did not converge within $maxIter iterations — " +
+        "labels are an upper bound, not the fixpoint; raise maxIter")
     labels.withColumnRenamed("comp", "comp_id")
   }
 

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Approximate/exact nearest-neighbor search over embedding columns
   * (BASELINE north star: similarity search at 100 TB).
@@ -55,6 +56,46 @@ object SimilaritySearch {
 
   /** All near-duplicate pairs with cosine >= threshold, blocked by a bucket
     * column (embedding-cosine near-dup dedup). */
+  /** Coarse-quantizer centroids: the elementwise mean vector per bucket.
+    * Output: (bucketCol, centroid ARRAY<double>). At cluster scale these are
+    * the k-means cell centers; here the existing bucket column stands in for
+    * the assignment and only the centers are computed. */
+  def centroids(emb: DataFrame, vecCol: String, bucketCol: String): DataFrame =
+    emb.select(col(bucketCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(bucketCol), col("pos"))
+      .agg((sum(col("x").cast(DecimalType(28, 9))) / count(lit(1))).cast("double").as("mean_x"))
+      .groupBy(col(bucketCol))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean_x))), s -> s.mean_x)")
+        .as("centroid"))
+
+  /** IVF-style search: rank buckets by centroid cosine against the query,
+    * probe the top `nprobe` buckets, brute-force only inside them. Scan cost
+    * drops from O(N) to O(N * nprobe / buckets); recall is governed by
+    * nprobe, and the exact-decimal scoring inside the probed cells keeps
+    * results deterministic. */
+  def topKNeighborsIvf(emb: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(emb, vecCol, bucketCol)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"),
+        sqrt(expr(normSqExpr(vecCol)).cast("double")).as("q_norm"))
+    val probed = cents.crossJoin(broadcast(q))
+      .withColumn("c_score", cosine(expr(dotExpr("centroid", "q_vec")),
+        expr(normSqExpr("centroid")), expr(normSqExpr("q_vec"))))
+      .orderBy(col("c_score").desc, col(bucketCol))
+      .limit(nprobe)
+      .select(col(bucketCol).as("__probe_bucket"))
+    val candidates = emb.filter(col(idCol) =!= queryId)
+      .join(broadcast(probed), col(bucketCol) === col("__probe_bucket"), "left_semi")
+      .withColumn("c_norm", sqrt(expr(normSqExpr(vecCol)).cast("double")))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim",
+        round(expr(dotExpr(vecCol, "q_vec")).cast("double") / (col("c_norm") * col("q_norm")), 6))
+    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(idCol), col("cos_sim"), col("rank").cast("long").as("rank"))
+  }
+
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, threshold: Double): DataFrame = {
     val withNorm = emb.withColumn("__norm", sqrt(expr(normSqExpr(vecCol)).cast("double")))

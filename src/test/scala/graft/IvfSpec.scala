@@ -1,0 +1,48 @@
+package graft
+
+import graft.core.Tables
+import graft.ops.SimilaritySearch
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF coarse-quantized search on the real embeddings table: probing every
+  * bucket must reproduce brute force exactly; probing fewer buckets must stay
+  * inside the probed cells and below the global optimum. */
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("nprobe = all buckets reproduces brute force exactly") {
+    val brute = SimilaritySearch.topKNeighbors(emb, "vec_id", "embedding", 0L, 10)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = SimilaritySearch.topKNeighborsIvf(emb, "vec_id", "embedding", "label",
+        queryId = 0L, k = 10, nprobe = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute)
+  }
+
+  test("nprobe = 3 searches only the probed cells and bounds by the optimum") {
+    val ivf = SimilaritySearch.topKNeighborsIvf(emb, "vec_id", "embedding", "label",
+        queryId = 0L, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.length == 5)
+    val bruteBest = SimilaritySearch.topKNeighbors(emb, "vec_id", "embedding", 0L, 1)
+      .collect().head.getDouble(1)
+    assert(ivf.forall(_._2 <= bruteBest))
+    // returned ids must come from at most 3 distinct labels
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ivf.map(x => labels(x._1)).distinct.length <= 3)
+  }
+
+  test("centroids have the embedding dimensionality and finite values") {
+    val c = SimilaritySearch.centroids(emb, "embedding", "label").collect()
+    assert(c.length == 10)
+    c.foreach { r =>
+      val arr = r.getSeq[Double](1)
+      assert(arr.length == 64)
+      assert(arr.forall(x => !x.isNaN && !x.isInfinite))
+    }
+  }
+}

@@ -40,10 +40,11 @@ class OpsSpec extends AnyFunSuite {
     assert(gs.toSeq == gs2.toSeq)
   }
 
-  test("TimeJoins.proximityPairs equals brute force on random data") {
+  test("TimeJoins.proximityPairs equals brute force on random data (incl. negative times)") {
     val rnd = new scala.util.Random(42)
+    // negative times exercise the truncated-division bucket boundary at zero
     val events = (1 to 300).map(i =>
-      (i.toLong, rnd.nextInt(3).toString, rnd.nextLong(100000L)))
+      (i.toLong, rnd.nextInt(3).toString, rnd.nextLong(100000L) - 50000L))
     val df = events.toDF("id", "key", "us")
     val tol = 5000L
     val got = TimeJoins.proximityPairs(df, Seq("key"), "us", "id", tol)
