@@ -49,10 +49,19 @@ object SimilaritySearch {
     }
     val scored = joined.withColumn("cos_sim",
       round(expr(dotExpr(vecCol, "q_vec")).cast("double") / (col("c_norm") * col("q_norm")), 6))
-    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col(idCol), col("cos_sim"), col("rank").cast("long").as("rank"))
+    rankTopK(scored, idCol, k)
   }
+
+  /** Deterministic top-k + 1-based rank. `orderBy.limit` is
+    * TakeOrderedAndProject (per-partition k-row heaps, k-row merge) — the
+    * global row_number window it replaces funneled the whole scored set into
+    * one partition, the plan that dies at cluster scale. The rank window runs
+    * after the limit, over exactly k rows. */
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.orderBy(col("cos_sim").desc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos_sim").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("cos_sim"), col("rank"))
 
   /** All near-duplicate pairs with cosine >= threshold, blocked by a bucket
     * column (embedding-cosine near-dup dedup). */
@@ -91,9 +100,7 @@ object SimilaritySearch {
       .crossJoin(broadcast(q))
       .withColumn("cos_sim",
         round(expr(dotExpr(vecCol, "q_vec")).cast("double") / (col("c_norm") * col("q_norm")), 6))
-    val w = Window.orderBy(col("cos_sim").desc, col(idCol))
-    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col(idCol), col("cos_sim"), col("rank").cast("long").as("rank"))
+    rankTopK(candidates, idCol, k)
   }
 
   /** Cheap double-precision dot product (order-fixed sequential fold) —

@@ -48,11 +48,23 @@ object Windows {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** W6: deterministic top-k of the whole frame by `rank` desc.
-    * Implemented as row_number-over-sort rather than `orderBy.limit` so ties
-    * break on `tiebreak` identically in any engine. */
-  def topK(df: DataFrame, k: Int, rank: Column, tiebreak: Column): DataFrame = {
-    val w = Window.orderBy(rank.desc, tiebreak)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
-  }
+  /** W6: deterministic top-k of the whole frame by `rank` desc (ties broken
+    * by `tiebreak`, so the result is total-ordered and engine-portable).
+    *
+    * `orderBy.limit(k)` compiles to TakeOrderedAndProject: each partition
+    * keeps a local k-row heap and only those k-row heads merge — no
+    * stage ever holds more than k rows per task. A global
+    * `row_number().over(Window.orderBy(...))` computes the same rows but
+    * shuffles the ENTIRE frame into one partition first, which is the plan
+    * that dies at 100 TB. */
+  def topK(df: DataFrame, k: Int, rank: Column, tiebreak: Column): DataFrame =
+    df.orderBy(rank.desc, tiebreak).limit(k)
+
+  /** W6 + rank column: top-k with an explicit 1-based `rank` output. The
+    * window runs AFTER the limit, over exactly k rows — the single-partition
+    * window is on a k-row frame, never the full input. */
+  def topKRanked(df: DataFrame, k: Int, rank: Column, tiebreak: Column,
+      as: String = "rank"): DataFrame =
+    topK(df, k, rank, tiebreak)
+      .withColumn(as, row_number().over(Window.orderBy(rank.desc, tiebreak)))
 }

@@ -97,7 +97,8 @@ object WindowQs {
              |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
              |  ORDER BY value DESC, event_id) = 1""".stripMargin)),
 
-    // W6: deterministic top-k (row_number over sort, not orderBy.limit).
+    // W6: deterministic top-k — TakeOrderedAndProject with a total sort key,
+    // so no stage holds more than k rows per task.
     Q("w6_topk_customers",
       (s, d) => Windows.topK(
           Tables.orders(s, d).groupBy(col("o_custkey"))
