@@ -80,8 +80,60 @@ object FlagRules {
     }
   }
 
+  /** Epoch day (UTC). 1970-01-01 was a Thursday; with 0=Sunday its weekday
+    * index is (day + 4) % 7 — pure integer arithmetic, identical in any
+    * engine regardless of its date/locale settings. */
+  private def epochDay(us: Long): Long = us / Day
+  private def isWeekend(us: Long): Boolean = {
+    val w = (epochDay(us) + 4) % 7
+    w == 0 || w == 6
+  }
+  private def hourOfDay(us: Long): Long = (us / Hour) % 24
+
+  /** Active on every one of the trailing 7 calendar days. (Reference
+    * analogue: the new-member engagement streak rules,
+    * `customer_flags_config.py:1421-1905`.) */
+  object Streak7d extends FlagRule {
+    val name = "streak_7d"
+    def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
+      val d0 = epochDay(asOfUs)
+      val days = events.iterator
+        .filter(e => e.us >= asOfUs - 7 * Day && e.us < asOfUs)
+        .map(e => epochDay(e.us)).filter(d => d >= d0 - 7 && d < d0)
+        .toSet
+      if (days.size == 7) Some(Flag(userId, name, s"active_days=7")) else None
+    }
+  }
+
+  /** >= 30% of trailing-30d events between 00:00 and 06:00 UTC, with a
+    * minimum volume (integer cross-multiplication — no float ratio). */
+  object NightOwl extends FlagRule {
+    val name = "night_owl"
+    def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
+      val recent = events.filter(e => e.us >= asOfUs - 30 * Day && e.us < asOfUs)
+      val night = recent.count(e => hourOfDay(e.us) < 6)
+      if (recent.size >= 20 && night * 10 >= recent.size * 3)
+        Some(Flag(userId, name, s"night_30d=$night,total_30d=${recent.size}"))
+      else None
+    }
+  }
+
+  /** >= 35% of trailing-30d events on Saturday/Sunday (UTC), with a minimum
+    * volume (expected share is 2/7 ~ 28.6%; integer cross-multiplication). */
+  object WeekendWarrior extends FlagRule {
+    val name = "weekend_warrior"
+    def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
+      val recent = events.filter(e => e.us >= asOfUs - 30 * Day && e.us < asOfUs)
+      val wkd = recent.count(e => isWeekend(e.us))
+      if (recent.size >= 20 && wkd * 100 >= recent.size * 35)
+        Some(Flag(userId, name, s"weekend_30d=$wkd,total_30d=${recent.size}"))
+      else None
+    }
+  }
+
   /** Registry — mirrors `ACTIVE_RULES` `customer_flags_config.py:1888-1905`. */
-  val active: Seq[FlagRule] = Seq(Inactive24h, PowerUser, BigSpender, ErrorProne)
+  val active: Seq[FlagRule] =
+    Seq(Inactive24h, PowerUser, BigSpender, ErrorProne, Streak7d, NightOwl, WeekendWarrior)
 
   def evaluateAll(userId: Long, events: Seq[Ev], asOfUs: Long): Seq[Flag] = {
     val sorted = events.sortBy(e => (e.us, e.eventId))

@@ -112,6 +112,51 @@ object Dedup {
       .drop("ja", "jb")
   }
 
+  /** 64-bit SimHash as four 16-bit band values b0..b3 (band b = bits
+    * [16b, 16b+16) of the fingerprint). Bit i is derived from md5(token) hex
+    * digit i%32, shift i/32 — two independent bits per hex digit, 64 from the
+    * 128-bit digest. Keeping the fingerprint as four small ints instead of
+    * one BIGINT sidesteps 2^63 sign overflow AND is exactly the shape banded
+    * hamming-LSH needs: each band column is an equi-join key. */
+  def simhash64Bands(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val votes = tokens
+      .withColumn("bit", explode(sequence(lit(0), lit(63))))
+      .withColumn("hx", ascii(expr("substr(md5(tok), bit % 32 + 1, 1)")))
+      .withColumn("vote",
+        expr("(shiftright(hx - CASE WHEN hx >= 97 THEN 87 ELSE 48 END, bit div 32) & 1) * 2 - 1"))
+      .groupBy(col(idCol), col("bit")).agg(sum(col("vote")).as("votes"))
+    val bands = (0 until 4).map { b =>
+      sum(when(col("votes") > 0 && expr(s"bit div 16 = $b"),
+        expr("shiftleft(1, bit % 16)")).otherwise(0)).cast("int").as(s"b$b")
+    }
+    votes.groupBy(col(idCol)).agg(bands.head, bands.tail: _*)
+  }
+
+  /** Hamming-banded near-dup pairs over the 64-bit simhash: candidates share
+    * at least one identical 16-bit band (any pair within hamming distance 3
+    * MUST collide on a band, by pigeonhole over 4 bands), then the exact
+    * hamming distance over all 64 bits filters to `maxHamming`. Four
+    * equi-joins + a distinct — never an all-pairs comparison. */
+  def simhash64NearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sig = simhash64Bands(df, idCol, textCol)
+    val a = sig.toDF("id_a", "a0", "a1", "a2", "a3")
+    val b = sig.toDF("id_b", "c0", "c1", "c2", "c3")
+    val pairs = (0 until 4).map { k =>
+      a.join(b, col(s"a$k") === col(s"c$k") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    }.reduce(_ unionByName _).distinct()
+    pairs
+      .join(sig.toDF("ja", "a0", "a1", "a2", "a3"), col("id_a") === col("ja"))
+      .join(sig.toDF("jb", "c0", "c1", "c2", "c3"), col("id_b") === col("jb"))
+      .withColumn("hamming", expr(
+        (0 until 4).map(k => s"bit_count(a$k ^ c$k)").mkString(" + ")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** 16-bit SimHash per document: per-token md5 hex-digit parities vote on
     * each bit, weighted by token frequency. Output: (id, simhash BIGINT). */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -116,6 +116,39 @@ object DedupQs {
              |  SELECT simhash, doc_id, COUNT(*) OVER (PARTITION BY simhash) AS group_size FROM sig)
              |WHERE group_size > 1""".stripMargin)),
 
+    // D5: 64-bit SimHash near-dup via hamming-banded LSH — 4 × 16-bit band
+    // equi-joins generate candidates (pigeonhole: hamming <= 3 over 4 bands
+    // forces >= 1 identical band), exact 64-bit hamming filters them.
+    Q("d5_simhash64_neardup",
+      (s, d) => Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3),
+      Some {
+        val hx = "ascii(substr(md5(tok), i % 32 + 1, 1))"
+        val bandCols = (0 until 4).map(b =>
+          s"    CAST(SUM(CASE WHEN votes > 0 AND bit // 16 = $b THEN (1 << (bit % 16)) ELSE 0 END) AS INT) AS b$b")
+          .mkString(",\n")
+        val bandJoins = (0 until 4).map(k =>
+          s"    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.b$k = b.b$k AND a.doc_id < b.doc_id")
+          .mkString("\n    UNION ALL\n")
+        val hamming = (0 until 4).map(k => s"bit_count(xor(sa.b$k, sb.b$k))").mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |votes AS (
+           |  SELECT doc_id, i AS bit,
+           |    SUM(((($hx - CASE WHEN $hx >= 97 THEN 87 ELSE 48 END) >> (i // 32)) & 1) * 2 - 1) AS votes
+           |  FROM toks, range(64) t(i) WHERE tok <> '' GROUP BY 1, 2),
+           |sig AS (
+           |  SELECT doc_id,
+           |$bandCols
+           |  FROM votes GROUP BY doc_id),
+           |pairs AS (
+           |  SELECT DISTINCT id_a, id_b FROM (
+           |$bandJoins)),
+           |ham AS (
+           |  SELECT id_a, id_b, CAST($hamming AS BIGINT) AS hamming
+           |  FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+           |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+      }),
+
     // D4: n-gram Jaccard near-dup, blocked by source (all within-block pairs,
     // exact — the non-LSH comparison point).
     Q("d4_ngram_jaccard",

@@ -27,7 +27,14 @@ object FlagQs {
        |             AND epoch_us(ts) < $asOf
        |        THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS spend_30d,
        |    SUM(CASE WHEN event_type = 'error' AND epoch_us(ts) >= $asOf - 2592000000000
-       |             AND epoch_us(ts) < $asOf THEN 1 ELSE 0 END) AS err_30d
+       |             AND epoch_us(ts) < $asOf THEN 1 ELSE 0 END) AS err_30d,
+       |    COUNT(DISTINCT CASE WHEN epoch_us(ts) >= $asOf - 604800000000 AND epoch_us(ts) < $asOf
+       |        THEN epoch_us(ts) // 86400000000 END) AS active_days_7d,
+       |    SUM(CASE WHEN epoch_us(ts) >= $asOf - 2592000000000 AND epoch_us(ts) < $asOf
+       |             AND (epoch_us(ts) // 3600000000) % 24 < 6 THEN 1 ELSE 0 END) AS night_30d,
+       |    SUM(CASE WHEN epoch_us(ts) >= $asOf - 2592000000000 AND epoch_us(ts) < $asOf
+       |             AND ((epoch_us(ts) // 86400000000 + 4) % 7) IN (0, 6)
+       |        THEN 1 ELSE 0 END) AS wkd_30d
        |  FROM events GROUP BY user_id)
        |SELECT user_id, 'inactive_24h' AS flag_type,
        |  'hours_since_last=' || (($asOf - last_us) // 3600000000) AS flag_data
@@ -41,7 +48,16 @@ object FlagQs {
        |FROM per_user WHERE spend_30d * 100 >= 80000
        |UNION ALL
        |SELECT user_id, 'error_prone', 'err_30d=' || err_30d || ',total_30d=' || n_30d
-       |FROM per_user WHERE err_30d >= 10 AND err_30d * 4 >= n_30d""".stripMargin
+       |FROM per_user WHERE err_30d >= 10 AND err_30d * 4 >= n_30d
+       |UNION ALL
+       |SELECT user_id, 'streak_7d', 'active_days=7'
+       |FROM per_user WHERE active_days_7d = 7
+       |UNION ALL
+       |SELECT user_id, 'night_owl', 'night_30d=' || night_30d || ',total_30d=' || n_30d
+       |FROM per_user WHERE n_30d >= 20 AND night_30d * 10 >= n_30d * 3
+       |UNION ALL
+       |SELECT user_id, 'weekend_warrior', 'weekend_30d=' || wkd_30d || ',total_30d=' || n_30d
+       |FROM per_user WHERE n_30d >= 20 AND wkd_30d * 100 >= n_30d * 35""".stripMargin
 
   /** Typed per-user evaluation at a clock (events strictly before it). */
   private def flagsAt(s: org.apache.spark.sql.SparkSession, d: String, asOf: Long)

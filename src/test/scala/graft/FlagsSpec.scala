@@ -54,6 +54,35 @@ class FlagsSpec extends AnyFunSuite {
     assert(!FlagRules.evaluateAll(7L, fewErrs, asOf).exists(_.flag_type == "error_prone"))
   }
 
+  test("streak_7d needs activity on all 7 trailing calendar days") {
+    // asOf is midnight-aligned (1000 * Day), so day buckets are exact.
+    val full = (1 to 7).map(i => ev(i.toLong, "view", i * Day - 12 * Hour))
+    val gap = full.filterNot(_.eventId == 4)
+    assert(FlagRules.evaluateAll(7L, full, asOf).exists(_.flag_type == "streak_7d"))
+    assert(!FlagRules.evaluateAll(7L, gap, asOf).exists(_.flag_type == "streak_7d"))
+  }
+
+  test("night_owl needs volume and a 30% night share") {
+    // 1000*Day is a midnight anchor: age h*Hour puts the event at hour 24-h.
+    val night = (1 to 8).map(i => ev(i.toLong, "view", 23 * Hour + i)) // hour 0-1
+    val day = (1 to 16).map(i => ev(100 + i.toLong, "view", 12 * Hour + i)) // hour 11-12
+    assert(FlagRules.evaluateAll(7L, night ++ day, asOf).exists(_.flag_type == "night_owl"))
+    assert(!FlagRules.evaluateAll(7L, night ++ day ++ day, asOf)
+      .exists(_.flag_type == "night_owl")) // share drops to 20%
+    assert(!FlagRules.evaluateAll(7L, night, asOf).exists(_.flag_type == "night_owl")) // < 20 events
+  }
+
+  test("weekend_warrior counts UTC Saturdays/Sundays by epoch-day arithmetic") {
+    // day 1000 = (1000+4)%7 = 3 → Wednesday. Saturday is 3 days back.
+    val sat = (1 to 8).map(i => ev(i.toLong, "view", 4 * Day - 12 * Hour + i))
+    val wed = (1 to 13).map(i => ev(100 + i.toLong, "view", 12 * Hour + i))
+    val flags = FlagRules.evaluateAll(7L, sat ++ wed, asOf)
+    val f = flags.find(_.flag_type == "weekend_warrior")
+    assert(f.isDefined && f.get.flag_data == "weekend_30d=8,total_30d=21")
+    assert(!FlagRules.evaluateAll(7L, sat ++ wed ++ wed, asOf)
+      .exists(_.flag_type == "weekend_warrior"))
+  }
+
   test("rules are independent: one user can carry several flags") {
     val evs = (1 to 90).map(i => ev(i.toLong, "purchase", 25 * Hour + i, 10.0))
     val types = FlagRules.evaluateAll(7L, evs, asOf).map(_.flag_type).toSet

@@ -96,6 +96,22 @@ class OpsSpec extends AnyFunSuite {
     assert(sig.values.forall(s => s >= 0 && s < 65536))
   }
 
+  test("Dedup.simhash64NearDup: near-identical docs pair up, unrelated ones don't") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank every single morning"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " now"), // one-token edit: few bit flips
+      (3L, "completely different words about spark query engines and columnar scan performance"),
+      (4L, base) // identical: hamming 0
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhash64NearDup(docs, "doc_id", "text", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 0L)
+    assert(pairs.keySet.forall { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L, 4L)) })
+    val sig = Dedup.simhash64Bands(docs, "doc_id", "text").collect()
+    assert(sig.forall(r => (0 until 4).forall(k => r.getInt(k + 1) >= 0 && r.getInt(k + 1) < 65536)))
+  }
+
   test("SimilaritySearch.topKNeighbors ranks an identical vector first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
