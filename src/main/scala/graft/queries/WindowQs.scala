@@ -110,6 +110,21 @@ object WindowQs {
               |  FROM orders GROUP BY o_custkey)
               |QUALIFY row_number() OVER (ORDER BY revenue DESC, o_custkey) <= 10""".stripMargin)),
 
+    // W6b (+ §2.9 UDAF exemplar): per-group top-k via the typed TopK
+    // Aggregator — partial aggregation caps shuffle state at k rows per
+    // (partition, group) instead of window-sorting every row of every group.
+    Q("w6b_grouped_topk",
+      (s, d) => Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(graft.ops.Aggregators.topK(3)(col("c_acctbal"), col("c_custkey")).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("c_mktsegment"), col("s.id").as("c_custkey"),
+          col("s.score").as("c_acctbal"), (col("pos") + 1).cast("long").as("rank")),
+      Some("""SELECT c_mktsegment, c_custkey, c_acctbal, CAST(row_number() OVER w AS BIGINT) AS rank
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+             |QUALIFY row_number() OVER w <= 3""".stripMargin)),
+
     // W7: multi-window recency counts relative to a fixed as-of.
     Q("w7_recency_counts",
       (s, d) => Tables.events(s, d)

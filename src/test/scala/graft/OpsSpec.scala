@@ -112,6 +112,23 @@ class OpsSpec extends AnyFunSuite {
     assert(sig.forall(r => (0 until 4).forall(k => r.getInt(k + 1) >= 0 && r.getInt(k + 1) < 65536)))
   }
 
+  test("Aggregators.topK is partitioning-independent and breaks ties by id") {
+    val df = (1 to 200).map(i => (i % 5, (i % 17).toDouble, i.toLong))
+      .toDF("g", "score", "id")
+    def run(parts: Int) = df.repartition(parts)
+      .groupBy(col("g")).agg(graft.ops.Aggregators.topK(3)(col("score"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("g"), col("pos"), col("s.score"), col("s.id"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    val expected = (1 to 200).map(i => (i % 5, (i % 17).toDouble, i.toLong))
+      .groupBy(_._1).flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r._2, r._3)).take(3).zipWithIndex
+          .map { case (r, pos) => (g, pos, r._2, r._3) }
+      }.toSet
+    assert(run(1) == expected)
+    assert(run(7) == expected)
+  }
+
   test("SimilaritySearch.topKNeighbors ranks an identical vector first") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
