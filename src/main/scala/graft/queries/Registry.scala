@@ -17,6 +17,7 @@ object Registry {
     SimilarityQs.qs,
     TextQs.qs,
     MultimodalQs.qs,
+    StreamQs.qs,
     Dashboard.qs)
 
   lazy val all: Seq[Q] = {

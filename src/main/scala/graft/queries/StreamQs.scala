@@ -1,0 +1,98 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming queries (SURVEY.md §2.10), run to completion inside
+  * the registry so the SAME DuckDB oracle gate covers the streaming path.
+  *
+  * Each query drives a real `readStream` → transform → memory-sink stream
+  * with `Trigger.AvailableNow` (process-everything-then-stop), then returns
+  * the sink table. Outputs are arrival-order-independent by construction —
+  * windowed aggregates, distinct key sets, and monotone running-state maxima
+  * — so batch SQL over the same parquet is an exact oracle even though file
+  * split order is not deterministic.
+  */
+object StreamQs {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** The file stream source requires a DIRECTORY; testdata tables are single
+    * read-only files. Stage a per-table temp dir holding a symlink to the
+    * file (cheap, idempotent) and stream from that. */
+  private def asStreamDir(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(path)
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_${Integer.toHexString(path.hashCode)}")
+    Files.createDirectories(dir)
+    val link = dir.resolve(src.getFileName)
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    dir.toString
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink; return the
+    * collected table. */
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_sink_${sinkId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // ST1: tumbling 1-day windowed counts + exact-decimal value sums over the
+    // event stream (streaming form of A2). Watermark far beyond the data span
+    // so no window is ever dropped; complete mode emits the final state.
+    Q("st1_stream_window_counts",
+      (s, d) => {
+        val agg = Streams.eventStream(s, asStreamDir(s"$d/events.parquet"))
+          .withWatermark("ts", "90 days")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+          .select(col("w.start").as("window_start"), col("event_type"),
+            col("n"), col("total_value"))
+        runToMemory(s, agg, OutputMode.Complete())
+      },
+      Some("""SELECT date_trunc('day', ts) AS window_start, event_type,
+             |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ST2: streaming key dedup (`dropDuplicates` with watermark-bounded
+    // state) — the reference's incremental append + transaction-id dedup
+    // (`pipeline_handler.py:299-355`). Projected to the key columns first, so
+    // keep-first-arrival is order-independent.
+    Q("st2_stream_dedup_keys",
+      (s, d) => {
+        val pairs = Streams.eventStream(s, asStreamDir(s"$d/events.parquet"))
+          .select(col("ts"), col("user_id"), col("event_type"))
+        val dd = Streams.dedupByKey(pairs, "user_id", "90 days")
+          .select(col("user_id"))
+        runToMemory(s, dd, OutputMode.Append())
+      },
+      Some("SELECT DISTINCT user_id FROM events")),
+
+    // ST3: custom keyed state via mapGroupsWithState — running per-user
+    // totals. Totals are monotone, so max-per-user over the update-mode
+    // emissions equals the final state regardless of micro-batch slicing.
+    Q("st3_stream_running_totals",
+      (s, d) => {
+        val stream = Streams.eventStream(s, asStreamDir(s"$d/events.parquet"))
+        val totals = Streams.runningUserTotals(s, stream).toDF()
+        runToMemory(s, totals, OutputMode.Update())
+          .groupBy(col("userId").as("user_id"))
+          .agg(max(col("n")).as("n_events"), max(col("purchases")).as("n_purchases"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+             |FROM events GROUP BY user_id""".stripMargin))
+  )
+}
