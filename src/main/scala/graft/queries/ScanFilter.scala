@@ -23,6 +23,46 @@ object ScanFilter {
              |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin),
       bench = true),
 
+    // S2+S1: CSV sink/source round-trip — write a projection as headered CSV
+    // (partition-parallel, overwrite), read it back schema-on-read, aggregate.
+    // Proves text-format value fidelity (Double.toString shortest round-trip
+    // repr) against the parquet-based oracle.
+    // Reference: `upload_data.py:37-46` (put CSV), `:69-95` (read CSV).
+    Q("s2_csv_roundtrip",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val path = s"${sys.props("java.io.tmpdir")}/graft_s2_csv_${Integer.toHexString(d.hashCode)}"
+        Tables.write(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")), path, "csv")
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType), StructField("c_mktsegment", StringType),
+          StructField("c_acctbal", DoubleType)))
+        Tables.readCsv(s, path, schema)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), Q.dsum(col("c_acctbal")).as("total_bal"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n, ${Q.dsumSql("c_acctbal")} AS total_bal
+              |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+
+    // S3: dated snapshot sink partitioned by month + partition-pruned read —
+    // the snapshot copy (`pipeline_handler.py:343-354`) done as hive-style
+    // partitions, so the read back scans ONE month's directory
+    // (PartitionFilters in the plan), not the whole table.
+    Q("s3_snapshot_prune",
+      (s, d) => {
+        val path = s"${sys.props("java.io.tmpdir")}/graft_s3_part_${Integer.toHexString(d.hashCode)}"
+        Tables.orders(s, d)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("o_month").parquet(path)
+        s.read.parquet(path)
+          .filter(col("o_month") === "1996-06")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("revenue"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${Q.dsumSql("o_totalprice")} AS revenue
+              |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1996-06'
+              |GROUP BY o_orderstatus""".stripMargin)),
+
     // P2: date-range filter + counts per enum value.
     // Reference: `pipeline_handler.py:48-50` (start <= Date <= end).
     Q("p2_date_range",

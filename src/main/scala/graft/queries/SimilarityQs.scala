@@ -55,6 +55,17 @@ object SimilarityQs {
               |FROM scored
               |QUALIFY row_number() OVER (ORDER BY cos_sim DESC, vec_id) <= 5""".stripMargin)),
 
+    // K2b: true IVF search — rank coarse cells by centroid cosine, probe the
+    // top 2, brute-force only inside them (O(N·nprobe/cells) scan). Rows-only
+    // check: the centroid means divide decimals, and decimal-division
+    // scale/rounding rules differ between engines, so the cell ranking isn't
+    // DuckDB-portable; IvfSpec proves recall against K1 instead.
+    Q("k2b_knn_ivf_centroid",
+      (s, d) => SimilaritySearch.topKNeighborsIvf(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label",
+        queryId = 0L, k = 5, nprobe = 2),
+      None),
+
     // K3: embedding-cosine near-dup pairs within buckets (dedup by vector).
     Q("k3_embedding_neardup",
       (s, d) => SimilaritySearch.nearDupPairs(
