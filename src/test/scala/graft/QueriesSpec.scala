@@ -14,9 +14,10 @@ class QueriesSpec extends AnyFunSuite {
   private val mayBeEmpty = Set("a9_dup_groups", "j9_amount_date_link",
     "d4_ngram_jaccard", "k3_embedding_neardup", "a12_count_threshold")
 
-  // Queries with deliberately no oracle (engine-specific estimates) — the
-  // driver records a rows-only check for these.
-  private val noOracleByDesign = Set("a4b_approx_distinct")
+  // Queries with deliberately no oracle (engine-specific estimates /
+  // non-portable decimal-division rounding) — the driver records a rows-only
+  // check for these.
+  private val noOracleByDesign = Set("a4b_approx_distinct", "k2b_knn_ivf_centroid")
 
   test("query names are unique and every query has oracle SQL or a reason") {
     val names = Registry.all.map(_.name)
@@ -35,6 +36,17 @@ class QueriesSpec extends AnyFunSuite {
       assert(math.abs(approx(m) - n) <= math.max(2L, (n * 0.05).toLong),
         s"month $m: approx ${approx(m)} vs exact $n")
     }
+  }
+
+  test("scan plans prune: s3 partition filter, s1 parquet pushdown") {
+    val p3 = Registry.all.find(_.name == "s3_snapshot_prune").get.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("PartitionFilters") && p3.contains("o_month"),
+      s"expected partition pruning on o_month in:\n$p3")
+    val p1 = Registry.all.find(_.name == "s1_scan_prune").get.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("PushedFilters") && p1.contains("LessThan(l_shipdate"),
+      s"expected l_shipdate pushdown in:\n$p1")
   }
 
   test("entry() returns rows") {
