@@ -51,8 +51,12 @@ object ScanFilter {
     Q("s3_snapshot_prune",
       (s, d) => {
         val path = s"${sys.props("java.io.tmpdir")}/graft_s3_part_${Integer.toHexString(d.hashCode)}"
+        // repartition by the partition column first: one file per month dir
+        // instead of (shuffle partitions × months) tiny files — the
+        // anti-small-files discipline that matters at warehouse scale.
         Tables.orders(s, d)
           .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .repartition(col("o_month"))
           .write.mode("overwrite").partitionBy("o_month").parquet(path)
         s.read.parquet(path)
           .filter(col("o_month") === "1996-06")
