@@ -112,6 +112,29 @@ object Dedup {
       .drop("ja", "jb")
   }
 
+  /** Per-document weighted bit-vote sums, columns s0..s{nBits-1}.
+    *
+    * SimHash votes factor as votes(doc, bit) = Σ_tok count(doc, tok) ×
+    * vote(tok, bit) — so the per-bit hash work is done ONCE per DISTINCT
+    * token (Heaps' law: vocabulary ≪ occurrences), the tiny vocab vote table
+    * joins back (auto-broadcast under threshold, shuffle join beyond), and
+    * the per-doc reduction is one map-side-combinable groupBy with nBits
+    * sum columns. No per-bit row explosion: the naive (doc, bit) explode
+    * shuffles nBits× the token count (measured 4-8x slower). */
+  private def voteSums(df: DataFrame, idCol: String, textCol: String,
+      nBits: Int, bitExpr: String): DataFrame = {
+    val tokCounts = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    val vocab = tokCounts.select(col("tok")).distinct()
+      .select(col("tok"), md5(col("tok")).as("h"))
+      .select(col("tok"),
+        expr(s"transform(sequence(0, ${nBits - 1}), bit -> $bitExpr)").as("v"))
+    val sums = (0 until nBits).map(i => sum(col("cnt") * expr(s"v[$i]")).as(s"s$i"))
+    tokCounts.join(vocab, "tok")
+      .groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+  }
+
   /** 64-bit SimHash as four 16-bit band values b0..b3 (band b = bits
     * [16b, 16b+16) of the fingerprint). Bit i is derived from md5(token) hex
     * digit i%32, shift i/32 — two independent bits per hex digit, 64 from the
@@ -119,24 +142,14 @@ object Dedup {
     * one BIGINT sidesteps 2^63 sign overflow AND is exactly the shape banded
     * hamming-LSH needs: each band column is an equi-join key. */
   def simhash64Bands(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // md5 is hoisted BEFORE the 64-way bit explode: Catalyst does not CSE a
-    // repeated md5(tok) across the Generate boundary, so inlining it in the
-    // per-bit expression costs 64 digests per token occurrence instead of 1
-    // (measured ~4x on the whole pipeline).
-    val tokens = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .select(col(idCol), md5(col("tok")).as("h"))
-    val votes = tokens
-      .withColumn("bit", explode(sequence(lit(0), lit(63))))
-      .withColumn("hx", ascii(expr("substr(h, bit % 32 + 1, 1)")))
-      .withColumn("vote",
-        expr("(shiftright(hx - CASE WHEN hx >= 97 THEN 87 ELSE 48 END, bit div 32) & 1) * 2 - 1"))
-      .groupBy(col(idCol), col("bit")).agg(sum(col("vote")).as("votes"))
+    val hx = "ascii(substr(h, bit % 32 + 1, 1))"
+    val votes = voteSums(df, idCol, textCol, 64,
+      s"(shiftright($hx - CASE WHEN $hx >= 97 THEN 87 ELSE 48 END, bit div 32) & 1) * 2 - 1")
     val bands = (0 until 4).map { b =>
-      sum(when(col("votes") > 0 && expr(s"bit div 16 = $b"),
-        expr("shiftleft(1, bit % 16)")).otherwise(0)).cast("int").as(s"b$b")
+      (0 until 16).map(j => when(col(s"s${16 * b + j}") > 0, 1 << j).otherwise(0))
+        .reduce(_ + _).cast("int").as(s"b$b")
     }
-    votes.groupBy(col(idCol)).agg(bands.head, bands.tail: _*)
+    votes.select(col(idCol) +: bands: _*)
   }
 
   /** Hamming-banded near-dup pairs over the 64-bit simhash: candidates share
@@ -165,17 +178,10 @@ object Dedup {
   /** 16-bit SimHash per document: per-token md5 hex-digit parities vote on
     * each bit, weighted by token frequency. Output: (id, simhash BIGINT). */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // md5 hoisted before the bit explode (1 digest per token, not 16 — no
-    // CSE across Generate; see simhash64Bands).
-    val tokens = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .select(col(idCol), md5(col("tok")).as("h"))
-    tokens
-      .withColumn("bit", explode(sequence(lit(0), lit(15))))
-      .withColumn("vote", (ascii(expr("substr(h, bit + 1, 1)")) % 2) * 2 - 1)
-      .groupBy(col(idCol), col("bit")).agg(sum(col("vote")).as("votes"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("votes") > 0, expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0L))
-        .as("simhash"))
+    val votes = voteSums(df, idCol, textCol, 16,
+      "(ascii(substr(h, bit + 1, 1)) % 2) * 2 - 1")
+    val sig = (0 until 16).map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
+      .reduce(_ + _).cast("long").as("simhash")
+    votes.select(col(idCol), sig)
   }
 }
