@@ -112,6 +112,22 @@ class OpsSpec extends AnyFunSuite {
     assert(sig.forall(r => (0 until 4).forall(k => r.getInt(k + 1) >= 0 && r.getInt(k + 1) < 65536)))
   }
 
+  test("FloatDot matches the SQL zip_with fold bit-for-bit, null-safe") {
+    graft.plans.FloatDot.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { _ =>
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("a", "b")
+    val sqlFold =
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    val mismatches = df.select(expr("float_dot(a, b)").as("fast"), expr(sqlFold).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+    val nulls = df.limit(1).select(expr("float_dot(a, NULL)")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("Aggregators.topK is partitioning-independent and breaks ties by id") {
     val df = (1 to 200).map(i => (i % 5, (i % 17).toDouble, i.toLong))
       .toDF("g", "score", "id")
