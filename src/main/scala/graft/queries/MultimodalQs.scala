@@ -17,6 +17,48 @@ object MultimodalQs {
           substring(col("checksum"), 1, 2).as("shard")),
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
              |md5(text) AS checksum, substr(md5(text), 1, 2) AS shard
+             |FROM documents""".stripMargin)),
+
+    // MM2: frame sampling over an opaque binary payload — split into 256-byte
+    // frames, keep every 3rd, checksum each. All Spark-side work is on real
+    // BINARY (substring/md5 over bytes); the oracle spells the same bytes via
+    // encode/decode since DuckDB's md5 is VARCHAR-only (payloads are ASCII).
+    Q("mm2_frame_sample",
+      (s, d) => Multimodal.asBinaryTable(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("byte_len") > 0)
+        .withColumn("frame_no",
+          explode(sequence(lit(0), ((col("byte_len") - 1) / 256).cast("int"))))
+        .filter(col("frame_no") % 3 === 0)
+        .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          md5(expr("substring(payload, frame_no * 256 + 1, 256)")).as("frame_md5"),
+          octet_length(expr("substring(payload, frame_no * 256 + 1, 256)"))
+            .cast("long").as("frame_bytes")),
+      // DuckDB has no BLOB substring; the payloads are pure ASCII (asserted:
+      // octet_length(encode(text)) == length(text) corpus-wide), so VARCHAR
+      // character slicing addresses the same bytes.
+      Some("""WITH fr AS (
+             |  SELECT doc_id, text,
+             |    unnest(range((octet_length(encode(text)) - 1) // 256 + 1)) AS frame_no
+             |  FROM documents WHERE octet_length(encode(text)) > 0)
+             |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+             |  md5(substring(text, CAST(frame_no * 256 + 1 AS INT), 256)) AS frame_md5,
+             |  CAST(octet_length(encode(substring(text, CAST(frame_no * 256 + 1 AS INT), 256))) AS BIGINT) AS frame_bytes
+             |FROM fr WHERE frame_no % 3 = 0""".stripMargin)),
+
+    // MM3: the decode seat itself — the typed mapPartitions stub pipeline
+    // (one decoder init per partition, row-batched) gated through the oracle:
+    // the stub's fake dimensions are pure functions of the leading payload
+    // bytes, so SQL over the text recomputes them exactly.
+    Q("mm3_decode_meta",
+      (s, d) => Multimodal.decodeStub(s,
+          Multimodal.asBinaryTable(Tables.documents(s, d), "doc_id", "text"), "doc_id")
+        .toDF()
+        .select(col("docId").as("doc_id"), col("byteLen").as("byte_len"),
+          col("format"), col("width"), col("height")),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |  CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             |  64 + ascii(substr(text, 1, 1)) % 64 AS width,
+             |  64 + ascii(substr(text, 2, 1)) % 64 AS height
              |FROM documents""".stripMargin))
   )
 }
