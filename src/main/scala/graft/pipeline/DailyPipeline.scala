@@ -36,7 +36,7 @@ object DailyPipeline {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_warehouse"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .withExtensions(new graft.plans.BucketedProximityJoin.Extensions)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -115,6 +115,29 @@ object Joins {
              |GROUP BY day""".stripMargin),
       bench = true),
 
+    // J4b: the same point-in-interval shape written NAIVELY (pure range
+    // predicate, no blocking key) — the `plans.IntervalBucketJoin` optimizer
+    // rule rewrites it to a bucket equi-join (width 32 days >= the 31-day
+    // interval, so each interval explodes into <= 2 buckets). What j4 does
+    // by hand, the rule does to any user's naive range join.
+    Q("j4b_interval_rule",
+      (s, d) => {
+        s.conf.set(graft.plans.IntervalBucketJoin.WidthKey, "32")
+        val o = Tables.orders(s, d).select(
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("start_day"))
+          .withColumn("end_day", col("start_day") + 30)
+        val days = s.range(365, 731).select(col("id").as("day_no"))
+        days.join(o, col("day_no") >= col("start_day") && col("day_no") <= col("end_day"))
+          .groupBy(col("day_no")).agg(count(lit(1)).as("n_active"))
+      },
+      Some("""WITH days AS (SELECT unnest(range(365, 731)) AS day_no),
+             |iv AS (SELECT date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS sd
+             |       FROM orders)
+             |SELECT day_no, COUNT(*) AS n_active
+             |FROM days JOIN iv ON day_no >= sd AND day_no <= sd + 30
+             |GROUP BY day_no""".stripMargin),
+      bench = true),
+
     // J5: as-of join — for each purchase, the user's latest click at or before
     // it. Reference: first-membership-after-pass `pipeline_handler.py:528-556`.
     Q("j5_asof_prior_click",

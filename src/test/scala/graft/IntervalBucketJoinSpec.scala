@@ -1,0 +1,94 @@
+package graft
+
+import graft.plans.{GraftExtensions, IntervalBucketJoin}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The interval bucket-join rule must (a) keep results identical to the
+  * naive range join for every supported join type, and (b) replace the
+  * nested-loop plan with a bucket equi-join. */
+class IntervalBucketJoinSpec extends AnyFunSuite {
+
+  private def freshSession(width: Long): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val b = SparkSession.builder()
+      .master("local[4]")
+      .appName(s"graft-interval-rule-$width")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config(IntervalBucketJoin.WidthKey, width.toString)
+    b.withExtensions(new GraftExtensions).getOrCreate()
+  }
+
+  private lazy val spark: SparkSession = freshSession(width = 1000L)
+
+  private def data(s: SparkSession) = {
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // negative and positive points/intervals straddling zero, varied lengths
+    val pts = (1 to 300).map(i => (i.toLong, rnd.nextLong(40000L) - 20000L))
+    val ivs = (1 to 200).map { i =>
+      val st = rnd.nextLong(40000L) - 20000L
+      (1000L + i, st, st + rnd.nextLong(3000L))
+    }
+    (pts, ivs, pts.toDF("pid", "p"), ivs.toDF("iid", "s", "e"))
+  }
+
+  test("inner rewrite equals brute force, including negative times") {
+    val (pts, ivs, pdf, idf) = data(spark)
+    val got = pdf.join(idf, col("p") >= col("s") && col("p") <= col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (pi, p) <- pts; (ii, s, e) <- ivs if p >= s && p <= e
+    } yield (pi, ii)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("left anti/semi rewrites match brute force") {
+    val (pts, ivs, pdf, idf) = data(spark)
+    val cond = col("p") >= col("s") && col("p") <= col("e")
+    val semi = pdf.join(idf, cond, "left_semi").select("pid")
+      .collect().map(_.getLong(0)).toSet
+    val anti = pdf.join(idf, cond, "left_anti").select("pid")
+      .collect().map(_.getLong(0)).toSet
+    val wantSemi = pts.collect {
+      case (pi, p) if ivs.exists { case (_, s, e) => p >= s && p <= e } => pi
+    }.toSet
+    assert(semi == wantSemi)
+    assert(anti == pts.map(_._1).toSet -- wantSemi)
+  }
+
+  test("the physical plan equi-joins on buckets instead of nested-loop") {
+    val (_, _, pdf, idf) = data(spark)
+    val plan = pdf.join(idf, col("p") >= col("s") && col("p") <= col("e"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"rule should eliminate the nested-loop join:\n$plan")
+    assert(plan.contains("__iv_bkt"))
+  }
+
+  test("width 0 leaves the plan untouched (rule off by default)") {
+    val off = freshSession(width = 0L)
+    import off.implicits._
+    val pdf = (1 to 50).map(i => (i.toLong, i.toLong * 7 % 500)).toDF("pid", "p")
+    val idf = (1 to 50).map(i => (i.toLong, i.toLong * 13 % 500, i.toLong * 13 % 500 + 20))
+      .toDF("iid", "s", "e")
+    val plan = pdf.join(idf, col("p") >= col("s") && col("p") <= col("e"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("joins with an equi key are left untouched") {
+    import spark.implicits._
+    val pdf = Seq((1L, 10L, "k1"), (2L, 700L, "k2")).toDF("pid", "p", "pk")
+    val idf = Seq((3L, 5L, 15L, "k1"), (4L, 5L, 900L, "k2")).toDF("iid", "s", "e", "ik")
+    val j = pdf.join(idf, col("pk") === col("ik") &&
+      col("p") >= col("s") && col("p") <= col("e"))
+    assert(j.count() == 2)
+    assert(!j.queryExecution.optimizedPlan.toString.contains("__iv_bkt"))
+  }
+}
