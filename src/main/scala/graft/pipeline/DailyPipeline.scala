@@ -28,7 +28,17 @@ object DailyPipeline {
       materialize("a7_cohort_matrix", "conversion_cohorts"),
       materialize("j4_interval_active", "daily_active_timeline"),
       materialize("ep3_revenue_dashboard", "revenue_dashboard", Seq("combined_transactions")),
-      materialize("a13_risk_buckets", "at_risk_members", Seq("customer_master")))
+      materialize("a13_risk_buckets", "at_risk_members", Seq("customer_master")),
+      materialize("u1b_flag_lifecycle", "customer_flags_lifecycle", Seq("customer_flags")),
+      materialize("u2_identity_components", "identity_map"),
+      materialize("d1_exact_dedup", "document_dedup_groups"),
+      materialize("o3_dedup_keepfirst", "transactions_deduped", Seq("combined_transactions")),
+      // EP1's month-start dated snapshot (`pipeline_handler.py:343-354`):
+      // live table + immutable dated copy.
+      Job("revenue_dashboard_snapshot", Seq("revenue_dashboard"), s =>
+        Tables.writeSnapshot(
+          Registry.all.find(_.name == "ep3_revenue_dashboard").get.run(s, sfDir),
+          s"$outDir/revenue_dashboard_snap", asOfDate = "2024-02-01")))
   }
 
   def main(args: Array[String]): Unit = {
