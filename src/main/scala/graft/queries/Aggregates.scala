@@ -233,6 +233,31 @@ object Aggregates {
              |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-25'
              |GROUP BY user_id HAVING COUNT(*) >= 30""".stripMargin)),
 
+    // A12b: the full "offer" shape — count-threshold eligibility in the
+    // current window, then a cooldown ANTI-JOIN removing users who already
+    // qualified in the prior run's window (no re-offer inside the cooldown).
+    // Reference: audience + cooldown filters `customer_flags_engine.py:805-933`.
+    Q("a12b_offers_cooldown",
+      (s, d) => {
+        def qualified(lo: String, hi: String) = Tables.events(s, d)
+          .filter(col("ts") >= lit(lo).cast("timestamp") &&
+            col("ts") < lit(hi).cast("timestamp"))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 20)
+        qualified("2024-01-24", "2024-01-31")
+          .join(qualified("2024-01-17", "2024-01-24"), Seq("user_id"), "left_anti")
+      },
+      Some("""WITH cur AS (
+             |  SELECT user_id, COUNT(*) AS n FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-24' AND ts < TIMESTAMP '2024-01-31'
+             |  GROUP BY user_id HAVING COUNT(*) >= 20),
+             |cooldown AS (
+             |  SELECT user_id FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-17' AND ts < TIMESTAMP '2024-01-24'
+             |  GROUP BY user_id HAVING COUNT(*) >= 20)
+             |SELECT user_id, n FROM cur
+             |WHERE user_id NOT IN (SELECT user_id FROM cooldown)""".stripMargin)),
+
     // A13: activity-risk buckets from two trailing windows at a fixed as-of.
     // Reference: `identify_at_risk_members.py:50-212` (rewritten from a row loop
     // into one conditional-agg pass — the classic groupBy rewrite).
