@@ -103,6 +103,52 @@ object SimilaritySearch {
     rankTopK(candidates, idCol, k)
   }
 
+  /** Deterministic k-means (Lloyd's) cell assignment — the learned coarse
+    * quantizer for IVF when no natural bucket column exists.
+    *
+    * Determinism at any partitioning: seeds are the `k` lowest-id vectors;
+    * centroid updates are exact-decimal elementwise means (order-independent
+    * sums); assignment breaks distance ties on the lower cell id. Each
+    * iteration is one crossJoin against the broadcast k-row centroid table +
+    * one keep-best window + one mean aggregation — at cluster scale that is
+    * a scan per iteration with only k×dim bytes of broadcast state, the
+    * standard distributed Lloyd's step. Output: (idCol, cell).
+    */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.FloatDot.register(emb.sparkSession)
+    val base = emb.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__nsq", expr(normSqExpr("__v")).cast("double"))
+      .localCheckpoint(true) // reused every iteration; truncate lineage once
+    // seeds: the k lowest-id vectors, cells numbered 0..k-1 in id order
+    val seeds = base.orderBy(col(idCol)).limit(k)
+      .withColumn("cell", row_number().over(Window.orderBy(col(idCol))) - 1)
+      .select(col("cell"), col("__v").as("__c"), col("__nsq").as("__cnsq"))
+    var cents = seeds
+    var assign: DataFrame = null
+    for (_ <- 0 until iters) {
+      // squared euclidean = |v|^2 + |c|^2 - 2 v·c (FloatDot: both are float arrays)
+      val scored = base.crossJoin(broadcast(cents))
+        .withColumn("__dist",
+          col("__nsq") + col("__cnsq") - lit(2.0) * expr("float_dot(__v, __c)"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__dist").asc, col("cell").asc)
+      assign = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select(col(idCol), col("cell"))
+      // exact-decimal elementwise means -> new float centroids
+      cents = assign.join(base, idCol)
+        .select(col("cell"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(28, 9))) / count(lit(1)))
+          .cast("float").as("cx"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)").as("__c"))
+        .withColumn("__cnsq", expr(normSqExpr("__c")).cast("double"))
+        .localCheckpoint(true) // k rows; breaks the growing iteration lineage
+    }
+    assign
+  }
+
   /** Cheap double-precision dot product (order-fixed sequential fold) —
     * fast prefilter only; never the reported score. Uses the native codegen
     * `plans.FloatDot` (primitive loop, no per-element lambda interpretation)

@@ -66,6 +66,20 @@ object SimilarityQs {
         queryId = 0L, k = 5, nprobe = 2),
       None),
 
+    // K2c: IVF over LEARNED cells — deterministic k-means coarse quantizer
+    // (exact-decimal centroid means, id-tie-broken assignment) feeding the
+    // centroid-probed search. Rows-only for the same decimal-division
+    // portability reason as k2b; IvfSpec proves cover/determinism/recall.
+    Q("k2c_knn_ivf_kmeans",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cells = SimilaritySearch.kmeansAssign(emb, "vec_id", "embedding",
+          k = 8, iters = 3)
+        SimilaritySearch.topKNeighborsIvf(emb.join(cells, "vec_id"),
+          "vec_id", "embedding", "cell", queryId = 0L, k = 5, nprobe = 2)
+      },
+      None),
+
     // K3: embedding-cosine near-dup pairs within buckets (dedup by vector).
     Q("k3_embedding_neardup",
       (s, d) => SimilaritySearch.nearDupPairs(

@@ -36,6 +36,29 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf.map(x => labels(x._1)).distinct.length <= 3)
   }
 
+  test("kmeansAssign: total cover, k cells, partitioning-independent") {
+    val a1 = SimilaritySearch.kmeansAssign(emb, "vec_id", "embedding", k = 5, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1.size == emb.count())
+    assert(a1.values.toSet.size == 5)
+    val a2 = SimilaritySearch.kmeansAssign(emb.repartition(7), "vec_id", "embedding",
+        k = 5, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+  }
+
+  test("IVF over learned k-means cells returns valid in-cell neighbors") {
+    val cells = SimilaritySearch.kmeansAssign(emb, "vec_id", "embedding", k = 5, iters = 2)
+    val withCells = emb.join(cells, "vec_id")
+    val ivf = SimilaritySearch.topKNeighborsIvf(withCells, "vec_id", "embedding", "cell",
+        queryId = 0L, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.length == 5)
+    val bruteBest = SimilaritySearch.topKNeighbors(emb, "vec_id", "embedding", 0L, 1)
+      .collect().head.getDouble(1)
+    assert(ivf.forall(_._2 <= bruteBest))
+  }
+
   test("centroids have the embedding dimensionality and finite values") {
     val c = SimilaritySearch.centroids(emb, "embedding", "label").collect()
     assert(c.length == 10)

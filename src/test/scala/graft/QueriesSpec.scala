@@ -17,7 +17,8 @@ class QueriesSpec extends AnyFunSuite {
   // Queries with deliberately no oracle (engine-specific estimates /
   // non-portable decimal-division rounding) — the driver records a rows-only
   // check for these.
-  private val noOracleByDesign = Set("a4b_approx_distinct", "k2b_knn_ivf_centroid")
+  private val noOracleByDesign =
+    Set("a4b_approx_distinct", "k2b_knn_ivf_centroid", "k2c_knn_ivf_kmeans")
 
   test("query names are unique and every query has oracle SQL or a reason") {
     val names = Registry.all.map(_.name)
