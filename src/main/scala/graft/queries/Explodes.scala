@@ -21,6 +21,19 @@ object Explodes {
              |WHERE word <> '' GROUP BY word""".stripMargin)),
 
     // G4: pairwise combinations within a group — co-supplier pairs per order.
+    // G2+J12: nested-roster round trip — build an array-of-struct roster per
+    // customer (the membership `all_customers` shape), then flatten one row
+    // per member. array_sort makes the nested build order-independent.
+    // Reference: roster explode `fetch_capitan_membership_data.py:266-297`.
+    Q("g2_roster_roundtrip",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(expr("array_sort(collect_list(struct(o_orderkey, o_totalprice)))").as("roster"))
+        .select(col("o_custkey"), explode(col("roster")).as("m"))
+        .select(col("o_custkey"), col("m.o_orderkey").as("o_orderkey"),
+          col("m.o_totalprice").as("o_totalprice")),
+      Some("SELECT o_custkey, o_orderkey, o_totalprice FROM orders")),
+
     // Reference: `itertools.combinations` `build_customer_interactions.py:76-120`.
     // Self-join on the group key with a < b; group sizes are bounded (≤7 lines
     // per order) so the within-group blowup is constant-bounded at any scale.

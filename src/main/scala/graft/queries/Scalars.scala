@@ -70,6 +70,19 @@ object Scalars {
              |          CAST(o_orderdate AS DATE)) AS day_of_month_0
              |FROM orders""".stripMargin)),
 
+    // M4b: the age idiom — (as_of - date).days / 365.25, floored. int/365.25
+    // division is bit-identical IEEE in both engines.
+    // Reference: `build_customer_master.py:125-127`.
+    Q("m4b_age_calc",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          floor(datediff(lit("2024-01-31").cast("date"), col("o_orderdate").cast("date"))
+            / 365.25).cast("long").as("age_years")),
+      Some("""SELECT o_orderkey,
+             |CAST(floor(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-01-31')
+             |  / 365.25) AS BIGINT) AS age_years
+             |FROM orders""".stripMargin)),
+
     // M5: md5-based deterministic A/B bucketing (portable across engines).
     // Reference: `customer_flags_config.py:58-132`.
     Q("m5_md5_ab_split",
