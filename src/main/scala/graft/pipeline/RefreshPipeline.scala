@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's EP2-shaped light refresh (SURVEY.md §3 EP2 — the reference's
+  * 3×/day `run_data_refresh.py` + `run_flag_sync.py`):
+  *
+  *   1. refetch a trailing window of the fact table from the source,
+  *   2. SPLICE it into the stored table (keep rows outside the window, insert
+  *      the refetched slice — `pipeline_handler.py:366-426`),
+  *   3. dedup by business key, keep-first by (event time, id) — `:331`,
+  *   4. re-evaluate flags at the refresh clock and MERGE keep-newest per
+  *      (user, flag) with the 14-day TTL + persistent carve-out
+  *      (`customer_flags_engine.py:362-408,666-698`).
+  *
+  * Every step is a full-scan-free relational op at warehouse scale: the
+  * splice is a partition-prunable range predicate, the dedup a keyed window,
+  * the flag merge a keyed keep-newest. Runnable:
+  * `runMain graft.pipeline.RefreshPipeline <sfDir> <warehouseDir>`
+  * (expects DailyPipeline to have built the warehouse; runs it if absent).
+  */
+object RefreshPipeline {
+
+  /** Splice `fresh` over `stored` for the half-open event-time window
+    * [lo, hi): stored rows outside the window + fresh rows inside it. */
+  def splice(stored: DataFrame, fresh: DataFrame, tsCol: String,
+      lo: String, hi: String): DataFrame = {
+    val loTs = lit(lo).cast("timestamp")
+    val hiTs = lit(hi).cast("timestamp")
+    stored.filter(col(tsCol) < loTs || col(tsCol) >= hiTs)
+      .unionByName(fresh.filter(col(tsCol) >= loTs && col(tsCol) < hiTs))
+  }
+
+  /** Keep-first dedup by key, "first" = minimum (orderCol, tieCol). */
+  def dedupKeepFirst(df: DataFrame, key: String, orderCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).asc, col(tieCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Merge a fresh flag run over stored flags: keep-newest per (user, type),
+    * then expire non-persistent flags older than `ttlUs` at `asOfUs`. */
+  def mergeFlags(stored: DataFrame, fresh: DataFrame, asOfUs: Long, ttlUs: Long,
+      persistent: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("flag_type"))
+      .orderBy(col("added_us").desc)
+    stored.unionByName(fresh)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      .filter(col("added_us") >= asOfUs - ttlUs || col("flag_type").isin(persistent: _*))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val whDir = if (args.length > 1) args(1) else "/tmp/graft_warehouse"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$whDir/combined_transactions").exists())
+      new Dag(DailyPipeline.jobs(sfDir, whDir)).run(spark)
+
+    // 1-2: refetch the trailing week of events from the source and splice.
+    val stored = Tables.events(spark, sfDir) // stands in for the stored fact table
+    val fresh = Tables.events(spark, sfDir)  // refetch = same source, later pull
+    val spliced = splice(stored, fresh, "ts", "2024-01-24", "2024-01-31")
+
+    // 3: key dedup keep-first (idempotent re-ingest).
+    val deduped = dedupKeepFirst(spliced, "event_id", "ts", "user_id")
+    Tables.write(deduped, s"$whDir/events_current")
+
+    // 4: flag sync at the refresh clock, merged over the daily run's flags.
+    val asOf1 = 1705276800000000L // daily run clock (2024-01-15)
+    val asOf2 = 1706659200000000L // refresh clock  (2024-01-31)
+    val ttl = 14L * 86400L * 1000000L
+    def flagsAt(asOf: Long): DataFrame = {
+      import spark.implicits._
+      Tables.events(spark, sfDir)
+        .filter(unix_micros(col("ts")) < asOf)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .toDF("userId", "eventId", "eventType", "us", "value")
+        .as[graft.flags.Ev]
+        .groupByKey(_.userId)
+        .flatMapGroups { (uid, it) => graft.flags.FlagRules.evaluateAll(uid, it.toSeq, asOf) }
+        .toDF()
+        .withColumn("added_us", lit(asOf))
+    }
+    val merged = mergeFlags(flagsAt(asOf1), flagsAt(asOf2), asOf2, ttl,
+      persistent = Seq("error_prone"))
+    Tables.write(merged, s"$whDir/customer_flags_current")
+
+    val nEvents = spark.read.parquet(s"$whDir/events_current").count()
+    val nFlags = spark.read.parquet(s"$whDir/customer_flags_current").count()
+    println(s"[refresh] events_current=$nEvents customer_flags_current=$nFlags -> $whDir")
+    spark.stop()
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.RefreshPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EP2 refresh semantics: splice replaces exactly the window, dedup is
+  * idempotent, flag merge keeps newest and expires by TTL. */
+class RefreshSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("splice keeps outside rows and replaces the window from fresh") {
+    val stored = Seq(
+      (1L, "2024-01-10 00:00:00", "old"), (2L, "2024-01-25 00:00:00", "stale"),
+      (3L, "2024-02-02 00:00:00", "old")
+    ).toDF("id", "ts", "src").withColumn("ts", col("ts").cast("timestamp"))
+    val fresh = Seq(
+      (2L, "2024-01-25 00:00:00", "fixed"), (4L, "2024-01-28 00:00:00", "new"),
+      (5L, "2024-02-03 00:00:00", "out_of_window")
+    ).toDF("id", "ts", "src").withColumn("ts", col("ts").cast("timestamp"))
+    val out = RefreshPipeline.splice(stored, fresh, "ts", "2024-01-24", "2024-01-31")
+      .select("id", "src").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "old"), (3L, "old"), (2L, "fixed"), (4L, "new")))
+  }
+
+  test("dedupKeepFirst keeps the earliest row per key and is idempotent") {
+    val df = Seq(
+      (1L, 10L, 100L, "a"), (1L, 5L, 200L, "b"), (1L, 5L, 150L, "c"),
+      (2L, 7L, 300L, "d")
+    ).toDF("key", "t", "tie", "v")
+    val once = RefreshPipeline.dedupKeepFirst(df, "key", "t", "tie")
+    val twice = RefreshPipeline.dedupKeepFirst(once, "key", "t", "tie")
+    val got = twice.select("key", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "c"), (2L, "d")))
+  }
+
+  test("mergeFlags keeps newest per (user, type), TTL-expires, persists carve-outs") {
+    val day = 86400000000L
+    val asOf = 100L * day
+    val stored = Seq(
+      (1L, "power_user", "old", asOf - 20 * day),   // superseded by fresh
+      (2L, "big_spender", "lapsed", asOf - 20 * day), // expired (no refresh)
+      (3L, "error_prone", "sticky", asOf - 40 * day)  // persistent carve-out
+    ).toDF("user_id", "flag_type", "flag_data", "added_us")
+    val fresh = Seq(
+      (1L, "power_user", "new", asOf)
+    ).toDF("user_id", "flag_type", "flag_data", "added_us")
+    val out = RefreshPipeline.mergeFlags(stored, fresh, asOf, 14 * day, Seq("error_prone"))
+      .select("user_id", "flag_type", "flag_data").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1L, "power_user", "new"),
+      (3L, "error_prone", "sticky")))
+  }
+}
