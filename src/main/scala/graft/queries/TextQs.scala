@@ -39,6 +39,27 @@ object TextQs {
               |${TextAnalysis.bpeTokensSql("text")} AS bpe_tokens, n_chars
               |FROM documents""".stripMargin)),
 
+    // U3: the external-enrichment seat (SURVEY §2.9 — LLM offer extraction /
+    // vision analysis). The model's outputs live as a CACHED LOOKUP TABLE
+    // keyed by input fingerprint; the engine's job is the relational part:
+    // broadcast the cache, join, aggregate. Here the cache is a deterministic
+    // pseudo-labeling of distinct sources (stands in for cached LLM calls).
+    // Reference: `customer_events_builder.py:378-497`, `pipeline_handler.py:1230-1357`.
+    Q("u3_enrichment_lookup",
+      (s, d) => {
+        val cache = Tables.documents(s, d).select(col("source")).distinct()
+          .withColumn("llm_topic", concat(lit("topic_"), substring(md5(col("source")), 1, 4)))
+        Tables.documents(s, d).join(broadcast(cache), Seq("source"))
+          .groupBy(col("llm_topic"))
+          .agg(count(lit(1)).as("n_docs"), Q.dsum(col("n_chars")).as("total_chars"))
+      },
+      Some(s"""WITH cache AS (
+              |  SELECT DISTINCT source, 'topic_' || substr(md5(source), 1, 4) AS llm_topic
+              |  FROM documents)
+              |SELECT llm_topic, COUNT(*) AS n_docs, ${Q.dsumSql("n_chars")} AS total_chars
+              |FROM documents JOIN cache USING (source)
+              |GROUP BY llm_topic""".stripMargin)),
+
     // T4: document fingerprinting (normalized-content hash + shard bucket).
     Q("t4_fingerprint",
       (s, d) => Tables.documents(s, d)
