@@ -93,13 +93,18 @@ object Dedup {
     * to the candidate docs FIRST, then deduped and sized (tiny), so the full
     * corpus never pays a distinct shuffle. */
   def jaccardFor(pairs: DataFrame, shRaw: DataFrame, idCol: String): DataFrame = {
+    // candIds/pairs are structurally tiny (bounded by LSH bucket collisions),
+    // the shingle sets are the big side — say so with explicit broadcast()
+    // instead of waiting for an AQE runtime re-plan: the semi-filter then
+    // never shuffles the raw shingles.
     val candIds = pairs.select(col("id_a").as("cid"))
       .unionByName(pairs.select(col("id_b").as("cid"))).distinct()
-    val shCand = shRaw.join(candIds, shRaw(idCol) === candIds("cid"), "left_semi").distinct()
+    val shCand = shRaw.join(broadcast(candIds), shRaw(idCol) === candIds("cid"), "left_semi")
+      .distinct()
     val sizes = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val shA = shCand.toDF("sa_id", "sa_shingle")
     val shB = shCand.toDF("sb_id", "sb_shingle")
-    val inter = pairs.select(col("id_a"), col("id_b"))
+    val inter = broadcast(pairs.select(col("id_a"), col("id_b")))
       .join(shA, col("id_a") === col("sa_id"))
       .join(shB, col("id_b") === col("sb_id") && col("sa_shingle") === col("sb_shingle"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
