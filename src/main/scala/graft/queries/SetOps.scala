@@ -57,6 +57,24 @@ object SetOps {
 
     // O5: range replacement — keep rows outside [start,end], splice in a
     // corrected slice for the range. Reference: `pipeline_handler.py:366-426`.
+    // §7.4 skew mitigation, oracle-gated: the hot-key salted join (scatter
+    // the big side over salt sub-keys, replicate the small side) must equal
+    // the plain equi-join — the oracle IS the plain join.
+    Q("sk1_salted_hot_join",
+      (s, d) => {
+        val dim = Tables.events(s, d).select(col("event_type").as("et")).distinct()
+          .withColumn("type_code", substring(upper(col("et")), 1, 3))
+        graft.ops.Skew.saltedJoin(Tables.events(s, d), dim, "event_type", "et", 8)
+          .groupBy(col("type_code"))
+          .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("total_value"))
+      },
+      Some(s"""WITH dim AS (
+              |  SELECT DISTINCT event_type AS et, substr(upper(event_type), 1, 3) AS type_code
+              |  FROM events)
+              |SELECT type_code, COUNT(*) AS n, ${Q.dsumSql("value")} AS total_value
+              |FROM events JOIN dim ON event_type = et
+              |GROUP BY type_code""".stripMargin)),
+
     Q("o5_range_splice",
       (s, d) => {
         val o = Tables.orders(s, d)

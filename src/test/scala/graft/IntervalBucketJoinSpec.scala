@@ -62,6 +62,19 @@ class IntervalBucketJoinSpec extends AnyFunSuite {
     assert(anti == pts.map(_._1).toSet -- wantSemi)
   }
 
+  test("left outer rewrite keeps unmatched points exactly once") {
+    val (pts, ivs, pdf, idf) = data(spark)
+    val cond = col("p") >= col("s") && col("p") <= col("e")
+    val outer = pdf.join(idf, cond, "left_outer")
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val want = pts.flatMap { case (pi, p) =>
+      val hits = ivs.collect { case (ii, s, e) if p >= s && p <= e => (pi, ii) }
+      if (hits.isEmpty) Seq((pi, -1L)) else hits
+    }
+    assert(outer.sorted.toSeq == want.sorted.toSeq)
+  }
+
   test("the physical plan equi-joins on buckets instead of nested-loop") {
     val (_, _, pdf, idf) = data(spark)
     val plan = pdf.join(idf, col("p") >= col("s") && col("p") <= col("e"))
