@@ -12,5 +12,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BucketedProximityJoin)
     e.injectOptimizerRule(_ => IntervalBucketJoin)
+    e.injectPlannerStrategy(_ => AsOfJoinPlan.AsOfJoinStrategy)
   }
 }

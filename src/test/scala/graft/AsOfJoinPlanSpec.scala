@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.TimeJoins
+import graft.plans.AsOfJoinPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native as-of operator must equal the compositional form
+  * (equi-join + range + row_number) on random data — including duplicate
+  * right times — plan as AsOfJoinExec without a Window, and be
+  * partitioning-independent. */
+class AsOfJoinPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def data() = {
+    val rnd = new scala.util.Random(42)
+    // ~50 keys, duplicate right times on purpose (tie-break coverage)
+    val left = (1 to 800).map(i =>
+      (1000L + i, rnd.nextInt(50).toLong, rnd.nextInt(500).toLong))
+    val right = (1 to 900).map(i =>
+      (5000L + i, rnd.nextInt(50).toLong, rnd.nextInt(250).toLong * 2))
+    (left.toDF("p_id", "p_user", "p_us"), right.toDF("c_id", "c_user", "c_us"))
+  }
+
+  test("native as-of equals the compositional window form") {
+    val (l, r) = data()
+    val native = AsOfJoinPlan.asOfBackward(l, r, "p_user", "p_us", "c_user", "c_us", "c_id")
+      .select("p_id", "c_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val composed = TimeJoins.asOf(l, r, "p_user", "c_user", "p_us", "c_us", "c_id", "p_id")
+      .select("p_id", "c_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(native.nonEmpty)
+    assert(native == composed)
+  }
+
+  test("result is independent of input partitioning") {
+    val (l, r) = data()
+    val a = AsOfJoinPlan.asOfBackward(l.repartition(13), r.repartition(3),
+        "p_user", "p_us", "c_user", "c_us", "c_id")
+      .select("p_id", "c_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val b = AsOfJoinPlan.asOfBackward(l.coalesce(1), r.coalesce(1),
+        "p_user", "p_us", "c_user", "c_us", "c_id")
+      .select("p_id", "c_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("plans as AsOfJoinExec: one shuffle+sort per side, no Window, no pair blowup") {
+    val (l, r) = data()
+    val plan = AsOfJoinPlan.asOfBackward(l, r, "p_user", "p_us", "c_user", "c_us", "c_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin")) // exec node prints without the Exec suffix
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
