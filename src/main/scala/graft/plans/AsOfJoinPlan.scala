@@ -32,7 +32,8 @@ import org.apache.spark.sql.types.LongType
   */
 final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
-    rightKey: Attribute, rightTime: Attribute, rightTiebreak: Attribute)
+    rightKey: Attribute, rightTime: Attribute, rightTiebreak: Attribute,
+    forward: Boolean)
     extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
@@ -41,7 +42,8 @@ final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
-    rightKey: Attribute, rightTime: Attribute, rightTiebreak: Attribute)
+    rightKey: Attribute, rightTime: Attribute, rightTiebreak: Attribute,
+    forward: Boolean)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -68,13 +70,14 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val out = output
     val lKeyExprs = Seq[Expression](leftKey, leftTime)
     val rKeyExprs = Seq[Expression](rightKey, rightTime)
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyGen = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyGen = UnsafeProjection.create(rKeyExprs, rOut)
       val resultProj = UnsafeProjection.create(out, out)
       val rBuf = rIter.buffered
       val joined = new JoinedRow
-      // one buffered best-match per key; reset implicitly when the key moves
+      // backward: one buffered best-match per key, reset implicitly on key move
       var bestRow: InternalRow = null
       var bestKey = 0L
       var bestTime = 0L
@@ -83,7 +86,9 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         val lk = lKeyGen(lRow)
         val k = lk.getLong(0)
         val t = lk.getLong(1)
-        // consume right rows that are now or forever behind this left cursor
+        // consume right rows that are now or forever behind this left cursor:
+        // key < k always; same-key rows with time <= t (useless for any later
+        // left row too, since left times ascend)
         var advancing = true
         while (advancing && rBuf.hasNext) {
           val rk = rKeyGen(rBuf.head)
@@ -91,7 +96,7 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val rTimeV = rk.getLong(1)
           if (rKeyV < k || (rKeyV == k && rTimeV <= t)) {
             val row = rBuf.next()
-            if (rKeyV == k && (!haveBest || bestKey != k || rTimeV > bestTime)) {
+            if (!fwd && rKeyV == k && (!haveBest || bestKey != k || rTimeV > bestTime)) {
               // equal times keep the FIRST row (smallest tiebreak, by ordering)
               bestRow = row.copy()
               bestKey = k
@@ -100,8 +105,17 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             }
           } else advancing = false
         }
-        if (haveBest && bestKey == k) Iterator.single(resultProj(joined(lRow, bestRow)))
-        else Iterator.empty
+        if (fwd) {
+          // forward: the match is the right HEAD (earliest time > t, smallest
+          // tiebreak) — peeked, not consumed: it may match later left rows too
+          if (rBuf.hasNext) {
+            val rk = rKeyGen(rBuf.head)
+            if (rk.getLong(0) == k) Iterator.single(resultProj(joined(lRow, rBuf.head)))
+            else Iterator.empty
+          } else Iterator.empty
+        } else if (haveBest && bestKey == k) {
+          Iterator.single(resultProj(joined(lRow, bestRow)))
+        } else Iterator.empty
       }
     }
   }
@@ -115,8 +129,8 @@ object AsOfJoinPlan {
   /** Planner strategy mapping the logical node to the exec. */
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoin(l, r, lk, lt, rk, rt, tie) =>
-        AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie) :: Nil
+      case AsOfJoin(l, r, lk, lt, rk, rt, tie, fwd) =>
+        AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie, fwd) :: Nil
       case _ => Nil
     }
   }
@@ -126,7 +140,22 @@ object AsOfJoinPlan {
     * to LongType and null-filtered. Output: left columns ++ right columns. */
   def asOfBackward(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String, rightTiebreak: String): DataFrame = {
+      rightKey: String, rightTime: String, rightTiebreak: String): DataFrame =
+    asOf(leftDf, rightDf, leftKey, leftTime, rightKey, rightTime, rightTiebreak,
+      forward = false)
+
+  /** Forward variant: the earliest right row strictly AFTER the left time
+    * (reference: first membership after pass, `pipeline_handler.py:528-556`). */
+  def asOfForward(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String, rightTiebreak: String): DataFrame =
+    asOf(leftDf, rightDf, leftKey, leftTime, rightKey, rightTime, rightTiebreak,
+      forward = true)
+
+  private def asOf(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String, rightTiebreak: String,
+      forward: Boolean): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
     def prep(df: DataFrame, cols: Seq[String]): DataFrame =
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(LongType)))
@@ -140,6 +169,7 @@ object AsOfJoinPlan {
         throw new IllegalArgumentException(s"column $name not found"))
     GraftBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftKey), attr(lPlan, leftTime),
-      attr(rPlan, rightKey), attr(rPlan, rightTime), attr(rPlan, rightTiebreak)))
+      attr(rPlan, rightKey), attr(rPlan, rightTime), attr(rPlan, rightTiebreak),
+      forward))
   }
 }

@@ -33,6 +33,17 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("forward variant equals the compositional window form") {
+    val (l, r) = data()
+    val native = AsOfJoinPlan.asOfForward(l, r, "p_user", "p_us", "c_user", "c_us", "c_id")
+      .select("p_id", "c_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val composed = TimeJoins.asOf(l, r, "p_user", "c_user", "p_us", "c_us", "c_id", "p_id",
+        direction = "forward")
+      .select("p_id", "c_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(native.nonEmpty)
+    assert(native == composed)
+  }
+
   test("result is independent of input partitioning") {
     val (l, r) = data()
     val a = AsOfJoinPlan.asOfBackward(l.repartition(13), r.repartition(3),
