@@ -103,6 +103,34 @@ object ScanFilter {
       Some("""SELECT doc_id, source, n_chars FROM documents
              |WHERE regexp_matches(lower(text), 'spark|stream')""".stripMargin)),
 
+    // U4: suspicious-transaction heuristics — price-book tolerance match
+    // (first-match when-ladder over the book, the reference's loop) plus a
+    // keyword hint predicate; pure column expressions, no UDF.
+    // Reference: `flag_suspicious_transactions.py:34-143`.
+    Q("u4_suspicious_txns",
+      (s, d) => {
+        val book = Seq(50000.0, 150000.0, 250000.0, 350000.0, 450000.0)
+        val tol = 2000.0
+        val matched = book.foldLeft(lit(null).cast("double")) { (acc, p) =>
+          coalesce(acc, when(abs(col("o_totalprice") - p) <= tol, lit(p)))
+        }
+        Tables.orders(s, d)
+          .withColumn("matched_price", matched)
+          .filter(col("matched_price").isNotNull &&
+            upper(col("o_orderpriority")).rlike("URGENT|HIGH"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("matched_price"),
+            col("o_orderpriority"))
+      },
+      Some {
+        val cases = Seq(50000.0, 150000.0, 250000.0, 350000.0, 450000.0)
+          .map(p => s"WHEN abs(o_totalprice - $p) <= 2000.0 THEN $p")
+          .mkString(" ")
+        s"""SELECT o_orderkey, o_totalprice, matched_price, o_orderpriority FROM (
+           |  SELECT *, CASE $cases END AS matched_price FROM orders)
+           |WHERE matched_price IS NOT NULL
+           |  AND regexp_matches(upper(o_orderpriority), 'URGENT|HIGH')""".stripMargin
+      }),
+
     // P7: conditional (masked) column assignment via when/otherwise ladder.
     // Reference: `stripe_and_square_helpers.py:127-183` (df.loc[mask] = v).
     Q("p7_conditional_assign",
