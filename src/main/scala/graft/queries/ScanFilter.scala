@@ -44,6 +44,42 @@ object ScanFilter {
       Some(s"""SELECT c_mktsegment, COUNT(*) AS n, ${Q.dsumSql("c_acctbal")} AS total_bal
               |FROM customer GROUP BY c_mktsegment""".stripMargin)),
 
+    // S2b: JSON-lines sink/source round-trip (schema-on-read with explicit
+    // StructType — no sampling-based inference at scale).
+    Q("s2b_json_roundtrip",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val path = s"${sys.props("java.io.tmpdir")}/graft_s2b_json_${Integer.toHexString(d.hashCode)}"
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("overwrite").json(path)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType)))
+        s.read.schema(schema).json(path)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("revenue"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n, ${Q.dsumSql("o_totalprice")} AS revenue
+              |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // S2c: columnar ORC sink/source round-trip — the second columnar format
+    // (pushdown/pruning work the same as parquet).
+    Q("s2c_orc_roundtrip",
+      (s, d) => {
+        val path = s"${sys.props("java.io.tmpdir")}/graft_s2c_orc_${Integer.toHexString(d.hashCode)}"
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .filter(col("l_returnflag") =!= "R")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), Q.dsum(col("l_quantity")).as("total_qty"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n, ${Q.dsumSql("l_quantity")} AS total_qty
+              |FROM lineitem WHERE l_returnflag <> 'R'
+              |GROUP BY l_returnflag""".stripMargin)),
+
     // S3: dated snapshot sink partitioned by month + partition-pruned read —
     // the snapshot copy (`pipeline_handler.py:343-354`) done as hive-style
     // partitions, so the read back scans ONE month's directory
