@@ -84,6 +84,18 @@ class IntervalBucketJoinSpec extends AnyFunSuite {
     assert(plan.contains("__iv_bkt"))
   }
 
+  test("rewrite is width-invariant: odd/small/large bucket widths all agree") {
+    val widths = Seq(7L, 333L, 50000L)
+    val results = widths.map { w =>
+      val s = freshSession(w)
+      val (_, _, pdf, idf) = data(s)
+      pdf.join(idf, col("p") >= col("s") && col("p") <= col("e"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(results.distinct.size == 1)
+    assert(results.head.nonEmpty)
+  }
+
   test("width 0 leaves the plan untouched (rule off by default)") {
     val off = freshSession(width = 0L)
     import off.implicits._
