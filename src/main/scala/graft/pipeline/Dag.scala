@@ -38,6 +38,51 @@ final class Dag(jobs: Seq[Job]) {
     order.toSeq
   }
 
+  /** Wave-parallel run: every dependency-ready job of a wave executes
+    * concurrently on a bounded pool (concurrent actions on one SparkSession
+    * are safe and keep the cluster busy while another job's stage tail
+    * finishes). Same failure isolation as [[run]]: a failed job poisons its
+    * transitive dependents, everything else proceeds. */
+  def runParallel(spark: SparkSession, parallelism: Int = 4): Seq[JobResult] = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, JobResult]
+    val failed = scala.collection.mutable.Set.empty[String]
+    var remaining = topoOrder
+    try {
+      while (remaining.nonEmpty) {
+        val done = results.keySet.toSet
+        val (ready, blocked) = remaining.partition(_.deps.forall(done.contains))
+        val wave = ready.map { job =>
+          if (job.deps.exists(failed.contains)) {
+            failed += job.name
+            job.name -> Future.successful(JobResult(job.name, "skipped",
+              Some(s"upstream failed: ${job.deps.filter(failed.contains).mkString(",")}"), 0L))
+          } else job.name -> Future {
+            val t0 = System.nanoTime()
+            try {
+              job.run(spark)
+              JobResult(job.name, "ok", None, (System.nanoTime() - t0) / 1000000L)
+            } catch {
+              case e: Throwable => JobResult(job.name, "failed",
+                Some(e.toString.take(500)), (System.nanoTime() - t0) / 1000000L)
+            }
+          }
+        }
+        wave.foreach { case (name, fut) =>
+          val r = Await.result(fut, Duration.Inf)
+          if (r.status == "failed") failed += name
+          results += name -> r
+        }
+        remaining = blocked
+      }
+    } finally pool.shutdown()
+    results.values.toSeq
+  }
+
   def run(spark: SparkSession): Seq[JobResult] = {
     val failed = scala.collection.mutable.Set.empty[String]
     topoOrder.map { job =>

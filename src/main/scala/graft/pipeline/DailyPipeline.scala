@@ -54,7 +54,8 @@ object DailyPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = new Dag(jobs(sfDir, outDir)).run(spark)
+    val results = new Dag(jobs(sfDir, outDir))
+      .runParallel(spark, sys.env.getOrElse("SPARK_GRAFT_DAG_PARALLELISM", "4").toInt)
     results.foreach(r => println(
       s"[pipeline] ${r.name}: ${r.status} (${r.durationMs} ms)${r.error.map(" — " + _).getOrElse("")}"))
     val ok = results.count(_.status == "ok")

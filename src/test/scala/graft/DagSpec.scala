@@ -21,6 +21,25 @@ class DagSpec extends AnyFunSuite {
       "d" -> "ok", "e" -> "skipped"))
   }
 
+  test("runParallel: same statuses as sequential, independent jobs overlap") {
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def meet(): Unit = { // both must be in-flight simultaneously to pass
+      gate.countDown()
+      assert(gate.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "independent jobs did not run concurrently")
+    }
+    val dag = new Dag(Seq(
+      Job("a", Nil, _ => ()),
+      Job("b", Seq("a"), _ => meet()),
+      Job("c", Seq("a"), _ => meet()),
+      Job("x", Seq("a"), _ => throw new RuntimeException("boom")),
+      Job("y", Seq("x"), _ => ())))
+    val results = dag.runParallel(spark, parallelism = 4)
+      .map(r => r.name -> r.status).toMap
+    assert(results == Map("a" -> "ok", "b" -> "ok", "c" -> "ok",
+      "x" -> "failed", "y" -> "skipped"))
+  }
+
   test("cycles and unknown deps are rejected at construction") {
     intercept[IllegalArgumentException] {
       new Dag(Seq(Job("a", Seq("missing"), _ => ())))
