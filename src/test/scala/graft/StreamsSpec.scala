@@ -53,6 +53,48 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.groupBy("dup_key").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("checkpointed file-sink stream resumes exactly-once across restarts") {
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("graft_ckpt_in")
+    val outDir = Files.createTempDirectory("graft_ckpt_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_state").toString
+    val all = batchEvents.select("event_id", "user_id").orderBy("event_id")
+
+    def startOnce(): Unit = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType)))
+      val q = spark.readStream.schema(schema).parquet(in.toString)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // run 1: first half of the data
+    all.filter(col("event_id") % 2 === 0)
+      .write.parquet(in.resolve("part_a").toString) // a subdir won't be picked up
+    Files.list(Paths.get(in.resolve("part_a").toString)).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        Files.move(p, in.resolve("a_" + p.getFileName.toString))
+    }
+    startOnce()
+    val n1 = spark.read.parquet(outDir).count()
+    // run 2: second half arrives; the checkpoint must skip the already-read files
+    all.filter(col("event_id") % 2 === 1)
+      .write.parquet(in.resolve("part_b").toString)
+    Files.list(Paths.get(in.resolve("part_b").toString)).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        Files.move(p, in.resolve("b_" + p.getFileName.toString))
+    }
+    startOnce()
+    val out = spark.read.parquet(outDir)
+    assert(n1 > 0 && n1 < all.count())
+    assert(out.count() == all.count()) // nothing dropped, nothing duplicated
+    assert(out.select("event_id").distinct().count() == all.count())
+  }
+
   test("runningUserTotals accumulates keyed state across a batch") {
     val q = Streams.runningUserTotals(spark, Streams.eventStream(spark, dir))
       .writeStream.outputMode(OutputMode.Update).format("memory").queryName("totals").start()
