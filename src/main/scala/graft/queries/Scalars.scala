@@ -70,6 +70,29 @@ object Scalars {
              |          CAST(o_orderdate AS DATE)) AS day_of_month_0
              |FROM orders""".stripMargin)),
 
+    // M2b: the 3-group transfer parser — `"(item) from (giver) ((n) remaining)"`
+    // with a lazy first group, built then parsed back in one plan.
+    // Reference: `parse_pass_transfers.py:79-102`.
+    Q("m2b_transfer_parse",
+      (s, d) => {
+        val pat = """(.+?) from ([^(]+) \((\d+) remaining\)"""
+        Tables.orders(s, d)
+          .withColumn("desc_str", concat(lit("Day Pass from Customer#"),
+            col("o_custkey"), lit(" ("), col("o_orderkey") % 10, lit(" remaining)")))
+          .select(col("o_orderkey"),
+            regexp_extract(col("desc_str"), pat, 1).as("item"),
+            regexp_extract(col("desc_str"), pat, 2).as("giver"),
+            regexp_extract(col("desc_str"), pat, 3).cast("long").as("remaining"))
+      },
+      Some("""SELECT o_orderkey,
+             |  regexp_extract(desc_str, '(.+?) from ([^(]+) \((\d+) remaining\)', 1) AS item,
+             |  regexp_extract(desc_str, '(.+?) from ([^(]+) \((\d+) remaining\)', 2) AS giver,
+             |  CAST(regexp_extract(desc_str, '(.+?) from ([^(]+) \((\d+) remaining\)', 3) AS BIGINT) AS remaining
+             |FROM (
+             |  SELECT o_orderkey, 'Day Pass from Customer#' || o_custkey || ' (' ||
+             |         (o_orderkey % 10) || ' remaining)' AS desc_str
+             |  FROM orders)""".stripMargin)),
+
     // M4b: the age idiom — (as_of - date).days / 365.25, floored. int/365.25
     // division is bit-identical IEEE in both engines.
     // Reference: `build_customer_master.py:125-127`.
