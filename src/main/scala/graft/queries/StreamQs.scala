@@ -80,6 +80,31 @@ object StreamQs {
       },
       Some("SELECT DISTINCT user_id FROM events")),
 
+    // ST4: watermarked stream-stream interval join — each purchase joined to
+    // the same user's clicks in the 10 minutes before it. Both sides
+    // watermarked far beyond the data span (nothing pruned), so the append
+    // output is the exact deterministic pair set of the batch join.
+    Q("st4_stream_stream_join",
+      (s, d) => {
+        def side(tpe: String, pfx: String) =
+          Streams.eventStream(s, asStreamDir(s"$d/events.parquet"))
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(s"${pfx}_user"), col("event_id").as(s"${pfx}_id"),
+              col("ts").as(s"${pfx}_ts"))
+            .withWatermark(s"${pfx}_ts", "90 days")
+        val joined = side("purchase", "p").join(side("click", "c"),
+          expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts <= p_ts"))
+          .select(col("p_id"), col("c_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+        runToMemory(s, joined, OutputMode.Append())
+      },
+      Some("""SELECT p.event_id AS p_id, c.event_id AS c_id,
+             |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+             |FROM events p JOIN events c
+             |  ON p.user_id = c.user_id
+             | AND p.event_type = 'purchase' AND c.event_type = 'click'
+             | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts""".stripMargin)),
+
     // ST3: custom keyed state via mapGroupsWithState — running per-user
     // totals. Totals are monotone, so max-per-user over the update-mode
     // emissions equals the final state regardless of micro-batch slicing.
