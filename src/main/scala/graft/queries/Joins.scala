@@ -194,6 +194,36 @@ object Joins {
              |    ORDER BY epoch_us(c.ts) DESC, c.event_id) = 1)""".stripMargin),
       bench = true),
 
+    // J5c: windowed conversion booleans on the FORWARD as-of — for each
+    // signup, the first purchase strictly after it, flagged converted-in-3d/
+    // 10d (reference's 7/30/60/90d gates, `build_conversion_rate_analysis.py:
+    // 143-150,231-260`). Runs through the native AsOfJoinExec forward path.
+    Q("j5c_conversion_windows",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id").as("s_user"), col("event_id").as("s_id"),
+            Q.usecs(col("ts")).as("s_us"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+            Q.usecs(col("ts")).as("p_us"))
+        graft.plans.AsOfJoinPlan.asOfForward(signups, purchases,
+            "s_user", "s_us", "p_user", "p_us", "p_id")
+          .select(col("s_id").as("signup_id"), col("p_id").as("first_purchase_id"),
+            (col("p_us") - col("s_us") <= 3L * 86400000000L).as("conv_3d"),
+            (col("p_us") - col("s_us") <= 10L * 86400000000L).as("conv_10d"))
+      },
+      Some("""SELECT s_id AS signup_id, p_id AS first_purchase_id,
+             |  gap_us <= 259200000000 AS conv_3d, gap_us <= 864000000000 AS conv_10d
+             |FROM (
+             |  SELECT s.event_id AS s_id, p.event_id AS p_id,
+             |         epoch_us(p.ts) - epoch_us(s.ts) AS gap_us
+             |  FROM events s JOIN events p
+             |    ON s.user_id = p.user_id AND s.event_type = 'signup'
+             |   AND p.event_type = 'purchase' AND epoch_us(p.ts) > epoch_us(s.ts)
+             |  QUALIFY row_number() OVER (PARTITION BY s.event_id
+             |    ORDER BY epoch_us(p.ts), p.event_id) = 1)""".stripMargin)),
+
     // J6: time-proximity self-join — pairs of same-type events within 120s,
     // bucketed on tolerance-sized time blocks (see TimeJoins.proximityPairs).
     // Reference: 5-min family co-checkin `build_family_relationships.py:396-429`.
