@@ -18,6 +18,36 @@ object DedupQs {
       |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS shingle
       |  FROM documents WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
 
+  /** Shared oracle CTE chain for the 64-bit banded simhash: toks → votes →
+    * sig (4 × 16-bit bands) → pairs (band collisions) → ham (exact hamming).
+    * Mirrors `Dedup.simhash64Bands`/`simhash64NearDup`. */
+  private val simhash64CtesSql: String = {
+    val hx = "ascii(substr(md5(tok), i % 32 + 1, 1))"
+    val bandCols = (0 until 4).map(b =>
+      s"    CAST(SUM(CASE WHEN votes > 0 AND bit // 16 = $b THEN (1 << (bit % 16)) ELSE 0 END) AS INT) AS b$b")
+      .mkString(",\n")
+    val bandJoins = (0 until 4).map(k =>
+      s"    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.b$k = b.b$k AND a.doc_id < b.doc_id")
+      .mkString("\n    UNION ALL\n")
+    val hamming = (0 until 4).map(k => s"bit_count(xor(sa.b$k, sb.b$k))").mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |votes AS (
+       |  SELECT doc_id, i AS bit,
+       |    SUM(((($hx - CASE WHEN $hx >= 97 THEN 87 ELSE 48 END) >> (i // 32)) & 1) * 2 - 1) AS votes
+       |  FROM toks, range(64) t(i) WHERE tok <> '' GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |$bandCols
+       |  FROM votes GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |$bandJoins)),
+       |ham AS (
+       |  SELECT id_a, id_b, CAST($hamming AS BIGINT) AS hamming
+       |  FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
 
     // D1: exact dedup via normalized-text hash groups.
@@ -124,32 +154,52 @@ object DedupQs {
     // forces >= 1 identical band), exact 64-bit hamming filters them.
     Q("d5_simhash64_neardup",
       (s, d) => Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3),
+      Some(
+        s"""WITH $simhash64CtesSql
+           |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin)),
+
+    // C1: end-to-end corpus curation — the LLM-training-data pipeline as ONE
+    // declared plan: language gate → quality gate → exact-dedup keeper →
+    // simhash near-dup removal (keep the lower id) → per-source token budget
+    // (running sum window; per-source, never a global single-partition
+    // window). Composes the d1/d5/t2/t3 operators.
+    Q("c1_corpus_curation",
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val keepers = Dedup.exactDupGroups(docs, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id"))
+        val nearDrop = Dedup.simhash64NearDup(docs, "doc_id", "text", 3)
+          .select(col("id_b").as("doc_id")).distinct()
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.filter(col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8)
+          .join(keepers, Seq("doc_id"), "left_semi")
+          .join(nearDrop, Seq("doc_id"), "left_anti")
+          .withColumn("tok", TextAnalysis.wsTokens(col("text")))
+          .withColumn("cum_tok", sum(col("tok")).over(w))
+          .filter(col("cum_tok") <= 3000)
+          .select(col("doc_id"), col("source"), col("tok"), col("cum_tok"))
+      },
       Some {
-        val hx = "ascii(substr(md5(tok), i % 32 + 1, 1))"
-        val bandCols = (0 until 4).map(b =>
-          s"    CAST(SUM(CASE WHEN votes > 0 AND bit // 16 = $b THEN (1 << (bit % 16)) ELSE 0 END) AS INT) AS b$b")
-          .mkString(",\n")
-        val bandJoins = (0 until 4).map(k =>
-          s"    SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.b$k = b.b$k AND a.doc_id < b.doc_id")
-          .mkString("\n    UNION ALL\n")
-        val hamming = (0 until 4).map(k => s"bit_count(xor(sa.b$k, sb.b$k))").mkString(" + ")
-        s"""WITH toks AS (
-           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-           |votes AS (
-           |  SELECT doc_id, i AS bit,
-           |    SUM(((($hx - CASE WHEN $hx >= 97 THEN 87 ELSE 48 END) >> (i // 32)) & 1) * 2 - 1) AS votes
-           |  FROM toks, range(64) t(i) WHERE tok <> '' GROUP BY 1, 2),
-           |sig AS (
-           |  SELECT doc_id,
-           |$bandCols
-           |  FROM votes GROUP BY doc_id),
-           |pairs AS (
-           |  SELECT DISTINCT id_a, id_b FROM (
-           |$bandJoins)),
-           |ham AS (
-           |  SELECT id_a, id_b, CAST($hamming AS BIGINT) AS hamming
-           |  FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
-           |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+        import graft.ops.TextAnalysis
+        s"""WITH $simhash64CtesSql,
+           |keepers AS (
+           |  SELECT MIN(doc_id) AS doc_id FROM documents
+           |  GROUP BY md5(${Normalize.normTextSql("text")})),
+           |near_drop AS (SELECT DISTINCT id_b AS doc_id FROM ham WHERE hamming <= 3),
+           |eligible AS (
+           |  SELECT doc_id, source, ${TextAnalysis.wsTokensSql("text")} AS tok
+           |  FROM documents
+           |  WHERE lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8
+           |    AND doc_id IN (SELECT doc_id FROM keepers)
+           |    AND doc_id NOT IN (SELECT doc_id FROM near_drop))
+           |SELECT doc_id, source, tok,
+           |  CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           |FROM eligible
+           |QUALIFY cum_tok <= 3000""".stripMargin
       }),
 
     // D4: n-gram Jaccard near-dup, blocked by source (all within-block pairs,
