@@ -92,23 +92,35 @@ object Dedup {
     * of the LSH pipeline). `shRaw` may contain duplicates — it's semi-filtered
     * to the candidate docs FIRST, then deduped and sized (tiny), so the full
     * corpus never pays a distinct shuffle. */
+  /** Above this many candidate pairs the forced broadcast hints come off: a
+    * hot LSH bucket makes candidates quadratic in bucket size, and a mandatory
+    * hint overrides every size threshold — at warehouse scale a skewed corpus
+    * would OOM the driver where a shuffle join just works. */
+  val MaxBroadcastPairs = 2000000L
+
   def jaccardFor(pairs: DataFrame, shRaw: DataFrame, idCol: String): DataFrame = {
-    // candIds/pairs are structurally tiny (bounded by LSH bucket collisions),
-    // the shingle sets are the big side — say so with explicit broadcast()
-    // instead of waiting for an AQE runtime re-plan: the semi-filter then
-    // never shuffles the raw shingles.
-    val candIds = pairs.select(col("id_a").as("cid"))
-      .unionByName(pairs.select(col("id_b").as("cid"))).distinct()
-    val shCand = shRaw.join(broadcast(candIds), shRaw(idCol) === candIds("cid"), "left_semi")
+    // candIds/pairs are NORMALLY tiny (bounded by LSH bucket occupancy), and
+    // saying so with an explicit broadcast() beats waiting for an AQE runtime
+    // re-plan: the semi-filter then never shuffles the raw shingles. But the
+    // bound is statistical, not structural — so checkpoint the candidate set
+    // (it is reused four times below anyway), measure it, and only force the
+    // hint under MaxBroadcastPairs; beyond that fall back to AQE-planned
+    // shuffle joins.
+    val pairsCk = pairs.localCheckpoint(true)
+    val small = pairsCk.count() <= MaxBroadcastPairs
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val candIds = pairsCk.select(col("id_a").as("cid"))
+      .unionByName(pairsCk.select(col("id_b").as("cid"))).distinct()
+    val shCand = shRaw.join(maybeB(candIds), shRaw(idCol) === candIds("cid"), "left_semi")
       .distinct()
     val sizes = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val shA = shCand.toDF("sa_id", "sa_shingle")
     val shB = shCand.toDF("sb_id", "sb_shingle")
-    val inter = broadcast(pairs.select(col("id_a"), col("id_b")))
+    val inter = maybeB(pairsCk.select(col("id_a"), col("id_b")))
       .join(shA, col("id_a") === col("sa_id"))
       .join(shB, col("id_b") === col("sb_id") && col("sa_shingle") === col("sb_shingle"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-    pairs
+    pairsCk
       .join(inter, Seq("id_a", "id_b"), "left")
       .join(sizes.toDF("ja", "n_a"), col("id_a") === col("ja"))
       .join(sizes.toDF("jb", "n_b"), col("id_b") === col("jb"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
 /** Optimizer rule: rewrite a keyless point-in-interval join into an
   * equi-join against bucket-exploded intervals (SURVEY.md §2.3 J4 at scale).
@@ -110,8 +110,15 @@ object IntervalBucketJoin extends Rule[LogicalPlan] with PredicateHelper {
     val bkt = AttributeReference("__iv_bkt", LongType, nullable = false)()
     // Sequence is TimeZoneAwareExpression: without an explicit zone it stays
     // unresolved and the optimizer rejects the rewritten plan.
-    val seq = Sequence(floorDiv(s, width), floorDiv(e, width), Some(Literal(1L)),
-      Some(conf.sessionLocalTimeZone))
+    val lo = floorDiv(s, width)
+    val hi = floorDiv(e, width)
+    val rawSeq = Sequence(lo, hi, Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
+    // Sequence(lo, hi, 1) throws when hi < lo, but the naive range join this
+    // rule replaces simply matches nothing for an inverted interval (e < s).
+    // Explode such rows into zero buckets instead so enabling the rule never
+    // turns a malformed row into a whole-query failure.
+    val seq = If(LessThanOrEqual(lo, hi), rawSeq,
+      Literal.create(Array.empty[Long], ArrayType(LongType, containsNull = false)))
     val intervalSide = if (pointOnLeft) j.right else j.left
     val exploded = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(bkt), child = intervalSide)

@@ -119,10 +119,13 @@ object Joins {
     // predicate, no blocking key) — the `plans.IntervalBucketJoin` optimizer
     // rule rewrites it to a bucket equi-join (width 32 days >= the 31-day
     // interval, so each interval explodes into <= 2 buckets). What j4 does
-    // by hand, the rule does to any user's naive range join.
+    // by hand, the rule does to any user's naive range join. The width conf
+    // is set on a scoped child session so the rule stays disarmed for every
+    // other query planned on the shared session (a later keyless range join
+    // on epoch-micros with a day-unit width would bucket-explode).
     Q("j4b_interval_rule",
-      (s, d) => {
-        s.conf.set(graft.plans.IntervalBucketJoin.WidthKey, "32")
+      (outer, d) => {
+        val s = Q.scopedSession(outer, graft.plans.IntervalBucketJoin.WidthKey -> "32")
         val o = Tables.orders(s, d).select(
             datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("start_day"))
           .withColumn("end_day", col("start_day") + 30)

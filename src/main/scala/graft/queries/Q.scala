@@ -59,4 +59,18 @@ object Q {
   def tsFmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   def tsFmtSql(expr: String): String = s"strftime(($expr), '%Y-%m-%d %H:%M:%S')"
+
+  /** Child session sharing the SparkContext (and injected extensions) but
+    * with its OWN SQLConf: modifiable runtime confs are copied from the
+    * parent, then the given overrides applied. Conf-driven optimizer rules
+    * read the conf at optimization time — which happens later, at execution
+    * in Verify/Bench — so a query that armed a rule on the SHARED session
+    * would leave it armed for every subsequently planned query. Building the
+    * plan on a scoped child session keeps the setting query-local. */
+  def scopedSession(s: SparkSession, overrides: (String, String)*): SparkSession = {
+    val child = s.newSession()
+    for ((k, v) <- s.conf.getAll if child.conf.isModifiable(k)) child.conf.set(k, v)
+    for ((k, v) <- overrides) child.conf.set(k, v)
+    child
+  }
 }

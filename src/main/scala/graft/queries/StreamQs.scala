@@ -32,7 +32,19 @@ object StreamQs {
       s"graft_stream_${Integer.toHexString(path.hashCode)}")
     Files.createDirectories(dir)
     val link = dir.resolve(src.getFileName)
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    // A pre-existing link may be stale (regenerated testdata at a different
+    // target, or a path.hashCode collision between two dataset dirs) — verify
+    // it points at THIS source and recreate it if not, rather than silently
+    // streaming the wrong or missing file.
+    if (Files.isSymbolicLink(link)) {
+      if (Files.readSymbolicLink(link) != src) {
+        Files.delete(link)
+        Files.createSymbolicLink(link, src)
+      }
+    } else {
+      Files.deleteIfExists(link)
+      Files.createSymbolicLink(link, src)
+    }
     dir.toString
   }
 

@@ -107,6 +107,39 @@ class IntervalBucketJoinSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("inverted intervals (end < start) match nothing instead of throwing") {
+    import spark.implicits._
+    val pdf = Seq((1L, 10L), (2L, 700L)).toDF("pid", "p")
+    val idf = Seq((3L, 5L, 15L), (4L, 900L, 100L), (5L, 650L, 800L))
+      .toDF("iid", "s", "e") // iid=4 is malformed: e < s
+    val cond = col("p") >= col("s") && col("p") <= col("e")
+    val inner = pdf.join(idf, cond).select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inner == Set((1L, 3L), (2L, 5L)))
+    // and the malformed interval stays invisible to outer/anti exactly as in
+    // the naive join
+    val anti = pdf.join(idf, cond, "left_anti").count()
+    assert(anti == 0)
+  }
+
+  test("scopedSession arms the rule for one query without leaking to parent") {
+    val parent = freshSession(width = 0L)
+    def naiveJoin(s: SparkSession) = {
+      import s.implicits._
+      val pdf = (1 to 50).map(i => (i.toLong, i.toLong * 7 % 500)).toDF("pid", "p")
+      val idf = (1 to 50).map(i => (i.toLong, i.toLong * 13 % 500, i.toLong * 13 % 500 + 20))
+        .toDF("iid", "s", "e")
+      pdf.join(idf, col("p") >= col("s") && col("p") <= col("e"))
+    }
+    val child = graft.queries.Q.scopedSession(parent, IntervalBucketJoin.WidthKey -> "100")
+    val childPlan = naiveJoin(child).queryExecution.optimizedPlan.toString
+    assert(childPlan.contains("__iv_bkt"), s"child session should apply the rule:\n$childPlan")
+    assert(naiveJoin(child).count() == naiveJoin(parent).count())
+    val parentPlan = naiveJoin(parent).queryExecution.optimizedPlan.toString
+    assert(!parentPlan.contains("__iv_bkt"), "parent session must stay disarmed")
+    assert(parent.conf.get(IntervalBucketJoin.WidthKey, "0") == "0")
+  }
+
   test("joins with an equi key are left untouched") {
     import spark.implicits._
     val pdf = Seq((1L, 10L, "k1"), (2L, 700L, "k2")).toDF("pid", "p", "pk")

@@ -126,6 +126,17 @@ class OpsSpec extends AnyFunSuite {
     assert(mismatches == 0)
     val nulls = df.limit(1).select(expr("float_dot(a, NULL)")).collect()
     assert(nulls.head.isNullAt(0))
+    // SQL-fold null semantics: zip_with pads a length mismatch with nulls and
+    // the + fold swallows the sum to NULL; a null element does the same.
+    val edge = spark.sql(
+      """SELECT float_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                 CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>)) AS mismatch,
+        |       float_dot(CAST(array(1.0, NULL) AS ARRAY<FLOAT>),
+        |                 CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)) AS nullElem,
+        |       float_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                 CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS ok
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getDouble(2) == 11.0)
   }
 
   test("Aggregators.topK is partitioning-independent and breaks ties by id") {
