@@ -105,8 +105,11 @@ object Dedup {
     // bound is statistical, not structural — so checkpoint the candidate set
     // (it is reused four times below anyway), measure it, and only force the
     // hint under MaxBroadcastPairs; beyond that fall back to AQE-planned
-    // shuffle joins.
-    val pairsCk = pairs.localCheckpoint(true)
+    // shuffle joins. Callers that already checkpointed (d2 does) are not
+    // re-materialized: a LogicalRDD input is used as-is.
+    val pairsCk =
+      if (pairs.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD") pairs
+      else pairs.localCheckpoint(true)
     val small = pairsCk.count() <= MaxBroadcastPairs
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val candIds = pairsCk.select(col("id_a").as("cid"))
