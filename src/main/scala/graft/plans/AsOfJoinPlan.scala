@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.LongType
   * For each left row, attach the single right row with the same key and the
   * LATEST right time at-or-before the left time (ties on equal right times
   * broken by the smallest tiebreak value); left rows with no prior right row
-  * are dropped (inner semantics — `TimeJoins.asOf(direction="backward")`).
+  * are dropped (inner semantics — `TimeJoins.asOf(direction="backward")`) or,
+  * with `outer = true`, kept with null-extended right columns (left-outer).
   *
   * Why a physical operator: the compositional form (equi-join on key +
   * range filter + row_number window) shuffles the JOINED rows a second time
@@ -33,9 +34,12 @@ import org.apache.spark.sql.types.LongType
 final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute, rightTiebreak: Attribute,
-    forward: Boolean)
+    forward: Boolean, outer: Boolean)
     extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // left-outer semantics: every left row survives, so right columns turn
+  // nullable in the joined schema
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
       newRight: LogicalPlan): AsOfJoin = copy(left = newLeft, right = newRight)
 }
@@ -43,10 +47,11 @@ final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
     rightKey: Attribute, rightTime: Attribute, rightTiebreak: Attribute,
-    forward: Boolean)
+    forward: Boolean, outer: Boolean)
     extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
 
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
@@ -71,12 +76,18 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lKeyExprs = Seq[Expression](leftKey, leftTime)
     val rKeyExprs = Seq[Expression](rightKey, rightTime)
     val fwd = forward
+    val keepUnmatched = outer
+    val nRightCols = rOut.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyGen = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyGen = UnsafeProjection.create(rKeyExprs, rOut)
       val resultProj = UnsafeProjection.create(out, out)
       val rBuf = rIter.buffered
       val joined = new JoinedRow
+      // all-null right image for outer no-match emission (values are copied
+      // out by resultProj, so one shared instance per partition is safe)
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nRightCols)
       // backward: one buffered best-match per key, reset implicitly on key move
       var bestRow: InternalRow = null
       var bestKey = 0L
@@ -105,17 +116,16 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             }
           } else advancing = false
         }
-        if (fwd) {
-          // forward: the match is the right HEAD (earliest time > t, smallest
-          // tiebreak) — peeked, not consumed: it may match later left rows too
-          if (rBuf.hasNext) {
-            val rk = rKeyGen(rBuf.head)
-            if (rk.getLong(0) == k) Iterator.single(resultProj(joined(lRow, rBuf.head)))
-            else Iterator.empty
-          } else Iterator.empty
-        } else if (haveBest && bestKey == k) {
-          Iterator.single(resultProj(joined(lRow, bestRow)))
-        } else Iterator.empty
+        val matched: InternalRow =
+          if (fwd) {
+            // forward: the match is the right HEAD (earliest time > t, smallest
+            // tiebreak) — peeked, not consumed: it may match later left rows too
+            if (rBuf.hasNext && rKeyGen(rBuf.head).getLong(0) == k) rBuf.head else null
+          } else if (haveBest && bestKey == k) bestRow
+          else null
+        if (matched != null) Iterator.single(resultProj(joined(lRow, matched)))
+        else if (keepUnmatched) Iterator.single(resultProj(joined(lRow, nullRight)))
+        else Iterator.empty
       }
     }
   }
@@ -129,8 +139,8 @@ object AsOfJoinPlan {
   /** Planner strategy mapping the logical node to the exec. */
   object AsOfJoinStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoin(l, r, lk, lt, rk, rt, tie, fwd) =>
-        AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie, fwd) :: Nil
+      case AsOfJoin(l, r, lk, lt, rk, rt, tie, fwd, outer) =>
+        AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie, fwd, outer) :: Nil
       case _ => Nil
     }
   }
@@ -140,22 +150,24 @@ object AsOfJoinPlan {
     * to LongType and null-filtered. Output: left columns ++ right columns. */
   def asOfBackward(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String, rightTiebreak: String): DataFrame =
+      rightKey: String, rightTime: String, rightTiebreak: String,
+      outer: Boolean = false): DataFrame =
     asOf(leftDf, rightDf, leftKey, leftTime, rightKey, rightTime, rightTiebreak,
-      forward = false)
+      forward = false, outer = outer)
 
   /** Forward variant: the earliest right row strictly AFTER the left time
     * (reference: first membership after pass, `pipeline_handler.py:528-556`). */
   def asOfForward(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String, rightTiebreak: String): DataFrame =
+      rightKey: String, rightTime: String, rightTiebreak: String,
+      outer: Boolean = false): DataFrame =
     asOf(leftDf, rightDf, leftKey, leftTime, rightKey, rightTime, rightTiebreak,
-      forward = true)
+      forward = true, outer = outer)
 
   private def asOf(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String, rightTiebreak: String,
-      forward: Boolean): DataFrame = {
+      forward: Boolean, outer: Boolean): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
     def prep(df: DataFrame, cols: Seq[String]): DataFrame =
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(LongType)))
@@ -170,6 +182,6 @@ object AsOfJoinPlan {
     GraftBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftKey), attr(lPlan, leftTime),
       attr(rPlan, rightKey), attr(rPlan, rightTime), attr(rPlan, rightTiebreak),
-      forward))
+      forward, outer))
   }
 }

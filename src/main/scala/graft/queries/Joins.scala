@@ -227,6 +227,36 @@ object Joins {
              |  QUALIFY row_number() OVER (PARTITION BY s.event_id
              |    ORDER BY epoch_us(p.ts), p.event_id) = 1)""".stripMargin)),
 
+    // J5d: left-OUTER backward as-of through the native operator — purchases
+    // with no prior click survive with null click columns (the reference's
+    // unmatched-transfer rows, `pass_transfer` 99.6% matched / 0.4% kept
+    // unmatched). Same merge, zero extra shuffles: unmatched lefts are
+    // emitted null-extended straight from the per-partition stream.
+    Q("j5d_asof_outer",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+            Q.usecs(col("ts")).as("p_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+            Q.usecs(col("ts")).as("c_us"))
+        graft.plans.AsOfJoinPlan.asOfBackward(purchases, clicks,
+            "p_user", "p_us", "c_user", "c_us", "c_id", outer = true)
+          .select(col("p_id").as("purchase_id"), col("c_id").as("prior_click_id"),
+            ((col("p_us") - col("c_us")) / 1000000L).cast("long").as("gap_secs"))
+      },
+      Some("""SELECT p_id AS purchase_id, c_id AS prior_click_id,
+             |CAST((p_us - c_us) // 1000000 AS BIGINT) AS gap_secs
+             |FROM (
+             |  SELECT p.event_id AS p_id, c.event_id AS c_id,
+             |         epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us
+             |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |    ON p.user_id = c.user_id AND epoch_us(c.ts) <= epoch_us(p.ts)
+             |  QUALIFY row_number() OVER (PARTITION BY p.event_id
+             |    ORDER BY epoch_us(c.ts) DESC, c.event_id) = 1)""".stripMargin)),
+
     // J6: time-proximity self-join — pairs of same-type events within 120s,
     // bucketed on tolerance-sized time blocks (see TimeJoins.proximityPairs).
     // Reference: 5-min family co-checkin `build_family_relationships.py:396-429`.

@@ -44,6 +44,28 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("outer variant keeps unmatched left rows exactly once, null-extended") {
+    val (l, r) = data()
+    val inner = AsOfJoinPlan.asOfBackward(l, r, "p_user", "p_us", "c_user", "c_us", "c_id")
+      .select("p_id", "c_id").collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val outer = AsOfJoinPlan.asOfBackward(l, r, "p_user", "p_us", "c_user", "c_us", "c_id",
+        outer = true)
+      .select("p_id", "c_id").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1))))
+    // every left row appears exactly once
+    assert(outer.length == l.count())
+    assert(outer.map(_._1).distinct.length == outer.length)
+    // matched rows agree with inner; unmatched are null-extended
+    outer.foreach { case (pid, c) =>
+      assert(c == inner.get(pid), s"p_id $pid")
+    }
+    assert(outer.exists(_._2.isEmpty), "test data should contain unmatched left rows")
+    // forward-outer: same row-multiplicity law
+    val fOuter = AsOfJoinPlan.asOfForward(l, r, "p_user", "p_us", "c_user", "c_us", "c_id",
+        outer = true).select("p_id", "c_id").collect()
+    assert(fOuter.length == l.count())
+  }
+
   test("result is independent of input partitioning") {
     val (l, r) = data()
     val a = AsOfJoinPlan.asOfBackward(l.repartition(13), r.repartition(3),
