@@ -67,4 +67,29 @@ object Windows {
       as: String = "rank"): DataFrame =
     topK(df, k, rank, tiebreak)
       .withColumn(as, row_number().over(Window.orderBy(rank.desc, tiebreak)))
+
+  /** W8: gap-based sessionization — consecutive rows per key share a session
+    * while the step on `axis` is <= maxGap; `as` is the 1-based session
+    * ordinal per key in (axis, tiebreak) order.
+    *
+    * One shuffle on the key and one sort serve both window passes (the lag
+    * and the running sum share the partitioning+ordering, so Catalyst plans
+    * a single exchange+sort); per-row state is just the lag row — the shape
+    * that survives 100 TB, unlike the reference's per-customer dict loops.
+    * The running sum uses an explicit ROWS frame: the default RANGE frame
+    * would give tied axis values identical partial sums even under the total
+    * (axis, tiebreak) order. Streaming equivalent: `session_window` —
+    * boundary nuance: this op keeps `step == maxGap` in-session, while
+    * session_window's half-open [start, last+gap) makes it a new session;
+    * pass `maxGap = gap - 1` to reproduce session_window exactly. */
+  def sessionize(df: DataFrame, key: Column, axis: Column, tiebreak: Column,
+      maxGap: Long, as: String = "session_no"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(axis, tiebreak)
+    df.withColumn("__new_sess",
+        when(axis - lag(axis, 1).over(w) > maxGap, 1).otherwise(0))
+      .withColumn(as,
+        sum(col("__new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1)
+      .drop("__new_sess")
+  }
 }

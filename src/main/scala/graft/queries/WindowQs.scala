@@ -137,6 +137,32 @@ object WindowQs {
              |CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-28' THEN 1 ELSE 0 END) AS BIGINT) AS n_3d,
              |CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-21' THEN 1 ELSE 0 END) AS BIGINT) AS n_10d,
              |CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_30d
-             |FROM events GROUP BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // W8: gap-based sessionization (30-min gap on the micros axis) rolled up
+    // to per-session stats — the batch form of `session_window` and the
+    // canonical user-journey shape the reference computes with per-customer
+    // dict loops (`build_day_pass_engagement_table.py:105-121`).
+    Q("w8_sessionize",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          Q.usecs(col("ts")).as("us"))
+        Windows.sessionize(ev, col("user_id"), col("us"), col("event_id"),
+            30L * 60L * 1000000L)
+          .groupBy(col("user_id"), col("session_no"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |g AS (SELECT user_id, event_id, us,
+             |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             |            > 1800000000 THEN 1 ELSE 0 END AS nf FROM e),
+             |sn AS (SELECT user_id, us,
+             |  CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT)
+             |    AS session_no FROM g)
+             |SELECT user_id, session_no, COUNT(*) AS n_events,
+             |  MIN(us) AS start_us, MAX(us) AS end_us
+             |FROM sn GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -44,6 +44,18 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Gap-based session windows per user: `session_window` keeps a window
+    * open while events keep arriving within `gap` of the last one, merging
+    * across micro-batches — the streaming form of `ops.Windows.sessionize`
+    * (boundary nuance documented there: the window is half-open
+    * [start, last+gap), so a step of exactly `gap` starts a new session). */
+  def userSessions(stream: DataFrame, gap: String, lateness: String): DataFrame =
+    stream.withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
   final case class UserTotals(userId: Long, n: Long, purchases: Long)
 
   /** Custom keyed state via mapGroupsWithState: running per-user totals —

@@ -95,6 +95,38 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == all.count())
   }
 
+  test("session_window sessions reconcile with batch Windows.sessionize") {
+    // session windows only support append mode; with zero lateness the
+    // watermark reaches max(ts) and the post-batch no-data run flushes every
+    // session that closed before it
+    val q = Streams.userSessions(Streams.eventStream(spark, dir), "30 minutes", "0 seconds")
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions")
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch equivalent: session_window is half-open [start, last+gap), so a
+    // step of exactly gap starts a new session — maxGap = gap-1 reproduces it
+    val gapUs = 30L * 60L * 1000000L
+    val sessions = graft.ops.Windows.sessionize(
+        batchEvents.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us")),
+        col("user_id"), col("us"), col("event_id"), gapUs - 1L)
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("last_us"),
+        count(lit(1)).as("n_events"))
+    val maxUs = batchEvents.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(3))
+    val want = sessions.select("user_id", "start_us", "last_us", "n_events")
+      .collect()
+    val wantAll = want.map(key).toSet
+    // sessions whose [last+gap) end is strictly before the final watermark
+    // MUST have been emitted; nothing outside batch truth may ever appear
+    val mustEmit = want.filter(r => r.getLong(2) + gapUs < maxUs).map(key).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(wantAll), "every emitted session must match batch truth")
+    assert(mustEmit.subsetOf(got), "every watermark-closed session must be emitted")
+  }
+
   test("runningUserTotals accumulates keyed state across a batch") {
     val q = Streams.runningUserTotals(spark, Streams.eventStream(spark, dir))
       .writeStream.outputMode(OutputMode.Update).format("memory").queryName("totals").start()
