@@ -327,6 +327,27 @@ object Aggregates {
           Categorize.bucketLadder(col("n_days").cast("double"), strengthBounds, "5")),
       Some(s"""SELECT user_id, event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
               |${Categorize.bucketLadderSql("CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE)", strengthBounds, "5")} AS strength
-              |FROM events GROUP BY 1, 2""".stripMargin))
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // A17: exact discrete percentiles per segment. percentile_disc picks the
+    // first DATA value whose cume_dist reaches the fraction (SQL standard,
+    // identical in Spark and DuckDB) — no interpolation arithmetic, so the
+    // doubles hash-match exactly. Distributed shape: hash-partition by group,
+    // sort within group — never a global sort.
+    Q("a17_percentiles",
+      (s, d) => Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal)").as("p25_bal"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").as("p50_bal"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal)").as("p90_bal"),
+          min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal")),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |  percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal) AS p25_bal,
+             |  percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS p50_bal,
+             |  percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS p90_bal,
+             |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+             |FROM customer GROUP BY 1""".stripMargin))
   )
 }

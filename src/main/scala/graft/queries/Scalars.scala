@@ -187,6 +187,35 @@ object Scalars {
               |CAST(TRUNC(c_acctbal) AS BIGINT) AS bal_int,
               |format('{:09d}', c_custkey) AS key_padded,
               |round(${Normalize.levRatioSql("c_name", "'Customer#000000000'")}, 6) AS sim_to_zero
-              |FROM customer""".stripMargin))
+              |FROM customer""".stripMargin)),
+
+    // M11: end-to-end DECIMAL money columns — SURVEY §1.2's flagged upgrade
+    // path from the reference's float dollars. Ingest casts to DECIMAL(12,2)
+    // and all arithmetic stays exact decimal; the widening casts preserve
+    // scale (2→2, 4→4) so no rounding rule is ever exercised and both
+    // engines agree digit-for-digit. The final values are serialized to
+    // their plain decimal strings: that pins the exact representation
+    // across engines (pandas reads parquet decimals as objects while
+    // DuckDB's client hands back doubles — a comparator gap, not a value
+    // difference).
+    Q("m11_decimal_money",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast(DecimalType(12, 2)).as("price_d"),
+          col("l_discount").cast(DecimalType(12, 2)).as("disc_d"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("price_d")).cast(DecimalType(18, 2)).cast("string").as("gross_dec"),
+          sum(col("price_d") * (lit(1).cast(DecimalType(12, 2)) - col("disc_d")))
+            .cast(DecimalType(18, 4)).cast("string").as("net_dec"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             |       AS VARCHAR) AS gross_dec,
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             |            * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+             |       AS DECIMAL(18,4)) AS VARCHAR) AS net_dec,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY 1""".stripMargin))
   )
 }
