@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language-ID heuristic, quality
@@ -79,4 +80,46 @@ object TextAnalysis {
   def fingerprint(c: Column): Column = md5(Normalize.normText(c))
 
   def fingerprintSql(e: String): String = s"md5(${Normalize.normTextSql(e)})"
+
+  /** Sequence packing, GPT-pretraining style: each source's documents are
+    * concatenated in `idCol` order and the token stream is chunked into
+    * fixed `budget`-token context windows. Adds `chunk_id` (which window the
+    * doc STARTS in) and `chunk_offset` (token position there); a doc
+    * straddles a boundary iff `chunk_offset + tokens > budget`.
+    *
+    * Pure window math — one shuffle on the source key, one sort, a ROWS-frame
+    * running sum — so packing 100 TB of text is exactly as parallel as the
+    * source partitioning (the reference's analogue would be a driver loop).
+    * Integral `div`/`%` keep it exact beyond double's 2^53. */
+  def packAssign(df: DataFrame, srcCol: String, idCol: String, tokens: Column,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__cum_before", coalesce(sum(tokens).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"__cum_before div $budget"))
+      .withColumn("chunk_offset", col("__cum_before") % budget)
+      .drop("__cum_before")
+  }
+
+  /** Benchmark decontamination: per training doc, how many of its distinct
+    * word `k`-gram shingles also occur anywhere in the benchmark set.
+    * Returns (idCol, n_shingles, n_contam, contam_ratio) — flag/filter is
+    * the caller's policy.
+    *
+    * The benchmark side collapses to DISTINCT shingles before the join (its
+    * per-doc identity is irrelevant), so the contamination probe is one
+    * hash equi-join on the shingle — bounded by true overlap, never a
+    * cross-product; both shingle explosions are map-side. */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val benchSh = Dedup.shingles(bench, idCol, textCol, k).select(col("shingle")).distinct()
+    val trainSh = Dedup.shingles(train, idCol, textCol, k)
+    val nSh = trainSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.join(benchSh, "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contam"))
+    nSh.join(hits, Seq(idCol), "left")
+      .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
+      .withColumn("contam_ratio",
+        round(col("n_contam").cast("double") / col("n_shingles"), 6))
+  }
 }

@@ -68,6 +68,60 @@ object TextQs {
           substring(TextAnalysis.fingerprint(col("text")), 1, 2).as("shard")),
       Some(s"""SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fingerprint,
               |substr(${TextAnalysis.fingerprintSql("text")}, 1, 2) AS shard
-              |FROM documents""".stripMargin))
+              |FROM documents""".stripMargin)),
+
+    // T5: GPT-style sequence packing — concat each source's docs in id order,
+    // chunk the token stream into 2048-token context windows; per doc: which
+    // chunk it starts in, at what offset, and whether it straddles a window
+    // boundary. All window math, no driver loop.
+    Q("t5_sequence_packing",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextAnalysis.wsTokens(col("text")).as("n_tokens"))
+        TextAnalysis.packAssign(docs, "source", "doc_id", col("n_tokens"), 2048L)
+          .withColumn("straddles", col("chunk_offset") + col("n_tokens") > 2048L)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |  ${TextAnalysis.wsTokensSql("text")} AS n_tokens FROM documents),
+              |c AS (SELECT doc_id, source, n_tokens,
+              |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              |  FROM t)
+              |SELECT doc_id, source, n_tokens,
+              |  CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
+              |  CAST(cum_before % 2048 AS BIGINT) AS chunk_offset,
+              |  cum_before % 2048 + n_tokens > 2048 AS straddles
+              |FROM c""".stripMargin)),
+
+    // T6: benchmark decontamination — per training doc, the share of its
+    // distinct 5-gram shingles that appear anywhere in the held-out
+    // benchmark slice (here: doc_id % 97 == 0). One shingle equi-join,
+    // bounded by true overlap.
+    Q("t6_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.contamination(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 5)
+          .withColumn("flagged", col("n_contam") > 0)
+      },
+      Some("""WITH bsh AS (
+             |  SELECT DISTINCT unnest(list_transform(
+             |    range(greatest(len(string_split(text, ' ')) - 4, 0)),
+             |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' '))) AS shingle
+             |  FROM documents WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 5),
+             |tsh AS (
+             |  SELECT DISTINCT doc_id, unnest(list_transform(
+             |    range(greatest(len(string_split(text, ' ')) - 4, 0)),
+             |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' '))) AS shingle
+             |  FROM documents WHERE doc_id % 97 <> 0 AND len(string_split(text, ' ')) >= 5),
+             |ns AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tsh GROUP BY 1),
+             |hits AS (SELECT doc_id, COUNT(*) AS n_contam
+             |         FROM tsh JOIN bsh USING (shingle) GROUP BY 1)
+             |SELECT ns.doc_id, n_shingles,
+             |  COALESCE(n_contam, 0) AS n_contam,
+             |  round(CAST(COALESCE(n_contam, 0) AS DOUBLE) / n_shingles, 6) AS contam_ratio,
+             |  COALESCE(n_contam, 0) > 0 AS flagged
+             |FROM ns LEFT JOIN hits USING (doc_id)""".stripMargin))
   )
 }

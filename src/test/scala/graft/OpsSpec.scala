@@ -192,4 +192,26 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(1)._1 == "de" && rows(1)._2 == 5)
     assert(rows(2)._1 == "und")
   }
+
+  test("TextAnalysis.packAssign chunks each source's token stream sequentially") {
+    val df = Seq((1L, "s", 1000L), (2L, "s", 1500L), (3L, "s", 600L),
+      (10L, "t", 2048L), (11L, "t", 1L)).toDF("doc_id", "source", "n_tokens")
+    val got = TextAnalysis.packAssign(df, "source", "doc_id", col("n_tokens"), 2048L)
+      .select("doc_id", "chunk_id", "chunk_offset").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((0L, 0L)))      // starts the stream
+    assert(got(2L) == ((0L, 1000L)))   // starts in chunk 0, straddles into 1
+    assert(got(3L) == ((1L, 452L)))    // 2500 tokens before it
+    assert(got(10L) == ((0L, 0L)))     // sources pack independently
+    assert(got(11L) == ((1L, 0L)))     // exactly-full chunk rolls over
+  }
+
+  test("TextAnalysis.contamination counts shared distinct shingles per doc") {
+    val train = Seq((1L, "a b c d e f"), (2L, "x y z w q")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(train, bench, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5))) // "a b c d e" shared, "b c d e f" not
+    assert(got(2L) == ((1L, 0L, 0.0)))
+  }
 }
