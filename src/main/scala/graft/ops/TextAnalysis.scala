@@ -107,18 +107,17 @@ object TextAnalysis {
     * the caller's policy.
     *
     * The benchmark side collapses to DISTINCT shingles before the join (its
-    * per-doc identity is irrelevant), so the contamination probe is one
-    * hash equi-join on the shingle — bounded by true overlap, never a
-    * cross-product; both shingle explosions are map-side. */
+    * per-doc identity is irrelevant — and a benchmark is tiny next to the
+    * corpus, so it broadcasts). The train side explodes ONCE: a left join
+    * marks each train shingle hit-or-not, and a single aggregation counts
+    * totals and hits together — never a second pass over the corpus. */
   def contamination(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     val benchSh = Dedup.shingles(bench, idCol, textCol, k).select(col("shingle")).distinct()
-    val trainSh = Dedup.shingles(train, idCol, textCol, k)
-    val nSh = trainSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    val hits = trainSh.join(benchSh, "shingle")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contam"))
-    nSh.join(hits, Seq(idCol), "left")
-      .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
+    Dedup.shingles(train, idCol, textCol, k)
+      .join(broadcast(benchSh.withColumn("__hit", lit(1))), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_contam"))
       .withColumn("contam_ratio",
         round(col("n_contam").cast("double") / col("n_shingles"), 6))
   }
