@@ -348,6 +348,20 @@ object Aggregates {
              |  percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS p50_bal,
              |  percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS p90_bal,
              |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
-             |FROM customer GROUP BY 1""".stripMargin))
+             |FROM customer GROUP BY 1""".stripMargin)),
+
+    // A17b: the unbounded-scale twin of A17 — approx_percentile's mergeable
+    // sketch keeps executor memory constant per group where exact
+    // percentile_disc buffers every value. Sketch internals are
+    // engine-specific, so (like a4b's HLL) this is rows-only gated; the
+    // accuracy contract is asserted against A17's exact values in
+    // QueriesSpec instead.
+    Q("a17b_approx_percentiles",
+      (s, d) => Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("c_acctbal"), lit(0.5), lit(10000)).as("p50_approx"),
+          percentile_approx(col("c_acctbal"), lit(0.9), lit(10000)).as("p90_approx")),
+      None)
   )
 }

@@ -18,7 +18,8 @@ class QueriesSpec extends AnyFunSuite {
   // non-portable decimal-division rounding) — the driver records a rows-only
   // check for these.
   private val noOracleByDesign =
-    Set("a4b_approx_distinct", "k2b_knn_ivf_centroid", "k2c_knn_ivf_kmeans")
+    Set("a4b_approx_distinct", "k2b_knn_ivf_centroid", "k2c_knn_ivf_kmeans",
+      "a17b_approx_percentiles")
 
   test("query names are unique and every query has oracle SQL or a reason") {
     val names = Registry.all.map(_.name)
@@ -36,6 +37,25 @@ class QueriesSpec extends AnyFunSuite {
     exact.foreach { case (m, n) =>
       assert(math.abs(approx(m) - n) <= math.max(2L, (n * 0.05).toLong),
         s"month $m: approx ${approx(m)} vs exact $n")
+    }
+  }
+
+  test("approx percentiles land within rank tolerance of the exact values") {
+    // accuracy 10000 → rank error <= n/10000; at this scale that means the
+    // approx answer must be one of the few values straddling the exact rank
+    val exact = Registry.all.find(_.name == "a17_percentiles").get.run(spark, sf)
+      .selectExpr("c_mktsegment", "p50_bal", "p90_bal")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val approx = Registry.all.find(_.name == "a17b_approx_percentiles").get.run(spark, sf)
+      .selectExpr("c_mktsegment", "p50_approx", "p90_approx")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (seg, (p50, p90)) =>
+      val (a50, a90) = approx(seg)
+      assert(math.abs(a50 - p50) <= math.abs(p50) * 0.02 + 50,
+        s"$seg p50: approx $a50 vs exact $p50")
+      assert(math.abs(a90 - p90) <= math.abs(p90) * 0.02 + 50,
+        s"$seg p90: approx $a90 vs exact $p90")
     }
   }
 
