@@ -101,6 +101,36 @@ object TextAnalysis {
       .drop("__cum_before")
   }
 
+  /** [[packAssign]] with a two-level distributed prefix sum — the form that
+    * survives a 100 TB corpus with FEW sources, where packAssign's
+    * per-source window serializes each source into one sorted partition.
+    *
+    * Shards are id ranges (`idCol div idWidth`), so ordering by (shard, id)
+    * IS ordering by id and the assignment is identical to packAssign's —
+    * same oracle, different plan. Level 1 runs the cumulative sum inside
+    * each (source, shard) — parallelism = #shards, not #sources. Level 2
+    * prefix-sums the per-shard token totals (one ROW per shard — thousands,
+    * not billions) and broadcasts the bases back. */
+  def packAssignSharded(df: DataFrame, srcCol: String, idCol: String, tokens: Column,
+      budget: Long, idWidth: Long): DataFrame = {
+    val withShard = df.withColumn("__shard", expr(s"$idCol div $idWidth"))
+      .withColumn("__tok", tokens)
+    val w1 = Window.partitionBy(col(srcCol), col("__shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inShard = withShard.withColumn("__cum_in", coalesce(sum(col("__tok")).over(w1), lit(0L)))
+    val w2 = Window.partitionBy(col(srcCol)).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = withShard.groupBy(col(srcCol), col("__shard"))
+      .agg(sum(col("__tok")).as("__shard_tot"))
+      .withColumn("__base", coalesce(sum(col("__shard_tot")).over(w2), lit(0L)))
+      .select(col(srcCol), col("__shard"), col("__base"))
+    inShard.join(broadcast(bases), Seq(srcCol, "__shard"))
+      .withColumn("__cum_before", col("__base") + col("__cum_in"))
+      .withColumn("chunk_id", expr(s"__cum_before div $budget"))
+      .withColumn("chunk_offset", col("__cum_before") % budget)
+      .drop("__shard", "__tok", "__cum_in", "__base", "__cum_before")
+  }
+
   /** Benchmark decontamination: per training doc, how many of its distinct
     * word `k`-gram shingles also occur anywhere in the benchmark set.
     * Returns (idCol, n_shingles, n_contam, contam_ratio) — flag/filter is

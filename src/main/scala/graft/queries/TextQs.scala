@@ -7,6 +7,21 @@ import org.apache.spark.sql.functions._
 /** Text-analysis queries over `documents` (BASELINE north star ops). */
 object TextQs {
 
+  // Shared by t5 and t5b: both packing plans must produce the same
+  // assignment, so they share one oracle verbatim.
+  private val packingOracle: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  ${TextAnalysis.wsTokensSql("text")} AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
+       |  CAST(cum_before % 2048 AS BIGINT) AS chunk_offset,
+       |  cum_before % 2048 + n_tokens > 2048 AS straddles
+       |FROM c""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // T1: n-gram/stopword language-ID heuristic vs the labeled lang column.
@@ -81,17 +96,21 @@ object TextQs {
         TextAnalysis.packAssign(docs, "source", "doc_id", col("n_tokens"), 2048L)
           .withColumn("straddles", col("chunk_offset") + col("n_tokens") > 2048L)
       },
-      Some(s"""WITH t AS (SELECT doc_id, source,
-              |  ${TextAnalysis.wsTokensSql("text")} AS n_tokens FROM documents),
-              |c AS (SELECT doc_id, source, n_tokens,
-              |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-              |  FROM t)
-              |SELECT doc_id, source, n_tokens,
-              |  CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
-              |  CAST(cum_before % 2048 AS BIGINT) AS chunk_offset,
-              |  cum_before % 2048 + n_tokens > 2048 AS straddles
-              |FROM c""".stripMargin)),
+      Some(packingOracle)),
+
+    // T5b: the SAME packing assignment through the two-level distributed
+    // prefix sum (`packAssignSharded`) — the plan that stays parallel when a
+    // source holds billions of docs. Shards are doc_id ranges, so the
+    // assignment is bit-identical: the query shares T5's oracle verbatim.
+    Q("t5b_packing_sharded",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextAnalysis.wsTokens(col("text")).as("n_tokens"))
+        TextAnalysis.packAssignSharded(docs, "source", "doc_id", col("n_tokens"),
+            2048L, idWidth = 16L)
+          .withColumn("straddles", col("chunk_offset") + col("n_tokens") > 2048L)
+      },
+      Some(packingOracle)),
 
     // T6: benchmark decontamination — per training doc, the share of its
     // distinct 5-gram shingles that appear anywhere in the held-out

@@ -206,6 +206,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(11L) == ((1L, 0L)))     // exactly-full chunk rolls over
   }
 
+  test("packAssignSharded equals packAssign on random data, any shard width") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 500).map(i =>
+      (i.toLong * 7 % 1000, s"src${i % 3}", rnd.nextInt(3000).toLong + 1))
+      .distinct.toDF("doc_id", "source", "n_tokens")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "chunk_id", "chunk_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = canon(TextAnalysis.packAssign(df, "source", "doc_id", col("n_tokens"), 2048L))
+    for (w <- Seq(1L, 13L, 64L, 100000L)) {
+      val sharded = canon(TextAnalysis.packAssignSharded(
+        df, "source", "doc_id", col("n_tokens"), 2048L, idWidth = w))
+      assert(sharded == plain, s"idWidth=$w")
+    }
+  }
+
   test("TextAnalysis.contamination counts shared distinct shingles per doc") {
     val train = Seq((1L, "a b c d e f"), (2L, "x y z w q")).toDF("doc_id", "text")
     val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
