@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming forms of the reference's micro-batch behaviors
@@ -43,6 +44,43 @@ object Streams {
       .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Merge one batch into a keyed parquet table: new keys append, existing
+    * keys are replaced by the row with the highest (version, tiebreak).
+    * Keep-newest is a per-key window — idempotent, so a replayed micro-batch
+    * after a crash converges to the same table (the exactly-once story for
+    * an overwrite sink). The read-union-overwrite body is the
+    * format-agnostic merge (the reference's
+    * `add_new_transactions_to_combined_df`, `pipeline_handler.py:299-355`);
+    * on a table format with ACID upserts the same call site becomes a
+    * MERGE INTO and drops the full rewrite. */
+  def mergeUpsert(batch: DataFrame, tableDir: String,
+      keyCol: String, versionCol: String, tiebreakCol: String): Unit = {
+    val spark = batch.sparkSession
+    val existing =
+      try Some(spark.read.parquet(tableDir)) catch { case _: Exception => None }
+    val all = existing.fold(batch)(_.unionByName(batch))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col(tiebreakCol).desc)
+    // localCheckpoint materializes the merge BEFORE the overwrite: parquet
+    // cannot lazily read the directory it is replacing
+    val merged = all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(tableDir)
+  }
+
+  /** Continuous upsert: every micro-batch of `stream` is merged into
+    * `tableDir` via [[mergeUpsert]] under a checkpoint, so restarts resume
+    * from the last committed batch. */
+  def upsertByKey(stream: DataFrame, tableDir: String, ckptDir: String,
+      keyCol: String, versionCol: String, tiebreakCol: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch((batch: Dataset[Row], _: Long) =>
+        mergeUpsert(batch.toDF(), tableDir, keyCol, versionCol, tiebreakCol))
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Gap-based session windows per user: `session_window` keeps a window
     * open while events keep arriving within `gap` of the last one, merging

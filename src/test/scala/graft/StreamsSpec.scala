@@ -127,6 +127,41 @@ class StreamsSpec extends AnyFunSuite {
     assert(mustEmit.subsetOf(got), "every watermark-closed session must be emitted")
   }
 
+  test("upsertByKey merges micro-batches into a keyed table, newest wins") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val in = Files.createTempDirectory("graft_upsert_in")
+    val table = Files.createTempDirectory("graft_upsert_tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("version", LongType), StructField("payload", StringType)))
+    import spark.implicits._
+    def arrive(tag: String, rows: Seq[(Long, Long, String)]): Unit = {
+      val sub = in.resolve(tag)
+      rows.toDF("k", "version", "payload").coalesce(1).write.parquet(sub.toString)
+      Files.list(sub).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, in.resolve(tag + "_" + p.getFileName.toString))
+      }
+    }
+    def runOnce(): Unit = {
+      val q = Streams.upsertByKey(
+        spark.readStream.schema(schema).parquet(in.toString),
+        table, ckpt, "k", "version", "payload")
+      q.awaitTermination()
+    }
+    arrive("a", Seq((1L, 1L, "one_v1"), (2L, 1L, "two_v1")))
+    runOnce()
+    assert(spark.read.parquet(table).count() == 2)
+    // second wave: k=2 updated, k=3 new; restart resumes from the checkpoint
+    arrive("b", Seq((2L, 5L, "two_v5"), (3L, 1L, "three_v1")))
+    runOnce()
+    val got = spark.read.parquet(table).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == Map(1L -> ((1L, "one_v1")), 2L -> ((5L, "two_v5")),
+      3L -> ((1L, "three_v1"))))
+  }
+
   test("runningUserTotals accumulates keyed state across a batch") {
     val q = Streams.runningUserTotals(spark, Streams.eventStream(spark, dir))
       .writeStream.outputMode(OutputMode.Update).format("memory").queryName("totals").start()
