@@ -114,8 +114,13 @@ object Dedup {
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val candIds = pairsCk.select(col("id_a").as("cid"))
       .unionByName(pairsCk.select(col("id_b").as("cid"))).distinct()
+    // the deduped candidate shingles feed THREE consumers (sizes, pair-A,
+    // pair-B); without materialization each one replays the full corpus
+    // shingle explode + semi-filter (measured: 4 Generate subtrees in the
+    // static plan). The set itself is tiny — candidate docs only — so an
+    // eager localCheckpoint turns the heavy explode into exactly one pass.
     val shCand = shRaw.join(maybeB(candIds), shRaw(idCol) === candIds("cid"), "left_semi")
-      .distinct()
+      .distinct().localCheckpoint(true)
     val sizes = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val shA = shCand.toDF("sa_id", "sa_shingle")
     val shB = shCand.toDF("sb_id", "sb_shingle")
