@@ -94,6 +94,46 @@ object Streams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  final case class FlagState(lastPurchaseMs: Long)
+  final case class FlagEvent(userId: Long, flag: String, active: Boolean, atMs: Long)
+
+  /** Flag lifecycle with true streaming TTL (the batch twin is u1b's 14-day
+    * merge filter): a purchase raises `recent_purchase` and arms an
+    * event-time timeout at lastPurchase + ttl; when the WATERMARK passes it
+    * with no newer purchase, the state expires and the flag-clear event is
+    * emitted from the timeout callback — no scan ever revisits quiet users,
+    * state size is one row per currently-flagged user. */
+  def recentPurchaseFlags(spark: SparkSession, stream: DataFrame,
+      ttlMs: Long): Dataset[FlagEvent] = {
+    import spark.implicits._
+    stream.withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FlagState, FlagEvent](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, _, state: GroupState[FlagState]) if state.hasTimedOut =>
+          val out = FlagEvent(uid, "recent_purchase", active = false,
+            state.get.lastPurchaseMs + ttlMs)
+          state.remove()
+          Iterator.single(out)
+        case (uid, rows, state: GroupState[FlagState]) =>
+          val purchases = rows.collect {
+            case (_, "purchase", ts) => ts.getTime
+          }
+          if (purchases.isEmpty) Iterator.empty
+          else {
+            val last = math.max(purchases.max, state.getOption.map(_.lastPurchaseMs).getOrElse(0L))
+            val isNew = state.getOption.isEmpty
+            state.update(FlagState(last))
+            state.setTimeoutTimestamp(last + ttlMs)
+            // emit the raise only on the OFF->ON edge; refreshes are silent
+            if (isNew) Iterator.single(FlagEvent(uid, "recent_purchase", active = true, last))
+            else Iterator.empty
+          }
+      }
+  }
+
   final case class UserTotals(userId: Long, n: Long, purchases: Long)
 
   /** Custom keyed state via mapGroupsWithState: running per-user totals —

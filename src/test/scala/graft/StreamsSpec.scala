@@ -127,6 +127,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(mustEmit.subsetOf(got), "every watermark-closed session must be emitted")
   }
 
+  test("recentPurchaseFlags raises on purchase and expires via event-time TTL") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ttl_in")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("ts", TimestampType)))
+    def arrive(tag: String, rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      val sub = in.resolve(tag)
+      rows.toDF("user_id", "event_type", "ts").coalesce(1).write.parquet(sub.toString)
+      Files.list(sub).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, in.resolve(tag + "_" + p.getFileName.toString))
+      }
+    }
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(offsetMs: Long) = new java.sql.Timestamp(t0.getTime + offsetMs)
+    val ttl = 60L * 60 * 1000 // 1 hour
+    val q = Streams.recentPurchaseFlags(spark,
+        spark.readStream.schema(schema).parquet(in.toString), ttl)
+      .writeStream.outputMode(OutputMode.Append).format("memory").queryName("ttl_flags").start()
+    // wave 1: users 1,2 purchase; user 3 only clicks
+    arrive("a", Seq((1L, "purchase", ts(0)), (2L, "purchase", ts(1000)),
+      (3L, "click", ts(2000))))
+    q.processAllAvailable()
+    // wave 2: far past the TTL; user 2 re-purchases (stays flagged), the
+    // advancing watermark expires user 1
+    arrive("b", Seq((2L, "purchase", ts(ttl * 3)), (9L, "click", ts(ttl * 3))))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ttl_flags")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(got.contains((1L, true)) && got.contains((2L, true)), s"raises missing: $got")
+    assert(got.contains((1L, false)), s"user 1 should have expired: $got")
+    assert(!got.contains((3L, true)), "click-only user must never be flagged")
+    assert(!got.contains((2L, false)), "re-purchasing user must not expire")
+  }
+
   test("upsertByKey merges micro-batches into a keyed table, newest wins") {
     import java.nio.file.Files
     import org.apache.spark.sql.types._
