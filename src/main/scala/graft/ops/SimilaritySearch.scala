@@ -8,24 +8,39 @@ import org.apache.spark.sql.types.DecimalType
 /** Approximate/exact nearest-neighbor search over embedding columns
   * (BASELINE north star: similarity search at 100 TB).
   *
-  * Dot products and squared norms are computed in exact DECIMAL arithmetic
-  * over the float vectors (order-independent, so identical on any engine or
-  * partitioning), then the cosine is finished in double. Brute force is the
-  * correctness baseline; the partition-pruned variant restricts the scan to a
-  * coarse bucket (here the `label` column stands in for an IVF/k-means or LSH
-  * cell assignment), which is the structure that turns an O(N) scan into an
-  * O(N/cells) one on a cluster — the bucket column becomes the shuffle /
-  * partition-pruning key.
+  * Dot products and squared norms are fixed ascending-index DOUBLE folds
+  * over the float vectors (the native codegen `plans.FloatDot`). Two facts
+  * make this engine-exact: float→double widening is value-preserving (no
+  * rounding — unlike float→decimal casts, whose scaling arithmetic is
+  * engine-specific and measurably diverges), and both engines fold in the
+  * same index order, so every intermediate double is bit-identical. The
+  * fold order is part of the operator contract; the DuckDB oracles spell
+  * the same ordered sum. Brute force is the correctness baseline; the
+  * partition-pruned variant restricts the scan to a coarse bucket (here the
+  * `label` column stands in for an IVF/k-means or LSH cell assignment),
+  * which is the structure that turns an O(N) scan into an O(N/cells) one on
+  * a cluster — the bucket column becomes the shuffle / partition-pruning
+  * key.
   */
 object SimilaritySearch {
 
-  /** Exact decimal dot product of two float-array columns (as SQL expr). */
-  def dotExpr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DECIMAL(18,9)) * CAST(y AS DECIMAL(18,9))),
-       |  CAST(0 AS DECIMAL(38,18)), (acc, v) -> CAST(acc + v AS DECIMAL(38,18)))""".stripMargin
+  /** Ascending-index double dot product of two float-array columns (native
+    * codegen `plans.FloatDot`; call [[registerFns]] on the session first). */
+  def dotExpr(a: String, b: String): String = s"float_dot($a, $b)"
 
-  /** Exact decimal squared norm of a float-array column (as SQL expr). */
+  /** Double squared norm of a float-array column (same fold). */
   def normSqExpr(a: String): String = dotExpr(a, a)
+
+  /** The same ascending double fold for arbitrary NUMERIC array types
+    * (centroids are array<double>; FloatDot reads raw float slots and must
+    * only ever see array<float>). Interpreted lambda — fine for the k-row
+    * centroid table, never on the corpus hot path. */
+  private def dotDblExpr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  0D, (acc, v) -> acc + v)""".stripMargin
+
+  private def registerFns(df: DataFrame): Unit =
+    graft.plans.FloatDot.register(df.sparkSession)
 
   /** Cosine similarity column from exact components. */
   def cosine(dot: Column, normSqA: Column, normSqB: Column): Column =
@@ -37,6 +52,7 @@ object SimilaritySearch {
     * per-row work is exactly one dot product plus one norm. */
   def topKNeighbors(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, bucketCol: Option[String] = None): DataFrame = {
+    registerFns(emb)
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"),
         sqrt(expr(normSqExpr(vecCol)).cast("double")).as("q_norm"),
@@ -84,13 +100,14 @@ object SimilaritySearch {
     * results deterministic. */
   def topKNeighborsIvf(emb: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    registerFns(emb)
     val cents = centroids(emb, vecCol, bucketCol)
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"),
         sqrt(expr(normSqExpr(vecCol)).cast("double")).as("q_norm"))
     val probed = cents.crossJoin(broadcast(q))
-      .withColumn("c_score", cosine(expr(dotExpr("centroid", "q_vec")),
-        expr(normSqExpr("centroid")), expr(normSqExpr("q_vec"))))
+      .withColumn("c_score", cosine(expr(dotDblExpr("centroid", "q_vec")),
+        expr(dotDblExpr("centroid", "centroid")), expr(normSqExpr("q_vec"))))
       .orderBy(col("c_score").desc, col(bucketCol))
       .limit(nprobe)
       .select(col(bucketCol).as("__probe_bucket"))
@@ -149,31 +166,19 @@ object SimilaritySearch {
     assign
   }
 
-  /** Cheap double-precision dot product (order-fixed sequential fold) —
-    * fast prefilter only; never the reported score. Uses the native codegen
-    * `plans.FloatDot` (primitive loop, no per-element lambda interpretation)
-    * — bit-identical to the SQL `aggregate(zip_with(...))` fold it
-    * replaces, ~3x faster on the all-pairs hot path. */
-  private def dotFastExpr(a: String, b: String): String = s"float_dot($a, $b)"
-
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, threshold: Double): DataFrame = {
-    graft.plans.FloatDot.register(emb.sparkSession)
+    registerFns(emb)
     val withNorm = emb.withColumn("__norm", sqrt(expr(normSqExpr(vecCol)).cast("double")))
     val a = withNorm.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
       col(bucketCol).as("bkt_a"), col("__norm").as("norm_a"))
     val b = withNorm.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
       col(bucketCol).as("bkt_b"), col("__norm").as("norm_b"))
+    // the codegen double fold IS the reported score now, so the all-pairs
+    // stage is a single primitive-loop pass — no prefilter/verify split
     a.join(b, col("bkt_a") === col("bkt_b") && col("id_a") < col("id_b"))
-      // Double prefilter with a 1e-6 margin: fp error in the double dot is
-      // ~1e-12, so every pair whose EXACT cosine clears the threshold
-      // survives; only survivors (a handful) pay the exact-decimal score.
-      // Cuts the all-pairs stage ~5x without changing any emitted row.
-      .withColumn("cos_fast",
-        expr(dotFastExpr("vec_a", "vec_b")) / (col("norm_a") * col("norm_b")))
-      .filter(col("cos_fast") >= threshold - 1e-6)
       .withColumn("cos_sim", round(
-        expr(dotExpr("vec_a", "vec_b")).cast("double") / (col("norm_a") * col("norm_b")), 6))
+        expr(dotExpr("vec_a", "vec_b")) / (col("norm_a") * col("norm_b")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("bkt_a").as("bucket"), col("cos_sim"))
   }

@@ -5,22 +5,29 @@ import graft.ops.SimilaritySearch
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over `embeddings` (BASELINE north star ops).
-  * Exact-decimal dot products make cosine values engine-identical. */
+  * Fixed-order double dot products make cosine values engine-identical
+  * (see dotSql below for why decimal casts are NOT). */
 object SimilarityQs {
 
-  // Oracle-side exact-decimal dot product of two list<float> expressions,
-  // mirroring SimilaritySearch.dotExpr. DuckDB 1.0's range() only accepts
-  // constants, so the testdata's fixed dimensionality (64 at every sf) is
-  // inlined; the Spark side stays dimension-agnostic via zip_with.
+  // Oracle-side ascending-index DOUBLE dot product of two list<float>
+  // expressions, mirroring SimilaritySearch.dotExpr (plans.FloatDot).
+  // float→double widening is exact on both engines and the in-order SUM over
+  // range() reproduces FloatDot's fold order, so every intermediate double is
+  // bit-identical — unlike float→DECIMAL casts, whose scaling arithmetic is
+  // engine-specific (DuckDB scales in float, Spark rounds the widened
+  // double; measured divergent on 46/64 elements of a real vector pair).
+  // DuckDB 1.0's range() only accepts constants, so the testdata's fixed
+  // dimensionality (64 at every sf) is inlined; the Spark side stays
+  // dimension-agnostic.
   private val dim = 64
 
   private def dotSql(a: String, b: String): String =
-    s"""(SELECT SUM(CAST($a[i + 1] AS DECIMAL(18,9)) * CAST($b[i + 1] AS DECIMAL(18,9)))
+    s"""(SELECT SUM(CAST($a[i + 1] AS DOUBLE) * CAST($b[i + 1] AS DOUBLE))
        |  FROM range($dim) t(i))""".stripMargin
 
   private def cosSql(a: String, b: String): String =
-    s"""round(CAST(${dotSql(a, b)} AS DOUBLE) /
-       |  (sqrt(CAST(${dotSql(a, a)} AS DOUBLE)) * sqrt(CAST(${dotSql(b, b)} AS DOUBLE))), 6)""".stripMargin
+    s"""round(${dotSql(a, b)} /
+       |  (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)""".stripMargin
 
   val qs: Seq[Q] = Seq(
 

@@ -74,6 +74,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // All-pairs or tiny-cross by DESIGN — everything else must hash/merge join.
+  private val nljByDesign = Set(
+    "k1_knn_bruteforce",   // exact brute-force baseline: all query×corpus pairs
+    "k3_embedding_neardup" // all-pairs cosine on a prefiltered tiny set
+  )
+
+  test("no batch query plans a nested-loop or cartesian join unless by design") {
+    val offenders = Registry.all
+      .filterNot(q => q.name.startsWith("st")) // streaming: run() executes the stream
+      .filterNot(q => nljByDesign(q.name))
+      .flatMap { q =>
+        val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"))
+          Some(q.name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"nested-loop/cartesian plans (fix or declare by-design): $offenders")
+  }
+
   Registry.all.foreach { q =>
     test(s"${q.name} executes on sf0.001" +
         (if (mayBeEmpty(q.name)) "" else " and returns rows")) {
