@@ -74,10 +74,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  // All-pairs or tiny-cross by DESIGN — everything else must hash/merge join.
+  // Nested-loop by DESIGN — everything else must hash/merge join. Two legal
+  // shapes: all-pairs semantics, and a cross join whose build side is a
+  // broadcast 1-row (grand total) or k-row (centroid table) frame — a
+  // nested loop over a handful of broadcast rows is the right plan at any
+  // scale.
   private val nljByDesign = Set(
-    "k1_knn_bruteforce",   // exact brute-force baseline: all query×corpus pairs
-    "k3_embedding_neardup" // all-pairs cosine on a prefiltered tiny set
+    "k1_knn_bruteforce",       // exact brute-force baseline: query×corpus by definition
+    "k3_embedding_neardup",    // all-pairs cosine inside buckets by definition
+    "a6_pct_of_total",         // 1-row grand-total broadcast
+    "j9b_refund_redistribution", // two 1-row total broadcasts
+    "k2b_knn_ivf_centroid",    // k-row centroid table broadcast
+    "k2c_knn_ivf_kmeans"       // k-row centroid broadcast per Lloyd iteration
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
