@@ -33,6 +33,13 @@ object DailyPipeline {
       materialize("u2_identity_components", "identity_map"),
       materialize("d1_exact_dedup", "document_dedup_groups"),
       materialize("o3_dedup_keepfirst", "transactions_deduped", Seq("combined_transactions")),
+      // training-data marts (BASELINE north star): sessionized user journeys,
+      // the curated corpus, its packed context windows, and the
+      // decontamination report
+      materialize("w8_sessionize", "user_sessions"),
+      materialize("c1_corpus_curation", "curated_corpus", Seq("document_dedup_groups")),
+      materialize("t5b_packing_sharded", "packed_corpus", Seq("curated_corpus")),
+      materialize("t6_decontaminate", "decontamination_report", Seq("curated_corpus")),
       // EP1's month-start dated snapshot (`pipeline_handler.py:343-354`):
       // live table + immutable dated copy.
       Job("revenue_dashboard_snapshot", Seq("revenue_dashboard"), s =>
