@@ -193,6 +193,27 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(2)._1 == "und")
   }
 
+  test("Windows.sessionize matches a brute-force scan on random data") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(100000).toLong))
+    val df = rows.toDF("eid", "k", "us")
+    val gap = 5000L
+    val got = Windows.sessionize(df, col("k"), col("us"), col("eid"), gap)
+      .select("eid", "session_no").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val sorted = g.sortBy(r => (r._3, r._1))
+      var s = 0L
+      var prev = Long.MinValue
+      sorted.map { case (id, _, t) =>
+        if (prev == Long.MinValue || t - prev > gap) s += 1
+        prev = t
+        id -> s
+      }
+    }
+    assert(got == want)
+  }
+
   test("TextAnalysis.packAssign chunks each source's token stream sequentially") {
     val df = Seq((1L, "s", 1000L), (2L, "s", 1500L), (3L, "s", 600L),
       (10L, "t", 2048L), (11L, "t", 1L)).toDF("doc_id", "source", "n_tokens")
