@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DateType, IntegerType, LongType}
 
 /** Optimizer rule: rewrite a keyless point-in-interval join into an
   * equi-join against bucket-exploded intervals (SURVEY.md §2.3 J4 at scale).
@@ -22,7 +22,9 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
   * 0 = rule off, the default).
   *
   * Guards: no existing cross-side equality (then Spark already hash-joins);
-  * both bound columns on one side, the point on the other, all integral;
+  * both bound columns on one side, the point on the other, all integral
+  * (DATE columns count as integral — they bucket on their epoch-day number,
+  * so the width unit for date intervals is days);
   * join types where the exploded side is the non-preserved side (inner with
   * the point on either side; left semi/anti/outer with the point on the
   * left). Null bounds generate zero buckets, which matches the original
@@ -62,8 +64,9 @@ object IntervalBucketJoin extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
+  // DateType is integral for bucketing purposes: unix_date days, width in days
   private def integral(e: Expression): Boolean =
-    e.dataType == LongType || e.dataType == IntegerType
+    e.dataType == LongType || e.dataType == IntegerType || e.dataType == DateType
 
   /** Find conjuncts bounding one side's point between the other side's
     * start and end: returns (point, start, end, pointOnLeft). */
@@ -94,9 +97,13 @@ object IntervalBucketJoin extends Rule[LogicalPlan] with PredicateHelper {
     } yield (p1, s, e, sameSide(p1, j.left))).headOption
   }
 
-  /** Mathematical floor division for integral x (k > 0). */
+  /** Mathematical floor division for integral x (k > 0); dates divide on
+    * their epoch-day number. */
   private def floorDiv(x: Expression, k: Long): Expression = {
-    val xl = Cast(x, LongType)
+    val xl = x.dataType match {
+      case DateType => Cast(UnixDate(x), LongType)
+      case _        => Cast(x, LongType)
+    }
     val kLit = Literal(k)
     val q = IntegralDivide(xl, kLit)
     val adjust = If(

@@ -164,6 +164,26 @@ object Scalars {
               |${Q.dsumSql("value")} AS total_value
               |FROM events GROUP BY 1""".stripMargin)),
 
+    // M8b: TYPED schema-on-read — from_json parses the payload once into a
+    // struct (codegen'd Jackson parse; the multi-field upgrade over M8's
+    // per-path get_json_object), tolerating injected corrupt payloads as
+    // null fields. The oracle mirrors the corruption branch directly, so the
+    // compare proves the malformed rows land in the NULL group.
+    Q("m8b_typed_json",
+      (s, d) => {
+        val corrupted = Tables.events(s, d)
+          .withColumn("raw",
+            when(col("event_id") % 997 === 0, lit("{broken")).otherwise(col("props")))
+        corrupted
+          .withColumn("p", from_json(col("raw"), lit("k BIGINT")))
+          .groupBy((col("p.k") % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("total_value"))
+      },
+      Some(s"""SELECT CASE WHEN event_id % 997 = 0 THEN NULL
+              |  ELSE CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 END AS k_mod,
+              |COUNT(*) AS n, ${Q.dsumSql("value")} AS total_value
+              |FROM events GROUP BY 1""".stripMargin)),
+
     // M9: array/set aggregation with deterministic ordering + delimited join.
     // Reference: sources pipe-join `build_customer_master.py:263-265`.
     Q("m9_array_set_agg",

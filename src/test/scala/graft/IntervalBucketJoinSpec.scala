@@ -140,6 +140,31 @@ class IntervalBucketJoinSpec extends AnyFunSuite {
     assert(parent.conf.get(IntervalBucketJoin.WidthKey, "0") == "0")
   }
 
+  test("date-typed intervals bucket on epoch days") {
+    val s = freshSession(width = 25L) // 25-day buckets vs 20-day intervals
+    import s.implicits._
+    import java.time.LocalDate
+    val base = LocalDate.of(2024, 1, 1)
+    val pts = (0 until 200).map(i => (i.toLong, base.plusDays(i * 3 % 365)))
+    val ivs = (0 until 100).map { i =>
+      val st = base.plusDays(i * 7 % 350)
+      (1000L + i, st, st.plusDays(20))
+    }
+    val pdf = pts.map { case (id, d) => (id, java.sql.Date.valueOf(d)) }.toDF("pid", "p")
+    val idf = ivs.map { case (id, a, b) =>
+      (id, java.sql.Date.valueOf(a), java.sql.Date.valueOf(b)) }.toDF("iid", "s", "e")
+    val j = pdf.join(idf, col("p") >= col("s") && col("p") <= col("e"))
+    assert(j.queryExecution.optimizedPlan.toString.contains("__iv_bkt"),
+      "date range join should be rewritten")
+    val got = j.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (pi, p) <- pts; (ii, a, b) <- ivs if !p.isBefore(a) && !p.isAfter(b)
+    } yield (pi, ii)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("joins with an equi key are left untouched") {
     import spark.implicits._
     val pdf = Seq((1L, 10L, "k1"), (2L, 700L, "k2")).toDF("pid", "p", "pk")
