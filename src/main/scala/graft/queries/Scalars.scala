@@ -209,6 +209,26 @@ object Scalars {
               |round(${Normalize.levRatioSql("c_name", "'Customer#000000000'")}, 6) AS sim_to_zero
               |FROM customer""".stripMargin)),
 
+    // M12: higher-order array functions (filter / transform / aggregate /
+    // exists / slice) over tokenized text — the lambda surface DuckDB
+    // mirrors with list_* functions.
+    Q("m12_higher_order_arrays",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(expr("filter(toks, t -> length(t) > 5)")).cast("long").as("n_long"),
+          expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)")
+            .as("char_sum"),
+          expr("exists(toks, t -> t = 'the')").as("has_the"),
+          expr("array_join(slice(transform(toks, t -> upper(t)), 1, 3), ' ')")
+            .as("first3_upper")),
+      Some("""SELECT doc_id,
+             |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS BIGINT) AS n_long,
+             |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS char_sum,
+             |  list_contains(string_split(text, ' '), 'the') AS has_the,
+             |  array_to_string(list_transform(string_split(text, ' '), t -> upper(t))[1:3], ' ') AS first3_upper
+             |FROM documents""".stripMargin)),
+
     // M11: end-to-end DECIMAL money columns — SURVEY §1.2's flagged upgrade
     // path from the reference's float dollars. Ingest casts to DECIMAL(12,2)
     // and all arithmetic stays exact decimal; the widening casts preserve

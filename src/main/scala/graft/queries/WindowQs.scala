@@ -139,6 +139,27 @@ object WindowQs {
              |CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_30d
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    // W9: distribution-rank window kit — ntile quartiles + percent_rank +
+    // cume_dist per segment under a total order (tie-broken on the key, so
+    // every rank function is engine-deterministic).
+    Q("w9_rank_distributions",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, d)
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .select(col("c_custkey"), col("c_mktsegment"), col("quartile"),
+            col("pct_rank"), col("cume"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  ntile(4) OVER w AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cume
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin)),
+
     // W8: gap-based sessionization (30-min gap on the micros axis) rolled up
     // to per-session stats — the batch form of `session_window` and the
     // canonical user-journey shape the reference computes with per-customer
