@@ -106,6 +106,29 @@ object Explodes {
              |  SELECT CAST(unnest(generate_series(
              |    (SELECT MIN(CAST(o_orderdate AS DATE)) FROM orders),
              |    (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders),
-             |    INTERVAL 1 DAY)) AS DATE) AS day)""".stripMargin))
+             |    INTERVAL 1 DAY)) AS DATE) AS day)""".stripMargin)),
+
+    // G7: wide→long unpivot via stack() — the pandas melt analogue (the
+    // reference pivots/melts report frames for the dashboard). A generator,
+    // not a join: one pass, three output rows per input row.
+    Q("g7_unpivot",
+      (s, d) => Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(
+          Q.dsum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")))
+            .as("urgent"),
+          Q.dsum(when(col("o_orderpriority") === "2-HIGH", col("o_totalprice")))
+            .as("high"),
+          Q.dsum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            col("o_totalprice"))).as("other"))
+        .selectExpr("o_custkey",
+          "stack(3, 'urgent', urgent, 'high', high, 'other', other) AS (prio, revenue)"),
+      Some(s"""WITH wide AS (SELECT o_custkey,
+              |  ${Q.dsumSql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS urgent,
+              |  ${Q.dsumSql("CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END")} AS high,
+              |  ${Q.dsumSql("CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN o_totalprice END")} AS other
+              |  FROM orders GROUP BY o_custkey)
+              |SELECT o_custkey, 'urgent' AS prio, urgent AS revenue FROM wide
+              |UNION ALL SELECT o_custkey, 'high', high FROM wide
+              |UNION ALL SELECT o_custkey, 'other', other FROM wide""".stripMargin))
   )
 }
