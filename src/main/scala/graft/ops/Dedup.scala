@@ -106,7 +106,10 @@ object Dedup {
     // (it is reused four times below anyway), measure it, and only force the
     // hint under MaxBroadcastPairs; beyond that fall back to AQE-planned
     // shuffle joins. Callers that already checkpointed (d2 does) are not
-    // re-materialized: a LogicalRDD input is used as-is.
+    // re-materialized: a LogicalRDD input is used as-is. Deliberate
+    // trade-off: building this DataFrame runs the candidate job EAGERLY
+    // (plan-only consumers pay it too) — the measured hint decision needs a
+    // real count, and every non-trivial caller executes the result anyway.
     val pairsCk =
       if (pairs.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD") pairs
       else pairs.localCheckpoint(true)

@@ -109,8 +109,12 @@ object TextAnalysis {
     * IS ordering by id and the assignment is identical to packAssign's —
     * same oracle, different plan. Level 1 runs the cumulative sum inside
     * each (source, shard) — parallelism = #shards, not #sources. Level 2
-    * prefix-sums the per-shard token totals (one ROW per shard — thousands,
-    * not billions) and broadcasts the bases back. */
+    * prefix-sums the per-shard token totals (one ROW per shard) and joins
+    * the bases back. Pick `idWidth` so the shard count lands in the
+    * thousands (≈ #docs / desired-partition-rows) — the base table's size
+    * is #shards rows, and the join is left un-hinted so AQE broadcasts it
+    * only when it measures small (a forced hint here would be the
+    * driver-OOM footgun at a billion-doc scale with a too-small width). */
   def packAssignSharded(df: DataFrame, srcCol: String, idCol: String, tokens: Column,
       budget: Long, idWidth: Long): DataFrame = {
     val withShard = df.withColumn("__shard", expr(s"$idCol div $idWidth"))
@@ -124,7 +128,7 @@ object TextAnalysis {
       .agg(sum(col("__tok")).as("__shard_tot"))
       .withColumn("__base", coalesce(sum(col("__shard_tot")).over(w2), lit(0L)))
       .select(col(srcCol), col("__shard"), col("__base"))
-    inShard.join(broadcast(bases), Seq(srcCol, "__shard"))
+    inShard.join(bases, Seq(srcCol, "__shard"))
       .withColumn("__cum_before", col("__base") + col("__cum_in"))
       .withColumn("chunk_id", expr(s"__cum_before div $budget"))
       .withColumn("chunk_offset", col("__cum_before") % budget)

@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.core.Tables
 import graft.queries.Registry
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** The engine's EP1-shaped daily batch: materialize the warehouse's derived
   * tables from the raw tables in dependency order (SURVEY.md §3 EP1).
@@ -35,11 +36,26 @@ object DailyPipeline {
       materialize("o3_dedup_keepfirst", "transactions_deduped", Seq("combined_transactions")),
       // training-data marts (BASELINE north star): sessionized user journeys,
       // the curated corpus, its packed context windows, and the
-      // decontamination report
+      // decontamination report. Packing and decontamination consume the
+      // MATERIALIZED curated_corpus — their deps are real lineage, not just
+      // ordering.
       materialize("w8_sessionize", "user_sessions"),
       materialize("c1_corpus_curation", "curated_corpus", Seq("document_dedup_groups")),
-      materialize("t5b_packing_sharded", "packed_corpus", Seq("curated_corpus")),
-      materialize("t6_decontaminate", "decontamination_report", Seq("curated_corpus")),
+      Job("packed_corpus", Seq("curated_corpus"), s =>
+        Tables.write(
+          graft.ops.TextAnalysis.packAssignSharded(
+            s.read.parquet(s"$outDir/curated_corpus"),
+            "source", "doc_id", col("tok"), budget = 2048L, idWidth = 16L),
+          s"$outDir/packed_corpus")),
+      Job("decontamination_report", Seq("curated_corpus"), s => {
+        val docs = Tables.documents(s, sfDir)
+        val curated = s.read.parquet(s"$outDir/curated_corpus").select(col("doc_id"))
+        Tables.write(
+          graft.ops.TextAnalysis.contamination(
+            docs.join(curated, "doc_id"),
+            docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 5),
+          s"$outDir/decontamination_report")
+      }),
       // EP1's month-start dated snapshot (`pipeline_handler.py:343-354`):
       // live table + immutable dated copy.
       Job("revenue_dashboard_snapshot", Seq("revenue_dashboard"), s =>

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, PartitioningCollection}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.LongType
 
 /** Native as-of join (SURVEY.md §2.3 J5, §4.2's whole-operator rung:
@@ -169,19 +169,29 @@ object AsOfJoinPlan {
       rightKey: String, rightTime: String, rightTiebreak: String,
       forward: Boolean, outer: Boolean): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
-    def prep(df: DataFrame, cols: Seq[String]): DataFrame =
+    def cast(df: DataFrame, cols: Seq[String]): DataFrame =
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(LongType)))
-        .na.drop(cols)
-    val l = prep(leftDf, Seq(leftKey, leftTime))
-    val r = prep(rightDf, Seq(rightKey, rightTime, rightTiebreak))
+    val lCast = cast(leftDf, Seq(leftKey, leftTime))
+    val l = lCast.na.drop(Seq(leftKey, leftTime))
+    val r = cast(rightDf, Seq(rightKey, rightTime, rightTiebreak))
+      .na.drop(Seq(rightKey, rightTime, rightTiebreak))
     val lPlan = l.queryExecution.analyzed
     val rPlan = r.queryExecution.analyzed
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
-    GraftBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
+    val joined = GraftBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftKey), attr(lPlan, leftTime),
       attr(rPlan, rightKey), attr(rPlan, rightTime), attr(rPlan, rightTiebreak),
       forward, outer))
+    if (!outer) joined
+    else {
+      // a left row with a null key/time can never match, but the left-outer
+      // contract still keeps it — re-attach those rows null-extended (the
+      // merge operator itself only sees non-null keys/times)
+      val invalid = lCast.filter(col(leftKey).isNull || col(leftTime).isNull)
+      val rightNulls = r.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name))
+      joined.unionByName(invalid.select(lCast.columns.map(col) ++ rightNulls: _*))
+    }
   }
 }

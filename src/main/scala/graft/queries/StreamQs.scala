@@ -35,16 +35,25 @@ object StreamQs {
     // A pre-existing link may be stale (regenerated testdata at a different
     // target, or a path.hashCode collision between two dataset dirs) — verify
     // it points at THIS source and recreate it if not, rather than silently
-    // streaming the wrong or missing file.
-    if (Files.isSymbolicLink(link)) {
-      if (Files.readSymbolicLink(link) != src) {
-        Files.delete(link)
-        Files.createSymbolicLink(link, src)
+    // streaming the wrong or missing file. Concurrent JVMs race the
+    // delete/create window, so a lost race re-validates instead of failing.
+    def ensure(attempt: Int): Unit =
+      try {
+        if (Files.isSymbolicLink(link)) {
+          if (Files.readSymbolicLink(link) != src) {
+            Files.delete(link)
+            Files.createSymbolicLink(link, src)
+          }
+        } else {
+          Files.deleteIfExists(link)
+          Files.createSymbolicLink(link, src)
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.NoSuchFileException if attempt < 3 =>
+          ensure(attempt + 1)
       }
-    } else {
-      Files.deleteIfExists(link)
-      Files.createSymbolicLink(link, src)
-    }
+    ensure(0)
     dir.toString
   }
 

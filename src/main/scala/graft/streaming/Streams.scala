@@ -57,8 +57,13 @@ object Streams {
   def mergeUpsert(batch: DataFrame, tableDir: String,
       keyCol: String, versionCol: String, tiebreakCol: String): Unit = {
     val spark = batch.sparkSession
-    val existing =
-      try Some(spark.read.parquet(tableDir)) catch { case _: Exception => None }
+    // ONLY a missing table reads as empty; any other read failure (corrupt
+    // files from an interrupted overwrite, transient FS errors) must abort
+    // the merge — treating it as empty would silently wipe the table down
+    // to the current micro-batch.
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = if (fs.exists(path)) Some(spark.read.parquet(tableDir)) else None
     val all = existing.fold(batch)(_.unionByName(batch))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(versionCol).desc, col(tiebreakCol).desc)
@@ -120,16 +125,29 @@ object Streams {
         case (uid, rows, state: GroupState[FlagState]) =>
           val purchases = rows.collect {
             case (_, "purchase", ts) => ts.getTime
-          }
+          }.toSeq.sorted
           if (purchases.isEmpty) Iterator.empty
           else {
-            val last = math.max(purchases.max, state.getOption.map(_.lastPurchaseMs).getOrElse(0L))
-            val isNew = state.getOption.isEmpty
-            state.update(FlagState(last))
-            state.setTimeoutTimestamp(last + ttlMs)
-            // emit the raise only on the OFF->ON edge; refreshes are silent
-            if (isNew) Iterator.single(FlagEvent(uid, "recent_purchase", active = true, last))
-            else Iterator.empty
+            // walk the purchase times and emit every OFF→ON edge, INCLUDING
+            // gaps longer than the ttl that are bridged inside one batch
+            // (the armed timeout never fires if the re-purchase arrives
+            // first — the expiry must be synthesized here or it is lost)
+            val out = Seq.newBuilder[FlagEvent]
+            var last: Option[Long] = state.getOption.map(_.lastPurchaseMs)
+            purchases.foreach { t =>
+              last match {
+                case None =>
+                  out += FlagEvent(uid, "recent_purchase", active = true, t)
+                case Some(prev) if t > prev + ttlMs =>
+                  out += FlagEvent(uid, "recent_purchase", active = false, prev + ttlMs)
+                  out += FlagEvent(uid, "recent_purchase", active = true, t)
+                case _ => () // refresh inside the ttl window: silent
+              }
+              last = Some(math.max(t, last.getOrElse(Long.MinValue)))
+            }
+            state.update(FlagState(last.get))
+            state.setTimeoutTimestamp(last.get + ttlMs)
+            out.result().iterator
           }
       }
   }

@@ -66,6 +66,18 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(fOuter.length == l.count())
   }
 
+  test("outer keeps left rows with null key/time, null-extended") {
+    val lNull = Seq((1L, Some(5L), Some(100L)), (2L, None, Some(100L)),
+      (3L, Some(5L), None)).toDF("p_id", "p_user", "p_us")
+    val r = Seq((10L, 5L, 50L)).toDF("c_id", "c_user", "c_us")
+    val out = AsOfJoinPlan.asOfBackward(lNull, r, "p_user", "p_us", "c_user", "c_us", "c_id",
+        outer = true)
+      .select("p_id", "c_id").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (2L, -1L), (3L, -1L)),
+      s"null-key/time left rows must survive null-extended: $out")
+  }
+
   test("result is independent of input partitioning") {
     val (l, r) = data()
     val a = AsOfJoinPlan.asOfBackward(l.repartition(13), r.repartition(3),

@@ -148,21 +148,27 @@ class StreamsSpec extends AnyFunSuite {
     val q = Streams.recentPurchaseFlags(spark,
         spark.readStream.schema(schema).parquet(in.toString), ttl)
       .writeStream.outputMode(OutputMode.Append).format("memory").queryName("ttl_flags").start()
-    // wave 1: users 1,2 purchase; user 3 only clicks
+    // wave 1: users 1, 2, 4 purchase; user 3 only clicks
     arrive("a", Seq((1L, "purchase", ts(0)), (2L, "purchase", ts(1000)),
-      (3L, "click", ts(2000))))
+      (3L, "click", ts(2000)), (4L, "purchase", ts(500))))
     q.processAllAvailable()
-    // wave 2: far past the TTL; user 2 re-purchases (stays flagged), the
-    // advancing watermark expires user 1
-    arrive("b", Seq((2L, "purchase", ts(ttl * 3)), (9L, "click", ts(ttl * 3))))
+    // wave 2: user 2 re-purchases AFTER a bridged >ttl quiet gap (the armed
+    // timeout never fires — the expiry must be synthesized in the data
+    // branch); user 4 refreshes within the ttl (silent), then expires via
+    // the timeout as the watermark passes; user 1 expires via the timeout
+    arrive("b", Seq((2L, "purchase", ts(ttl * 3)), (4L, "purchase", ts(ttl / 2)),
+      (9L, "click", ts(ttl * 3))))
     q.processAllAvailable()
     q.stop()
-    val got = spark.table("ttl_flags")
-      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
-    assert(got.contains((1L, true)) && got.contains((2L, true)), s"raises missing: $got")
-    assert(got.contains((1L, false)), s"user 1 should have expired: $got")
-    assert(!got.contains((3L, true)), "click-only user must never be flagged")
-    assert(!got.contains((2L, false)), "re-purchasing user must not expire")
+    val byUser = spark.table("ttl_flags").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3) - t0.getTime))
+      .groupBy(_._1).map { case (u, evs) => u -> evs.map(e => (e._2, e._3)).sortBy(_._2).toSeq }
+    assert(byUser(1L) == Seq((true, 0L), (false, ttl)), s"u1: ${byUser.get(1L)}")
+    assert(byUser(2L) == Seq((true, 1000L), (false, 1000L + ttl), (true, ttl * 3)),
+      s"u2 must clear across the bridged gap then re-raise: ${byUser.get(2L)}")
+    assert(byUser(4L) == Seq((true, 500L), (false, ttl / 2 + ttl)),
+      s"u4 refresh must be silent, then timeout-expire: ${byUser.get(4L)}")
+    assert(!byUser.contains(3L) && !byUser.contains(9L), "click-only users never flagged")
   }
 
   test("upsertByKey merges micro-batches into a keyed table, newest wins") {
