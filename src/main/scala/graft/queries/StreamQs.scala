@@ -126,6 +126,34 @@ object StreamQs {
              | AND p.event_type = 'purchase' AND c.event_type = 'click'
              | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts""".stripMargin)),
 
+    // ST5: streaming session windows, oracle-gated. With zero lateness the
+    // final watermark is max(ts), and append mode emits exactly the
+    // sessions the watermark closed — a set batch SQL can name: sessions
+    // whose [start, last+gap) end is before the final watermark. The
+    // session boundary is session_window's half-open rule (a step of
+    // exactly gap starts a new session → batch lag >= gap).
+    Q("st5_stream_sessions",
+      (s, d) => {
+        val sessions = Streams.userSessions(
+          Streams.eventStream(s, asStreamDir(s"$d/events.parquet")),
+          "30 minutes", "0 seconds")
+        runToMemory(s, sessions, OutputMode.Append())
+          .select(col("user_id"), Q.usecs(col("session_start")).as("start_us"),
+            col("n_events"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |m AS (SELECT user_id, event_id, us,
+             |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+             |       THEN 1 ELSE 0 END AS nf
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |sn AS (SELECT user_id, us,
+             |  SUM(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM m),
+             |g AS (SELECT user_id, grp, MIN(us) AS start_us, MAX(us) AS last_us,
+             |      COUNT(*) AS n_events FROM sn GROUP BY 1, 2)
+             |SELECT user_id, start_us, n_events FROM g
+             |WHERE last_us + 1800000000 < (SELECT MAX(us) FROM e)""".stripMargin)),
+
     // ST3: custom keyed state via mapGroupsWithState — running per-user
     // totals. Totals are monotone, so max-per-user over the update-mode
     // emissions equals the final state regardless of micro-batch slicing.
