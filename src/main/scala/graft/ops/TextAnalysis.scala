@@ -76,6 +76,59 @@ object TextAnalysis {
        |least(1.0, ((length($textCol) - ($nTok - 1)) / $nTok) / 6) * 0.2, 6)""".stripMargin
   }
 
+  /** Duplicate n-gram stats per document — the Gopher-style repetition
+    * quality rule (fraction of word k-grams that are repeats). Two
+    * map-side-combinable aggregations: the only shuffle is on
+    * (id, shingle), and a fused countDistinct (which would expand and
+    * shuffle the raw shingle stream twice) is deliberately avoided —
+    * the (id, shingle) pre-aggregation IS the distinct. */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    Dedup.shingles(df, idCol, textCol, k, dedup = false)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_ngrams"), count(lit(1)).as("n_distinct"))
+      .withColumn("dup_fraction", round(
+        lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams").cast("double"), 6))
+
+  /** Deterministic per-row "uniform": the first 24 bits of a salted md5 as a
+    * long in [0, 2^24). Cross-engine exact (DuckDB: `('0x' || substr(md5,1,6))
+    * ::BIGINT`), reproducible across runs/partitionings — the property
+    * `rand()` lacks — so sampling decisions are stable under reprocessing. */
+  def hashUnit(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + "|"), c.cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+
+  def hashUnitSql(e: String, salt: String): String =
+    s"('0x' || substr(md5('$salt|' || CAST($e AS VARCHAR)), 1, 6))::BIGINT"
+
+  /** Corpus mixing rates per source (the training-data "data mixture"
+    * config). Down-weights every fourth source family; unknown sources get
+    * the floor rate. */
+  val mixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 4 match {
+      case 0 => 1.0; case 1 => 0.5; case 2 => 0.25; case _ => 0.1
+    })).toMap
+  val mixDefaultRate = 0.1
+
+  private def mixThreshold(rate: Double): Long = (rate * (1L << 24)).toLong
+
+  /** Keep-threshold ladder for [[mixRates]] (compare [[hashUnit]] < thr).
+    * A 20-arm when-ladder is pure codegen'd row-local work — no join, no
+    * shuffle; at 100 TB the sampler runs at scan speed. */
+  def mixThresholdCol(srcCol: Column): Column =
+    mixRates.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (src, rate)) =>
+        val thr = lit(mixThreshold(rate))
+        Some(acc.fold(when(srcCol === src, thr))(_.when(srcCol === src, thr)))
+    }.get.otherwise(lit(mixThreshold(mixDefaultRate)))
+
+  def mixThresholdSql(srcExpr: String): String = {
+    val whens = mixRates.toSeq.sortBy(_._1).map { case (src, rate) =>
+      s"WHEN '$src' THEN ${mixThreshold(rate)}"
+    }.mkString(" ")
+    s"CASE $srcExpr $whens ELSE ${mixThreshold(mixDefaultRate)} END"
+  }
+
   /** Content fingerprint: md5 of the whitespace/case-normalized text. */
   def fingerprint(c: Column): Column = md5(Normalize.normText(c))
 

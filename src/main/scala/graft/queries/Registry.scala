@@ -16,6 +16,7 @@ object Registry {
     DedupQs.qs,
     SimilarityQs.qs,
     TextQs.qs,
+    PrivacyQs.qs,
     MultimodalQs.qs,
     StreamQs.qs,
     Dashboard.qs)

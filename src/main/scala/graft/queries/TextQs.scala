@@ -112,6 +112,41 @@ object TextQs {
       },
       Some(packingOracle)),
 
+    // T7: repetition quality rule (Gopher-style): per doc, the fraction of
+    // its word 3-grams that are repeats. The only shuffle is the (doc,
+    // shingle) pre-aggregation — no fused countDistinct, no second pass
+    // over the raw shingle stream.
+    Q("t7_dup_ngrams",
+      (s, d) => TextAnalysis.dupNgramStats(Tables.documents(s, d), "doc_id", "text", 3)
+        .withColumn("repetitive", col("dup_fraction") > 0.2),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(greatest(len(string_split(text, ' ')) - 2, 0)),
+             |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS shingle
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |g AS (SELECT doc_id, shingle, COUNT(*) AS cnt FROM sh GROUP BY 1, 2)
+             |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams, COUNT(*) AS n_distinct,
+             |  round(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+             |    AS dup_fraction,
+             |  round(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) > 0.2
+             |    AS repetitive
+             |FROM g GROUP BY doc_id""".stripMargin)),
+
+    // T8: deterministic corpus mixing — per-source sampling rates applied
+    // via a salted-hash uniform, so the sample is reproducible across runs,
+    // partitionings, and engines (rand() is none of those). Pure row-local
+    // codegen: the sampler runs at scan speed with zero shuffles.
+    Q("t8_source_mix",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.hashUnit(col("doc_id"), "mix").as("h"))
+        .filter(col("h") < TextAnalysis.mixThresholdCol(col("source"))),
+      Some(s"""SELECT doc_id, source,
+              |  ${TextAnalysis.hashUnitSql("doc_id", "mix")} AS h
+              |FROM documents
+              |WHERE ${TextAnalysis.hashUnitSql("doc_id", "mix")} <
+              |  ${TextAnalysis.mixThresholdSql("source")}""".stripMargin)),
+
     // T6: benchmark decontamination — per training doc, the share of its
     // distinct 5-gram shingles that appear anywhere in the held-out
     // benchmark slice (here: doc_id % 97 == 0). One shingle equi-join,

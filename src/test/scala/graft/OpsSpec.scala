@@ -251,4 +251,54 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) == ((2L, 1L, 0.5))) // "a b c d e" shared, "b c d e f" not
     assert(got(2L) == ((1L, 0L, 0.0)))
   }
+
+  test("TextAnalysis.dupNgramStats measures repetition exactly") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // 3-grams: aba, bab, aba, bab -> 4 total, 2 distinct
+      (2L, "p q r s"),       // pqr, qrs -> all distinct
+      (3L, "x y")            // < k words: excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramStats(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 2L, 0.5)))
+    assert(got(2L) == ((2L, 2L, 0.0)))
+    assert(!got.contains(3L))
+  }
+
+  test("TextAnalysis.hashUnit is deterministic, in-range, and salt-sensitive") {
+    val df = (1L to 500L).toDF("id")
+    val h1 = df.select(TextAnalysis.hashUnit(col("id"), "s1").as("h")).collect().map(_.getLong(0))
+    val h2 = df.select(TextAnalysis.hashUnit(col("id"), "s1").as("h")).collect().map(_.getLong(0))
+    val h3 = df.select(TextAnalysis.hashUnit(col("id"), "s2").as("h")).collect().map(_.getLong(0))
+    assert(h1.toSeq == h2.toSeq)
+    assert(h1.toSeq != h3.toSeq)
+    assert(h1.forall(h => h >= 0 && h < (1L << 24)))
+    // roughly uniform: half the keys land under the midpoint (binomial, wide margin)
+    val below = h1.count(_ < (1L << 23))
+    assert(below > 150 && below < 350, s"below=$below")
+  }
+
+  test("TextAnalysis.mixThresholdCol keeps rate-1.0 sources entirely") {
+    val df = (0L until 100L).map(i => (i, "src0")).toDF("doc_id", "source")
+    val kept = df.filter(
+      TextAnalysis.hashUnit(col("doc_id"), "mix") < TextAnalysis.mixThresholdCol(col("source")))
+    assert(kept.count() == 100) // rate 1.0 -> threshold 2^24 keeps every draw
+  }
+
+  test("Anonymize: pseudonym stable, digits redacted, generalize handles negatives") {
+    val df = Seq((42L, "Customer#000000042", -994.28), (7L, "Customer#000000007", 1500.0))
+      .toDF("k", "name", "bal")
+      .select(
+        Anonymize.pseudonym(col("k"), "salt").as("p1"),
+        Anonymize.pseudonym(col("k"), "salt").as("p2"),
+        Anonymize.pseudonym(col("k"), "other").as("p3"),
+        Anonymize.redactDigits(col("name")).as("red"),
+        Anonymize.generalize(col("bal"), 1000L).as("bucket"))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getString(0) == r.getString(1)))
+    assert(rows.forall(r => r.getString(0) != r.getString(2)))
+    assert(rows(0).getString(3) == "Customer#" + "#" * 9)
+    assert(rows(0).getLong(4) == -1000L) // floor toward -inf, not trunc toward 0
+    assert(rows(1).getLong(4) == 1000L)
+  }
 }
