@@ -40,31 +40,57 @@ object Dedup {
     if (dedup) raw.distinct() else raw
   }
 
-  /** MinHash signatures, wide form: `numHashes` 32-bit minhashes per id as
-    * columns mh_0..mh_{n-1}.
+  /** Largest 32-bit prime — the modulus of the minhash affine family. */
+  val MinhashP = 4294967291L
+
+  /** Fixed (a, b, c) coefficients per hash index. a, b < 2^15 keep
+    * a*x1 + b*x2 + c under 2^49 — exact in 64-bit signed arithmetic in BOTH
+    * engines (DuckDB BIGINT overflow is a hard error, so staying far from
+    * 2^63 is a correctness requirement, not a nicety). Fixed seed: the
+    * coefficients are part of the signature definition, and the oracle SQL
+    * is generated from this same list so the two sides cannot drift. */
+  val minhashCoeffs: IndexedSeq[(Long, Long, Long)] = {
+    val r = new scala.util.Random(0x9e3779b9L)
+    IndexedSeq.fill(64)((r.nextInt(32749).toLong + 16,
+      r.nextInt(32749).toLong + 16, r.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures, wide form: `numHashes` minhashes per id as columns
+    * mh_0..mh_{n-1} (BIGINT in [0, MinhashP)).
     *
-    * Hash family: each md5 digest is split into four 8-hex-char (32-bit)
-    * independent hashes, so n minhashes cost n/4 md5 calls per shingle — and
-    * the whole signature reduces in ONE map-side-combinable groupBy (no
-    * (id, seed) row blowup, no extra shuffle). At 100 TB the shingle explosion
-    * dominates this pipeline; keeping it to one digest pass and one partial
-    * aggregation is the difference from the naive per-seed explode (measured
-    * ~6x on the bench). */
+    * Hash family: ONE md5 per shingle, split into two independent 32-bit
+    * lanes x1, x2; hash i is the affine combination (a_i*x1 + b_i*x2 + c_i)
+    * mod P — the standard one-strong-hash universal family (Indyk '99).
+    * Arithmetic is codegen'd integer work, so n minhashes cost ONE digest
+    * per shingle regardless of n — at 100 TB the shingle stream dominates
+    * this pipeline and digest count is the unit of cost (halved vs the
+    * 4-hashes-per-digest slicing this replaces; was n/4 md5 calls). The
+    * whole signature still reduces in ONE map-side-combinable groupBy. */
   def minhash(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    require(numHashes % 4 == 0, "numHashes must be a multiple of 4 (4 hashes per md5 digest)")
-    val withDigests = (0 until numHashes / 4).foldLeft(sh) { (d, g) =>
-      d.withColumn(s"__d$g", md5(concat(lit(s"$g|"), col("shingle"))))
-    }
+    require(numHashes <= minhashCoeffs.length, s"at most ${minhashCoeffs.length} hashes")
+    val lanes = sh.select(col(idCol), md5(col("shingle")).as("__h"))
+      .select(col(idCol),
+        conv(substring(col("__h"), 1, 8), 16, 10).cast("long").as("__x1"),
+        conv(substring(col("__h"), 9, 8), 16, 10).cast("long").as("__x2"))
     val mins = (0 until numHashes).map { i =>
-      min(substring(col(s"__d${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"mh_$i")
+      val (a, b, c) = minhashCoeffs(i)
+      min((col("__x1") * a + col("__x2") * b + c) % MinhashP).as(s"mh_$i")
     }
     // min is duplicate-insensitive, so raw (non-distinct) shingles are fine —
     // and keeping countDistinct OUT of this aggregate matters: a fused
     // countDistinct forces Spark's expanded two-phase distinct aggregation,
     // which shuffles the full shingle set (measured slower than a separate
     // candidate-only size pass).
-    withDigests.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    lanes.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
+
+  /** Oracle-side spelling of [[minhash]]'s aggregate list (DuckDB; expects
+    * columns x1, x2 = the two 32-bit md5 lanes). */
+  def minhashMinsSql(numHashes: Int): String =
+    (0 until numHashes).map { i =>
+      val (a, b, c) = minhashCoeffs(i)
+      s"    MIN(($a * x1 + $b * x2 + $c) % $MinhashP) AS mh_$i"
+    }.mkString(",\n")
 
   /** LSH band signatures from the wide minhash table: (id, band, sig) with
     * `bandSize` consecutive minhashes concatenated per band. */

@@ -66,7 +66,15 @@ object DedupQs {
         // duplicate-insensitive); the verification stage semi-filters to the
         // candidates' shingles before deduping and sizing them.
         val shRaw = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3, dedup = false)
-        val mh = Dedup.minhash(shRaw, "doc_id", 8)
+        // ONE row per doc — the natural materialization frontier. The band
+        // self-join's two toDF-renamed branches defeat ReuseExchange (the
+        // renamed subtrees aren't structurally equal), so without this the
+        // shingle explode + md5 pipeline runs TWICE more inside
+        // lshCandidates (measured 2.2s -> 0.7s at sf0.1). At 100 TB the
+        // signature table is docs-count-sized — materializing it is the
+        // standard persist point; the petabyte shingle stream is never
+        // materialized anywhere.
+        val mh = Dedup.minhash(shRaw, "doc_id", 8).localCheckpoint(true)
         // The candidate set is tiny but feeds three consumers (semi-filter,
         // intersection, final join); eager localCheckpoint materializes the
         // signature pipeline exactly once and truncates the lineage.
@@ -80,15 +88,18 @@ object DedupQs {
           .select(col("id_a"), col("id_b"), col("n_bands"), col("jaccard"), col("is_dup"))
       },
       Some(s"""WITH $shinglesCte,
+              |lanes AS (
+              |  SELECT doc_id,
+              |    ('0x' || substr(h, 1, 8))::BIGINT AS x1,
+              |    ('0x' || substr(h, 9, 8))::BIGINT AS x2
+              |  FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
               |mh AS (
               |  SELECT doc_id,
-              |${(0 until 8).map(i =>
-                  s"    MIN(substr(md5('${i / 4}|' || shingle), ${(i % 4) * 8 + 1}, 8)) AS mh_$i")
-                  .mkString(",\n")}
-              |  FROM sh GROUP BY doc_id),
+              |${Dedup.minhashMinsSql(8)}
+              |  FROM lanes GROUP BY doc_id),
               |bands AS (
               |${(0 until 4).map(b =>
-                  s"  SELECT doc_id, $b AS band, mh_${2 * b} || '|' || mh_${2 * b + 1} AS sig FROM mh")
+                  s"  SELECT doc_id, $b AS band, CAST(mh_${2 * b} AS VARCHAR) || '|' || CAST(mh_${2 * b + 1} AS VARCHAR) AS sig FROM mh")
                   .mkString("\n  UNION ALL\n")}),
               |cands AS (
               |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
