@@ -92,4 +92,26 @@ object Windows {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1)
       .drop("__new_sess")
   }
+
+  /** W10: SCD type-2 history — collapse consecutive equal values of `attr`
+    * per key (in (axis, tiebreak) order) into versioned validity intervals.
+    * Adds `version` (1-based per key) and `valid_to` (the next version's
+    * axis value; NULL on the open current version); `axis` itself is the
+    * interval's valid-from.
+    *
+    * Change detection is one lag pass; the filter then reduces the frame to
+    * change rows only, so the version numbering and interval chaining
+    * windows run over the (much smaller) version frame. All three passes
+    * share the key partitioning — one shuffle of the input, and nothing
+    * per-key beyond the sort. The comparison is null-safe: runs of NULL
+    * attr values collapse like any other run. */
+  def scd2(df: DataFrame, keyCol: String, axisCol: String, tiebreakCol: String,
+      attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(axisCol), col(tiebreakCol))
+    df.withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(!(col("__prev") <=> col(attrCol)))
+      .drop("__prev")
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col(axisCol), 1).over(w))
+  }
 }

@@ -56,6 +56,20 @@ object DailyPipeline {
             docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 5),
           s"$outDir/decontamination_report")
       }),
+      // privacy mart: the shareable customer export (pseudonyms + k-anonymity
+      // suppression) — the form that may leave the warehouse.
+      materialize("u5_anonymize", "anonymized_customers"),
+      // training mixture: down-sample the MATERIALIZED curated corpus with
+      // the per-source rate ladder (salted-hash draws — reproducible across
+      // reruns, so a resumed pipeline emits the identical sample).
+      Job("corpus_mix_sample", Seq("curated_corpus"), s => {
+        import graft.ops.TextAnalysis
+        val cur = s.read.parquet(s"$outDir/curated_corpus")
+        Tables.write(
+          cur.filter(TextAnalysis.hashUnit(col("doc_id"), "mix") <
+            TextAnalysis.mixThresholdCol(col("source"))),
+          s"$outDir/corpus_mix_sample")
+      }),
       // EP1's month-start dated snapshot (`pipeline_handler.py:343-354`):
       // live table + immutable dated copy.
       Job("revenue_dashboard_snapshot", Seq("revenue_dashboard"), s =>

@@ -184,6 +184,30 @@ object WindowQs {
              |    AS session_no FROM g)
              |SELECT user_id, session_no, COUNT(*) AS n_events,
              |  MIN(us) AS start_us, MAX(us) AS end_us
-             |FROM sn GROUP BY 1, 2""".stripMargin))
+             |FROM sn GROUP BY 1, 2""".stripMargin)),
+
+    // W10: SCD type-2 history — per user, collapse consecutive runs of the
+    // same event_type into versioned validity intervals [valid_from,
+    // valid_to) with an open (NULL) current version. Change detection, the
+    // version numbering, and the interval chaining all share one
+    // hash-partitioning on the key; the version windows run over the
+    // reduced change-row frame, not the raw events.
+    Q("w10_scd2_history",
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          col("event_type"), Q.usecs(col("ts")).as("us"))
+        graft.ops.Windows.scd2(e, "user_id", "us", "event_id", "event_type")
+          .select(col("user_id"), col("version"), col("event_type"),
+            col("us").as("valid_from_us"), col("valid_to").as("valid_to_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+             |  FROM events),
+             |c AS (SELECT *, lag(event_type)
+             |    OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+             |st AS (SELECT user_id, event_id, event_type, us FROM c
+             |  WHERE prev IS DISTINCT FROM event_type)
+             |SELECT user_id, row_number() OVER w AS version, event_type,
+             |  us AS valid_from_us, lead(us) OVER w AS valid_to_us
+             |FROM st WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin))
   )
 }

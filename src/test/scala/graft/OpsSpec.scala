@@ -285,6 +285,24 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.count() == 100) // rate 1.0 -> threshold 2^24 keeps every draw
   }
 
+  test("Windows.scd2 collapses runs into versioned intervals, null-safely") {
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, null), (1L, 50L, 5L, null), (1L, 60L, 6L, "A"),
+      (2L, 10L, 7L, "X")
+    ).toDF("k", "ax", "tb", "attr")
+    val got = Windows.scd2(df, "k", "ax", "tb", "attr")
+      .select("k", "version", "attr", "ax", "valid_to").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)).orNull,
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, 1L, "A", 10L, 30L),   // run A collapses 10+20
+      (1L, 2L, "B", 30L, 40L),
+      (1L, 3L, null, 40L, 60L),  // null run collapses null-safely
+      (1L, 4L, "A", 60L, -1L),   // open current version
+      (2L, 1L, "X", 10L, -1L)))
+  }
+
   test("Anonymize: pseudonym stable, digits redacted, generalize handles negatives") {
     val df = Seq((42L, "Customer#000000042", -994.28), (7L, "Customer#000000007", 1500.0))
       .toDF("k", "name", "bal")
