@@ -108,9 +108,13 @@ object Windows {
   def scd2(df: DataFrame, keyCol: String, axisCol: String, tiebreakCol: String,
       attrCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(axisCol), col(tiebreakCol))
+    // A NULL attr on the key's first row must still open version 1, and
+    // lag(attr) can't tell "no previous row" from "previous attr was NULL" —
+    // so presence is lagged separately via a non-null constant.
     df.withColumn("__prev", lag(col(attrCol), 1).over(w))
-      .filter(!(col("__prev") <=> col(attrCol)))
-      .drop("__prev")
+      .withColumn("__has_prev", lag(lit(1), 1).over(w))
+      .filter(col("__has_prev").isNull || !(col("__prev") <=> col(attrCol)))
+      .drop("__prev", "__has_prev")
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("valid_to", lead(col(axisCol), 1).over(w))
   }

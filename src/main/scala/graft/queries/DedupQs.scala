@@ -57,9 +57,10 @@ object DedupQs {
               |MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
               |FROM documents GROUP BY 1""".stripMargin)),
 
-    // D2: full MinHash-LSH near-dup pipeline — shingle → 8 32-bit minhashes
-    // (2 md5 digests split 4 ways) → 4 bands of 2 → bucket-join candidates →
-    // exact-Jaccard verification.
+    // D2: full MinHash-LSH near-dup pipeline — shingle → 8 minhashes (ONE
+    // md5 per shingle: two 32-bit lanes, affine combinations mod a 32-bit
+    // prime) → 4 bands of 2 → bucket-join candidates → exact-Jaccard
+    // verification.
     Q("d2_minhash_lsh",
       (s, d) => {
         // One heavy pass over RAW shingles (no distinct shuffle — minhash is

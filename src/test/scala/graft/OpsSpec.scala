@@ -289,7 +289,8 @@ class OpsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
       (1L, 40L, 4L, null), (1L, 50L, 5L, null), (1L, 60L, 6L, "A"),
-      (2L, 10L, 7L, "X")
+      (2L, 10L, 7L, "X"),
+      (3L, 10L, 8L, null), (3L, 20L, 9L, "Z") // null attr on the key's FIRST row
     ).toDF("k", "ax", "tb", "attr")
     val got = Windows.scd2(df, "k", "ax", "tb", "attr")
       .select("k", "version", "attr", "ax", "valid_to").collect()
@@ -300,7 +301,9 @@ class OpsSpec extends AnyFunSuite {
       (1L, 2L, "B", 30L, 40L),
       (1L, 3L, null, 40L, 60L),  // null run collapses null-safely
       (1L, 4L, "A", 60L, -1L),   // open current version
-      (2L, 1L, "X", 10L, -1L)))
+      (2L, 1L, "X", 10L, -1L),
+      (3L, 1L, null, 10L, 20L),  // leading null still opens version 1
+      (3L, 2L, "Z", 20L, -1L)))
   }
 
   test("Anonymize: pseudonym stable, digits redacted, generalize handles negatives") {
