@@ -166,6 +166,70 @@ object SimilaritySearch {
     assign
   }
 
+  /** Deterministic signed-random-projection hyperplanes, as dyadic NUMERATORS
+    * k (component value k/1024, k in [-1024, 1024]). Dyadic rationals with a
+    * 2^10 denominator are exactly representable in FLOAT and DOUBLE and print
+    * as the exact SQL literal `(k/1024.0)` — so the Spark plan and the DuckDB
+    * oracle are generated from this one definition and cannot drift. Fixed
+    * 64-bit wrapping LCG (PCG multiplier), row-major: hyperplane j's
+    * components are draws [j*dim, (j+1)*dim). */
+  def srpNumerators(nBits: Int, dim: Int): IndexedSeq[IndexedSeq[Int]] = {
+    var s = 0x9E3779B97F4A7C15L
+    IndexedSeq.fill(nBits, dim) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % 2049L) - 1024L).toInt
+    }
+  }
+
+  /** Band signature columns b0..b{bands-1} over signed random projections:
+    * bit j of band b is [v · h(b*bits+j) > 0]. Each hyperplane is a foldable
+    * ARRAY<FLOAT> literal, so every bit is ONE codegen float_dot per row. */
+  private def srpBandCols(vecCol: String, bands: Int, bits: Int, dim: Int): Seq[Column] = {
+    val h = srpNumerators(bands * bits, dim)
+    (0 until bands).map { b =>
+      (0 until bits).map { j =>
+        val lit = h(b * bits + j).map(k => s"($k/1024.0D)")
+          .mkString("CAST(array(", ", ", ") AS ARRAY<FLOAT>)")
+        when(expr(s"float_dot($vecCol, $lit)") > 0d, 1 << j).otherwise(0)
+      }.reduce(_ + _).cast("int").as(s"b$b")
+    }
+  }
+
+  /** SRP-LSH near-neighbor pairs (cosine LSH, Charikar '02): `bands` band
+    * signatures of `bits` sign-projections each; candidates collide on >= 1
+    * band (equi-join on the band value — NEVER all pairs); exact double-fold
+    * cosine verifies candidates against `threshold`.
+    *
+    * This is the hyperplane analogue of the minhash pipeline in [[Dedup]]:
+    * signature table is docs-count-sized, candidate volume is bounded by
+    * bucket occupancy (bits per band is the knob), and the verification join
+    * touches only candidates — the plan that survives a 100 TB embedding
+    * corpus where the k-means IVF path needs a training step. */
+  def srpNearPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bands: Int, bits: Int, threshold: Double): DataFrame = {
+    registerFns(emb)
+    // ONE row per vector; materialized because the band self-join's two
+    // renamed branches defeat ReuseExchange (same reason d2 checkpoints its
+    // minhash table) — without it the bands*bits-dot scan runs twice.
+    val sig = emb.select(col(idCol) +: srpBandCols(vecCol, bands, bits, dim): _*)
+      .localCheckpoint(true)
+    val banded = sig.select(col(idCol), expr(
+        s"explode(array(${(0 until bands).map(b => s"struct($b AS band, b$b AS sig)").mkString(", ")}))").as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val pairs = Dedup.lshCandidates(banded, idCol)
+    val withNorm = emb.select(col(idCol), col(vecCol),
+      sqrt(expr(normSqExpr(vecCol)).cast("double")).as("__norm"))
+    // candidate volume is data-dependent (a hot bucket is quadratic) — no
+    // forced broadcast; AQE converts at runtime when the side measures small
+    pairs
+      .join(withNorm.toDF("ja", "vec_a", "norm_a"), col("id_a") === col("ja"))
+      .join(withNorm.toDF("jb", "vec_b", "norm_b"), col("id_b") === col("jb"))
+      .withColumn("cos_sim",
+        round(expr(dotExpr("vec_a", "vec_b")) / (col("norm_a") * col("norm_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_bands"), col("cos_sim"))
+  }
+
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, threshold: Double): DataFrame = {
     registerFns(emb)

@@ -188,6 +188,42 @@ object TextAnalysis {
       .drop("__shard", "__tok", "__cum_in", "__base", "__cum_before")
   }
 
+  /** Corpus-level passage dedup — the CCNet/RefinedWeb line-dedup analogue
+    * for unstructured text. Each document's token stream is chunked into
+    * fixed `width`-word passages; a passage whose exact content occurs
+    * >= `minDf` times CORPUS-WIDE is boilerplate and is dropped from every
+    * document; survivors reassemble in order. Output: (idCol, n_passages,
+    * n_dropped, clean_text).
+    *
+    * Scale shape: the passage frequency table is corpus-sized, so both sides
+    * of the frequency join shuffle on md5(passage) — a narrow fixed-width
+    * key instead of the passage text — and the count is map-side
+    * combinable. Reassembly groups by document (hash partition), ordering
+    * restored by array_sort on the (idx, passage) struct, never a global
+    * sort. No driver-side state anywhere. */
+  def dedupPassages(df: DataFrame, idCol: String, textCol: String, width: Int,
+      minDf: Long): DataFrame = {
+    val pass = df.select(col(idCol), split(col(textCol), " ").as("__words"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, (size(__words) + $width - 1) div $width - 1),
+           |  i -> array_join(slice(__words, i * $width + 1, $width), ' '))""".stripMargin))
+        .as(Seq("idx", "passage")))
+      .withColumn("__k", md5(col("passage")))
+    val freq = pass.groupBy(col("__k")).agg(count(lit(1)).as("__df"))
+    pass.join(freq, "__k")
+      .withColumn("__keep", col("__df") < minDf)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+        // collect_list skips the nulls the CASE leaves for dropped passages;
+        // array_sort on (idx, passage) restores document order exactly
+        array_join(expr(
+          """transform(array_sort(collect_list(
+            |  CASE WHEN __keep THEN struct(idx, passage) END)), s -> s.passage)""".stripMargin),
+          " ").as("clean_text"))
+  }
+
   /** Benchmark decontamination: per training doc, how many of its distinct
     * word `k`-gram shingles also occur anywhere in the benchmark set.
     * Returns (idCol, n_shingles, n_contam, contam_ratio) — flag/filter is

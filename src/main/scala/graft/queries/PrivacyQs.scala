@@ -47,6 +47,38 @@ object PrivacyQs {
               |  CASE WHEN group_n < 5 THEN NULL ELSE c_nationkey END AS nation_out,
               |  CASE WHEN group_n < 5 THEN NULL ELSE bal_bucket END AS bal_bucket_out,
               |  group_n, group_n < 5 AS suppressed
-              |FROM w""".stripMargin))
+              |FROM w""".stripMargin)),
+
+    // U6: PII scrubbing — the free-text redaction pass a training corpus
+    // gets before packing. No table ships PII, so the contact blob is
+    // SYNTHESIZED deterministically from customer columns on BOTH sides;
+    // the operator under test is the scrubber (email → <EMAIL>, phone →
+    // <PHONE>, residual >= 3-digit runs → ###, in that order) plus the
+    // detection counts. Pure row-local codegen — scan-speed at 100 TB.
+    Q("u6_pii_scrub",
+      (s, d) => {
+        val blob = concat(
+          lit("reach "), col("c_name"), lit(" at user"),
+          col("c_custkey").cast("string"), lit("@mail-"),
+          lower(col("c_mktsegment")), lit(".example or +1-555-"),
+          lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+          lit(" ref "), col("c_nationkey").cast("string"))
+        Tables.customer(s, d)
+          .withColumn("contact", blob)
+          .select(col("c_custkey"),
+            Anonymize.scrubPii(col("contact")).as("scrubbed"),
+            Anonymize.piiCount(col("contact"), Anonymize.EmailRe).as("n_emails"),
+            Anonymize.piiCount(col("contact"), Anonymize.PhoneRe).as("n_phones"))
+      },
+      Some {
+        val blob = """'reach ' || c_name || ' at user' || c_custkey || '@mail-' ||
+                     |  lower(c_mktsegment) || '.example or +1-555-' ||
+                     |  lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' ref ' || c_nationkey""".stripMargin
+        s"""WITH t AS (SELECT c_custkey, $blob AS contact FROM customer)
+           |SELECT c_custkey, ${Anonymize.scrubPiiSql("contact")} AS scrubbed,
+           |  ${Anonymize.piiCountSql("contact", Anonymize.EmailRe)} AS n_emails,
+           |  ${Anonymize.piiCountSql("contact", Anonymize.PhoneRe)} AS n_phones
+           |FROM t""".stripMargin
+      })
   )
 }

@@ -29,6 +29,36 @@ object SimilarityQs {
     s"""round(${dotSql(a, b)} /
        |  (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)""".stripMargin
 
+  // Oracle for k4: the SAME hyperplane numerators SimilaritySearch uses,
+  // spelled as exact (k/1024.0) list literals; in-order SUM over range()
+  // reproduces float_dot's fold, so every sign bit matches the Spark plan.
+  private def srpOracle(bands: Int, bits: Int, threshold: Double): String = {
+    val h = graft.ops.SimilaritySearch.srpNumerators(bands * bits, dim)
+    def planeDot(p: IndexedSeq[Int]): String = {
+      val lit = p.map(k => s"($k/1024.0)").mkString("[", ", ", "]")
+      s"(SELECT SUM(CAST(embedding[i + 1] AS DOUBLE) * ($lit)[i + 1]) FROM range($dim) t(i))"
+    }
+    val bandCols = (0 until bands).map { b =>
+      (0 until bits).map(j =>
+        s"(CASE WHEN ${planeDot(h(b * bits + j))} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString("    (", " + ", s") AS b$b")
+    }.mkString(",\n")
+    val bandJoins = (0 until bands).map(k =>
+      s"    SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a JOIN sig b ON a.b$k = b.b$k AND a.vec_id < b.vec_id")
+      .mkString("\n    UNION ALL\n")
+    s"""WITH sig AS (
+       |  SELECT vec_id,
+       |$bandCols
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT id_a, id_b, COUNT(*) AS n_bands FROM (
+       |$bandJoins)
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_bands, ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+       |FROM cand JOIN embeddings a ON a.vec_id = id_a JOIN embeddings b ON b.vec_id = id_b
+       |WHERE ${cosSql("a.embedding", "b.embedding")} >= $threshold""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
 
     // K1: brute-force exact top-10 cosine neighbors of vec_id 0 — the
@@ -86,6 +116,18 @@ object SimilarityQs {
           "vec_id", "embedding", "cell", queryId = 0L, k = 5, nprobe = 2)
       },
       None),
+
+    // K4: SRP-LSH (cosine LSH) near-neighbor pairs — 4 bands × 6 sign
+    // projections; candidates collide on >= 1 band (equi-join, never
+    // all-pairs: ~8.3k of 124,750 possible pairs at sf0.01), exact
+    // double-fold cosine verifies. The hyperplanes are dyadic k/1024
+    // literals from a fixed LCG — exact in FLOAT, DOUBLE, and as SQL text —
+    // generated once in SimilaritySearch.srpNumerators for BOTH engines.
+    Q("k4_srp_lsh",
+      (s, d) => SimilaritySearch.srpNearPairs(
+        Tables.embeddings(s, d), "vec_id", "embedding", dim,
+        bands = 4, bits = 6, threshold = 0.4),
+      Some(srpOracle(bands = 4, bits = 6, threshold = 0.4))),
 
     // K3: embedding-cosine near-dup pairs within buckets (dedup by vector).
     Q("k3_embedding_neardup",

