@@ -195,12 +195,15 @@ object TextAnalysis {
     * document; survivors reassemble in order. Output: (idCol, n_passages,
     * n_dropped, clean_text).
     *
-    * Scale shape: the passage frequency table is corpus-sized, so both sides
-    * of the frequency join shuffle on md5(passage) — a narrow fixed-width
-    * key instead of the passage text — and the count is map-side
-    * combinable. Reassembly groups by document (hash partition), ordering
-    * restored by array_sort on the (idx, passage) struct, never a global
-    * sort. No driver-side state anywhere. */
+    * Scale shape: the membership side is reduced to the BOILERPLATE KEY SET
+    * (distinct passages with df >= minDf) before the join — the frequency
+    * count shuffles only the narrow md5 key (map-side combinable), and the
+    * full-width passage table then LEFT-joins that set, which is usually
+    * small enough for AQE's runtime broadcast (no forced hint: a corpus
+    * where half the passages are boilerplate degrades to a shuffle join,
+    * not an OOM). The full-width table thus shuffles ONCE, on the document
+    * id for reassembly, ordering restored by array_sort on the
+    * (idx, passage) struct — never a global sort. No driver-side state. */
   def dedupPassages(df: DataFrame, idCol: String, textCol: String, width: Int,
       minDf: Long): DataFrame = {
     val pass = df.select(col(idCol), split(col(textCol), " ").as("__words"))
@@ -209,9 +212,10 @@ object TextAnalysis {
            |  i -> array_join(slice(__words, i * $width + 1, $width), ' '))""".stripMargin))
         .as(Seq("idx", "passage")))
       .withColumn("__k", md5(col("passage")))
-    val freq = pass.groupBy(col("__k")).agg(count(lit(1)).as("__df"))
-    pass.join(freq, "__k")
-      .withColumn("__keep", col("__df") < minDf)
+    val boiler = pass.groupBy(col("__k")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select(col("__k"), lit(true).as("__boiler"))
+    pass.join(boiler, Seq("__k"), "left")
+      .withColumn("__keep", col("__boiler").isNull)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_passages"),
