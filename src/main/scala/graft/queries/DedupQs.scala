@@ -170,6 +170,43 @@ object DedupQs {
         s"""WITH $simhash64CtesSql
            |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin)),
 
+    // D6: near-dup CLUSTER collapse — the end-product of pairwise dedup.
+    // D5's pair graph is closed transitively (connected components via
+    // iterative min-label propagation, O(diameter) shuffle rounds) and each
+    // cluster elects its minimum doc_id as the canonical keeper. Per-pair
+    // drop policies over-drop on chains (A~B, B~C need not drop both B and
+    // C's whole neighborhoods); the component view is the policy-complete
+    // one. Only docs appearing in >= 1 pair are clustered — the component
+    // state is pair-graph-sized, not corpus-sized.
+    Q("d6_neardup_clusters",
+      (s, d) => {
+        import graft.ops.Identity
+        val pairs = Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3)
+          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+        val nodes = pairs.select(col("id_a").as("id"))
+          .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        Identity.connectedComponents(nodes, edges)
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("comp_id"))))
+          .select(col("id").as("doc_id"), col("comp_id").as("cluster_id"),
+            col("cluster_size"), (col("id") === col("comp_id")).as("is_keeper"))
+      },
+      Some(
+        s"""WITH RECURSIVE $simhash64CtesSql,
+           |np AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+           |uedges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM np
+           |  UNION SELECT id_b, id_a FROM np),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM uedges
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN uedges e ON reach.r = e.src),
+           |comps AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+           |sized AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comps GROUP BY 1)
+           |SELECT id AS doc_id, cluster_id, cluster_size, id = cluster_id AS is_keeper
+           |FROM comps JOIN sized USING (cluster_id)""".stripMargin)),
+
     // C1: end-to-end corpus curation — the LLM-training-data pipeline as ONE
     // declared plan: language gate → quality gate → exact-dedup keeper →
     // simhash near-dup removal (keep the lower id) → per-source token budget
