@@ -129,6 +129,60 @@ object TextAnalysis {
     s"CASE $srcExpr $whens ELSE ${mixThreshold(mixDefaultRate)} END"
   }
 
+  /** Per-source EXACT sample quotas (documents to keep, not a rate) — the
+    * "give me exactly N docs from each source" counterpart of [[mixRates]]. */
+  val quotaCounts: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (i % 4 match {
+      case 0 => 200L; case 1 => 100L; case 2 => 50L; case _ => 25L
+    })).toMap
+  val quotaDefault = 25L
+
+  def quotaCol(srcCol: Column): Column =
+    quotaCounts.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (src, q)) =>
+        Some(acc.fold(when(srcCol === src, q))(_.when(srcCol === src, q)))
+    }.get.otherwise(lit(quotaDefault))
+
+  def quotaSql(srcExpr: String): String = {
+    val whens = quotaCounts.toSeq.sortBy(_._1).map { case (src, q) =>
+      s"WHEN '$src' THEN $q"
+    }.mkString(" ")
+    s"CASE $srcExpr $whens ELSE $quotaDefault END"
+  }
+
+  /** Exact-quota stratified sample: keep the `quota(stratum)` documents with
+    * the smallest salted hash per stratum (deterministic across runs,
+    * partitionings, and engines), tagged with their 1-based `sample_rank`.
+    *
+    * Semantically `row_number() OVER (PARTITION BY stratum ORDER BY h, id)
+    * <= quota` — but that window puts EVERY row of a stratum on one
+    * partition, which dies when one source holds billions of docs. Instead
+    * the rank is computed two-level (the [[packAssignSharded]] prefix-sum
+    * pattern, keyed by hash RANGE so shard order == hash order): in-shard
+    * row_number over (stratum, h div 2^16) — 256 uniform ranges per stratum
+    * — plus the summed counts of lower shards, joined back from a frame of
+    * at most 256 rows per stratum (AQE broadcasts it; no forced hint).
+    * Equal hashes share a shard, so the two-level rank is exactly the
+    * global rank. */
+  def quotaSample(df: DataFrame, strataCol: String, idCol: String,
+      quota: Column, salt: String): DataFrame = {
+    val base = df.withColumn("__h", hashUnit(col(idCol), salt))
+      .withColumn("__shard", (col("__h") / 65536L).cast("int"))
+    val wIn = Window.partitionBy(col(strataCol), col("__shard"))
+      .orderBy(col("__h"), col(idCol))
+    val wCum = Window.partitionBy(col(strataCol)).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = base.groupBy(col(strataCol), col("__shard"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .select(col(strataCol), col("__shard"), col("__base"))
+    base.withColumn("__rn", row_number().over(wIn))
+      .join(bases, Seq(strataCol, "__shard"))
+      .withColumn("sample_rank", col("__base") + col("__rn"))
+      .filter(col("sample_rank") <= quota)
+      .drop("__h", "__shard", "__rn", "__base")
+  }
+
   /** Content fingerprint: md5 of the whitespace/case-normalized text. */
   def fingerprint(c: Column): Column = md5(Normalize.normText(c))
 

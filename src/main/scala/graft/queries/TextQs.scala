@@ -147,6 +147,24 @@ object TextQs {
               |WHERE ${TextAnalysis.hashUnitSql("doc_id", "mix")} <
               |  ${TextAnalysis.mixThresholdSql("source")}""".stripMargin)),
 
+    // T9: exact-quota stratified sample — exactly quota(source) docs per
+    // source, the smallest salted hashes winning (deterministic across
+    // engines). The Spark side computes the rank TWO-LEVEL (hash-range
+    // shards + prefix-summed shard counts, the t5b pattern) so no stratum
+    // ever sits on one partition; the oracle is the naive single-window
+    // row_number form — same answer by construction.
+    Q("t9_quota_sample",
+      (s, d) => TextAnalysis.quotaSample(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          "source", "doc_id", TextAnalysis.quotaCol(col("source")), "t9")
+        .select(col("doc_id"), col("source"), col("sample_rank")),
+      Some(s"""SELECT doc_id, source, rnk AS sample_rank FROM (
+              |  SELECT doc_id, source,
+              |    ROW_NUMBER() OVER (PARTITION BY source
+              |      ORDER BY ${TextAnalysis.hashUnitSql("doc_id", "t9")}, doc_id) AS rnk
+              |  FROM documents)
+              |WHERE rnk <= ${TextAnalysis.quotaSql("source")}""".stripMargin)),
+
     // T10: corpus-level passage dedup (CCNet/RefinedWeb line-dedup analogue)
     // — 8-word passages occurring >= 3 times corpus-wide are boilerplate,
     // dropped from every doc, survivors reassembled in order. The frequency

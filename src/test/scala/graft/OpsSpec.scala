@@ -285,6 +285,31 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.count() == 100) // rate 1.0 -> threshold 2^24 keeps every draw
   }
 
+  test("TextAnalysis.quotaSample two-level rank equals the naive window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 500L).map(i => (i, s"s${i % 3}")).toDF("id", "st")
+    val quota = when(col("st") === "s0", 40L).when(col("st") === "s1", 7L).otherwise(500L)
+    val got = TextAnalysis.quotaSample(df, "st", "id", quota, "qq")
+      .select("id", "st", "sample_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val naive = df
+      .withColumn("__h", TextAnalysis.hashUnit(col("id"), "qq"))
+      .withColumn("sample_rank",
+        row_number().over(Window.partitionBy("st").orderBy(col("__h"), col("id"))).cast("long"))
+      .filter(col("sample_rank") <= quota)
+      .select("id", "st", "sample_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == naive)
+    // exact sizes: min(quota, stratum size); s2 quota 500 > its ~166 rows
+    val bySt = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySt("s0") == 40 && bySt("s1") == 7 && bySt("s2") == df.filter(col("st") === "s2").count())
+    // partitioning-independent
+    val re = TextAnalysis.quotaSample(df.repartition(13), "st", "id", quota, "qq")
+      .select("id", "st", "sample_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(re == got)
+  }
+
   test("TextAnalysis.dedupPassages drops corpus-wide boilerplate, keeps order") {
     // width=2 passages; "x y" appears in 3 docs -> boilerplate at minDf=3
     val df = Seq(
