@@ -147,6 +147,49 @@ object TextQs {
               |WHERE ${TextAnalysis.hashUnitSql("doc_id", "mix")} <
               |  ${TextAnalysis.mixThresholdSql("source")}""".stripMargin)),
 
+    // T11: TF-IDF top terms per document — the relevance-scoring building
+    // block (search indexing, keyword extraction, quality features). TF is
+    // one (doc, term) aggregation; DF reuses those distinct rows (no fused
+    // countDistinct); N is a 1-row aggregate broadcast into the scorer.
+    // idf and score round to 6 decimals to pin the double across engines;
+    // top-3 per doc under the total order (score desc, term asc).
+    Q("t11_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(dfreq, "term")
+          .crossJoin(broadcast(n)) // 1-row total — whitelisted broadcast
+          .withColumn("idf", round(log(col("n_docs").cast("double") / col("df")), 6))
+          .withColumn("score", round(col("tf") * col("idf"), 6))
+          .withColumn("term_rank", row_number().over(w).cast("long"))
+          .filter(col("term_rank") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score"), col("term_rank"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tf AS (
+             |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+             |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, term, tf, df,
+             |    round(tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6), 6) AS score
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, tf, df, score, rnk AS term_rank FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, term) AS rnk FROM scored)
+             |WHERE rnk <= 3""".stripMargin)),
+
     // T9: exact-quota stratified sample — exactly quota(source) docs per
     // source, the smallest salted hashes winning (deterministic across
     // engines). The Spark side computes the rank TWO-LEVEL (hash-range
