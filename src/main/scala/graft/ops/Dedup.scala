@@ -136,8 +136,12 @@ object Dedup {
     // trade-off: building this DataFrame runs the candidate job EAGERLY
     // (plan-only consumers pay it too) — the measured hint decision needs a
     // real count, and every non-trivial caller executes the result anyway.
+    // "already materialized" = every leaf is a LogicalRDD (a checkpoint), so
+    // counting re-runs only the cheap local ops layered on top — a plan-root
+    // check would re-materialize for a mere projection over a checkpoint.
     val pairsCk =
-      if (pairs.queryExecution.analyzed.getClass.getSimpleName == "LogicalRDD") pairs
+      if (pairs.queryExecution.analyzed.collectLeaves()
+            .forall(_.getClass.getSimpleName == "LogicalRDD")) pairs
       else pairs.localCheckpoint(true)
     val small = pairsCk.count() <= MaxBroadcastPairs
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df

@@ -50,9 +50,12 @@ object DailyPipeline {
       Job("decontamination_report", Seq("curated_corpus"), s => {
         val docs = Tables.documents(s, sfDir)
         val curated = s.read.parquet(s"$outDir/curated_corpus").select(col("doc_id"))
+        // train side excludes the benchmark slice (doc_id % 97 == 0), matching
+        // t6_decontaminate — a bench doc that survives curation would otherwise
+        // self-match at contam_ratio 1.0 and pollute the report
         Tables.write(
           graft.ops.TextAnalysis.contamination(
-            docs.join(curated, "doc_id"),
+            docs.join(curated, "doc_id").filter(col("doc_id") % 97 =!= 0),
             docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 5),
           s"$outDir/decontamination_report")
       }),

@@ -129,7 +129,8 @@ object StreamQs {
     // ST5: streaming session windows, oracle-gated. With zero lateness the
     // final watermark is max(ts), and append mode emits exactly the
     // sessions the watermark closed — a set batch SQL can name: sessions
-    // whose [start, last+gap) end is before the final watermark. The
+    // whose [start, last+gap) end is AT OR before the final watermark
+    // (eviction is end <= watermark, pinned by SessionBoundarySpec). The
     // session boundary is session_window's half-open rule (a step of
     // exactly gap starts a new session → batch lag >= gap).
     Q("st5_stream_sessions",
@@ -152,7 +153,7 @@ object StreamQs {
              |g AS (SELECT user_id, grp, MIN(us) AS start_us, MAX(us) AS last_us,
              |      COUNT(*) AS n_events FROM sn GROUP BY 1, 2)
              |SELECT user_id, start_us, n_events FROM g
-             |WHERE last_us + 1800000000 < (SELECT MAX(us) FROM e)""".stripMargin)),
+             |WHERE last_us + 1800000000 <= (SELECT MAX(us) FROM e)""".stripMargin)),
 
     // ST3: custom keyed state via mapGroupsWithState — running per-user
     // totals. Totals are monotone, so max-per-user over the update-mode

@@ -57,22 +57,36 @@ object Streams {
   def mergeUpsert(batch: DataFrame, tableDir: String,
       keyCol: String, versionCol: String, tiebreakCol: String): Unit = {
     val spark = batch.sparkSession
-    // ONLY a missing table reads as empty; any other read failure (corrupt
-    // files from an interrupted overwrite, transient FS errors) must abort
-    // the merge — treating it as empty would silently wipe the table down
-    // to the current micro-batch.
     val path = new org.apache.hadoop.fs.Path(tableDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Commit protocol: parquet overwrite is not atomic, so the merge writes
+    // to a sibling temp dir and swaps it in. A marker file records that the
+    // table has committed at least once — a missing data dir WITH the marker
+    // present means an interrupted swap, never "first batch": finish the
+    // swap if the temp dir committed (_SUCCESS), else abort. Without the
+    // marker, a crash mid-overwrite would make fs.exists(path) false on
+    // replay and the merge would silently rebuild the table from the single
+    // replayed micro-batch.
+    val marker = new org.apache.hadoop.fs.Path(tableDir + "._GRAFT_TABLE")
+    val tmp = new org.apache.hadoop.fs.Path(tableDir + "._GRAFT_TMP")
+    if (!fs.exists(path) && fs.exists(marker)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+        fs.rename(tmp, path) // finish the interrupted swap, then merge on top
+      else sys.error(s"table $tableDir has committed before (marker present) " +
+        "but the data directory is missing and no complete temp copy exists — " +
+        "refusing to reinitialize from one micro-batch")
+    }
     val existing = if (fs.exists(path)) Some(spark.read.parquet(tableDir)) else None
     val all = existing.fold(batch)(_.unionByName(batch))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(versionCol).desc, col(tiebreakCol).desc)
-    // localCheckpoint materializes the merge BEFORE the overwrite: parquet
-    // cannot lazily read the directory it is replacing
     val merged = all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(tableDir)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.write.parquet(tmp.toString) // reads old dir, writes new — no overlap
+    if (!fs.exists(marker)) fs.create(marker).close()
+    if (fs.exists(path)) fs.delete(path, true)
+    fs.rename(tmp, path)
   }
 
   /** Continuous upsert: every micro-batch of `stream` is merged into

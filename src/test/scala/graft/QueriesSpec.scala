@@ -85,7 +85,8 @@ class QueriesSpec extends AnyFunSuite {
     "a6_pct_of_total",         // 1-row grand-total broadcast
     "j9b_refund_redistribution", // two 1-row total broadcasts
     "k2b_knn_ivf_centroid",    // k-row centroid table broadcast
-    "k2c_knn_ivf_kmeans"       // k-row centroid broadcast per Lloyd iteration
+    "k2c_knn_ivf_kmeans",      // k-row centroid broadcast per Lloyd iteration
+    "t11_tfidf"                // 1-row corpus-total broadcast (same shape as a6)
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {

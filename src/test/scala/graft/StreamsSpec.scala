@@ -119,9 +119,10 @@ class StreamsSpec extends AnyFunSuite {
     val want = sessions.select("user_id", "start_us", "last_us", "n_events")
       .collect()
     val wantAll = want.map(key).toSet
-    // sessions whose [last+gap) end is strictly before the final watermark
-    // MUST have been emitted; nothing outside batch truth may ever appear
-    val mustEmit = want.filter(r => r.getLong(2) + gapUs < maxUs).map(key).toSet
+    // sessions whose [last+gap) end is at or before the final watermark
+    // MUST have been emitted (eviction is end <= watermark — pinned by
+    // SessionBoundarySpec); nothing outside batch truth may ever appear
+    val mustEmit = want.filter(r => r.getLong(2) + gapUs <= maxUs).map(key).toSet
     assert(got.nonEmpty)
     assert(got.subsetOf(wantAll), "every emitted session must match batch truth")
     assert(mustEmit.subsetOf(got), "every watermark-closed session must be emitted")
@@ -204,6 +205,31 @@ class StreamsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
     assert(got == Map(1L -> ((1L, "one_v1")), 2L -> ((5L, "two_v5")),
       3L -> ((1L, "three_v1"))))
+  }
+
+  test("mergeUpsert refuses to reinitialize a destroyed table, and self-heals an interrupted swap") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_merge_atom").toString
+    val table = s"$root/t"
+    def batch(rows: (Long, Long, String)*) = rows.toDF("k", "version", "payload")
+    Streams.mergeUpsert(batch((1L, 1L, "a")), table, "k", "version", "payload")
+    assert(spark.read.parquet(table).count() == 1)
+    assert(Files.exists(Paths.get(table + "._GRAFT_TABLE")), "commit marker written")
+    // simulate a crash mid-overwrite: data dir destroyed, marker present,
+    // no temp copy → the merge must ABORT, not rebuild from one micro-batch
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(table))
+    val ex = intercept[RuntimeException] {
+      Streams.mergeUpsert(batch((2L, 1L, "b")), table, "k", "version", "payload")
+    }
+    assert(ex.getMessage.contains("refusing to reinitialize"))
+    // simulate a crash between delete and rename: complete temp copy present
+    // → the merge finishes the swap, then merges the replayed batch on top
+    batch((1L, 1L, "a"), (3L, 1L, "c")).write.parquet(table + "._GRAFT_TMP")
+    Streams.mergeUpsert(batch((2L, 1L, "b")), table, "k", "version", "payload")
+    val got = spark.read.parquet(table).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
   }
 
   test("runningUserTotals accumulates keyed state across a batch") {
