@@ -131,9 +131,55 @@ object FlagRules {
     }
   }
 
-  /** Registry — mirrors `ACTIVE_RULES` `customer_flags_config.py:1888-1905`. */
+  /** Last hex digit of the md5 of a string, mod 10 — the stable A/B bucket
+    * (`customer_flags_config.py:58-132`). JVM MD5 == DuckDB md5 == Spark md5
+    * on identical bytes, so rules using this stay oracle-portable. */
+  def abDigit(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (d(15) & 0x0f).toLong % 10L
+  }
+
+  /** A/B-gated 2-week offer (`FirstTimeDayPass2WeekOfferFlag`,
+    * `customer_flags_config.py:231-374`), re-parameterized for this data
+    * shape: Group A only (id-hash last digit 0-4), >= 2 purchases in the
+    * trailing 7 days (the "recent day passes"), and fewer signups than
+    * purchases in that window (the "not already an active member" gate).
+    * The reference's 180-day re-flag guard and 30-day sync cooldown are
+    * prior-state filters — relational anti-join post-passes in
+    * [[graft.flags.FlagPasses.guardOffers]] (u1e), exactly where the
+    * reference reads its own flag_set / flag_synced_to_shopify events. */
+  object ReturningOffer2wk extends FlagRule {
+    val name = "returning_offer_2wk"
+    def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
+      if (abDigit(userId.toString) > 4) return None // Group B: different journey
+      val recent = events.filter(e => e.us >= asOfUs - 7 * Day && e.us < asOfUs)
+      val p7 = recent.count(_.eventType == "purchase")
+      val s7 = recent.count(_.eventType == "signup")
+      if (p7 >= 2 && s7 < p7) Some(Flag(userId, name, s"p7=$p7,s7=$s7"))
+      else None
+    }
+  }
+
+  /** PERSISTENT status flag (`ActiveMembershipFlag`,
+    * `customer_flags_config.py:1421-1573`): a signup in the trailing 14 days
+    * marks the account membership-active. Persistent = exempt from the
+    * lifecycle TTL (u1b), like the reference's PERSISTENT_FLAGS. */
+  object ActiveMember extends FlagRule {
+    val name = "active_member"
+    def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
+      val s14 = events.count(e =>
+        e.eventType == "signup" && e.us >= asOfUs - 14 * Day && e.us < asOfUs)
+      if (s14 >= 1) Some(Flag(userId, name, s"signups_14d=$s14")) else None
+    }
+  }
+
+  /** Registry — mirrors `ACTIVE_RULES` `customer_flags_config.py:1888-1905`.
+    * 9 timeline rules here + 3 relational party rules in
+    * [[graft.flags.PartyFlags]] = the reference's 12 active rules. */
   val active: Seq[FlagRule] =
-    Seq(Inactive24h, PowerUser, BigSpender, ErrorProne, Streak7d, NightOwl, WeekendWarrior)
+    Seq(Inactive24h, PowerUser, BigSpender, ErrorProne, Streak7d, NightOwl,
+      WeekendWarrior, ReturningOffer2wk, ActiveMember)
 
   def evaluateAll(userId: Long, events: Seq[Ev], asOfUs: Long): Seq[Flag] = {
     val sorted = events.sortBy(e => (e.us, e.eventId))

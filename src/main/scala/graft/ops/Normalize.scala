@@ -29,6 +29,38 @@ object Normalize {
   def abGroupSql(e: String, groups: Int = 10): String =
     s"CAST(CAST(('0x' || substr(md5($e), 32, 1)) AS BIGINT) % $groups AS BIGINT)"
 
+  /** Common TLD typo → correction, the reference's DOMAIN_TYPO_CORRECTIONS
+    * (`customer_matching.py:131-160`). */
+  val TldTypos: Seq[(String, String)] = Seq(
+    "con" -> "com", "cmo" -> "com", "ocm" -> "com", "om" -> "com",
+    "comm" -> "com", "xom" -> "com", "vom" -> "com",
+    "og" -> "org", "ogr" -> "org", "rog" -> "org",
+    "ner" -> "net", "nte" -> "net", "met" -> "net",
+    "eud" -> "edu", "deu" -> "edu")
+
+  /** Fix common TLD typos in an email domain (`fix_domain_typo`,
+    * `customer_matching.py:162-196`): split at the last dot, map the TLD
+    * through the typo table, keep anything unrecognized as-is. Pure codegen
+    * column expression — a map literal lookup, no UDF. */
+  def fixDomainTypos(domain: Column): Column = {
+    val d = lower(domain)
+    val base = regexp_extract(d, "^(.*)\\.([^.]+)$", 1)
+    val tld = regexp_extract(d, "^(.*)\\.([^.]+)$", 2)
+    val fixed = coalesce(
+      element_at(typedLit(TldTypos.toMap), tld), tld)
+    when(tld === "", d).otherwise(concat(base, lit("."), fixed))
+  }
+
+  def fixDomainTyposSql(e: String): String = {
+    val cases = TldTypos.map { case (t, c) => s"WHEN '$t' THEN '$c'" }.mkString(" ")
+    s"""CASE WHEN regexp_extract(lower($e), '^(.*)\\.([^.]+)$$', 2) = ''
+       | THEN lower($e)
+       | ELSE regexp_extract(lower($e), '^(.*)\\.([^.]+)$$', 1) || '.' ||
+       |   (CASE regexp_extract(lower($e), '^(.*)\\.([^.]+)$$', 2) $cases
+       |    ELSE regexp_extract(lower($e), '^(.*)\\.([^.]+)$$', 2) END)
+       | END""".stripMargin.replaceAll("\n", " ")
+  }
+
   /** M6: Levenshtein similarity ratio in [0,1]. */
   def levRatio(a: Column, b: Column): Column =
     lit(1.0) - levenshtein(a, b).cast("double") / greatest(length(a), length(b)).cast("double")

@@ -60,6 +60,98 @@ object IdentityQs {
               |comps AS (SELECT id, MIN(r) AS comp_id FROM reach GROUP BY id)
               |SELECT id AS node_id, comp_id,
               |  COUNT(*) OVER (PARTITION BY comp_id) AS comp_size
-              |FROM comps""".stripMargin))
+              |FROM comps""".stripMargin)),
+
+    // U2b: the FUZZY identity pass — edges require the normalized email
+    // domains to match after TLD-typo correction (gmail.con == gmail.com),
+    // in addition to the near-identical local part; blocking on
+    // (suffix % 100, fixed domain) keeps candidate pairs bounded. Reference:
+    // typo map + domain-tolerant match `customer_matching.py:104-208,432-445`.
+    // Deterministic tie-break: canonical id = component minimum, as in u2.
+    Q("u2b_identity_fuzzy",
+      (s, d) => {
+        import graft.ops.Normalize
+        def domain(key: org.apache.spark.sql.Column, typoSet: Int) = {
+          val m = key % 10
+          if (typoSet == 0)
+            when(m <= 3, lit("gmail.com")).when(m === 4, lit("gmail.con"))
+              .when(m <= 7, lit("climb.org")).when(m === 8, lit("climb.og"))
+              .otherwise(lit("yahoo.net"))
+          else
+            when(m <= 3, lit("gmail.com")).when(m === 4, lit("gmail.cmo"))
+              .when(m <= 7, lit("climb.ogr")).when(m === 8, lit("climb.org"))
+              .otherwise(lit("yahoo.met"))
+        }
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"),
+            regexp_extract(col("c_name"), "#([0-9]+)", 1).as("num"),
+            Normalize.fixDomainTypos(domain(col("c_custkey"), 0)).as("dom"))
+        // supplier domains key off the TENS digit — edge pairs share the last
+        // digit (lev<=1 within a %100 block can only differ in higher
+        // digits), so a last-digit-keyed domain would never prune; the tens
+        // digit makes the domain gate (and its typo correction) decide which
+        // supplier×customer links survive
+        val sup = Tables.supplier(s, d)
+          .select((col("s_suppkey") + 100000L).as("id"),
+            regexp_extract(col("s_name"), "#([0-9]+)", 1).as("num"),
+            Normalize.fixDomainTypos(
+              domain(floor(col("s_suppkey") / 10).cast("long"), 1)).as("dom"))
+        val edges = c.select(col("id").as("src"), col("num").as("src_num"),
+            (col("num").cast("long") % 100).as("blk"), col("dom"))
+          .join(sup.select(col("id").as("dst"), col("num").as("dst_num"),
+            (col("num").cast("long") % 100).as("blk"), col("dom")), Seq("blk", "dom"))
+          .filter(levenshtein(col("src_num"), col("dst_num")) <= 1)
+          .select(col("src"), col("dst"))
+        val nodes = c.select(col("id")).unionByName(sup.select(col("id")))
+        Identity.connectedComponents(nodes, edges)
+          .withColumn("comp_size",
+            count(lit(1)).over(Window.partitionBy(col("comp_id"))))
+          .select(col("id").as("node_id"), col("comp_id"), col("comp_size"))
+      },
+      Some {
+        import graft.ops.Normalize
+        def domSql(key: String, typoSet: Int) =
+          if (typoSet == 0)
+            s"""CASE WHEN $key % 10 <= 3 THEN 'gmail.com'
+               | WHEN $key % 10 = 4 THEN 'gmail.con'
+               | WHEN $key % 10 <= 7 THEN 'climb.org'
+               | WHEN $key % 10 = 8 THEN 'climb.og'
+               | ELSE 'yahoo.net' END""".stripMargin.replaceAll("\n", " ")
+          else
+            s"""CASE WHEN $key % 10 <= 3 THEN 'gmail.com'
+               | WHEN $key % 10 = 4 THEN 'gmail.cmo'
+               | WHEN $key % 10 <= 7 THEN 'climb.ogr'
+               | WHEN $key % 10 = 8 THEN 'climb.org'
+               | ELSE 'yahoo.met' END""".stripMargin.replaceAll("\n", " ")
+        s"""WITH RECURSIVE
+           |c AS (
+           |  SELECT c_custkey AS id, regexp_extract(c_name, '#([0-9]+)', 1) AS num,
+           |    ${Normalize.fixDomainTyposSql(domSql("c_custkey", 0))} AS dom
+           |  FROM customer),
+           |s AS (
+           |  SELECT 100000 + s_suppkey AS id, regexp_extract(s_name, '#([0-9]+)', 1) AS num,
+           |    ${Normalize.fixDomainTyposSql(domSql("(s_suppkey // 10)", 1))} AS dom
+           |  FROM supplier),
+           |edges_raw AS (
+           |  SELECT c.id AS src, s.id AS dst
+           |  FROM c JOIN s
+           |    ON CAST(c.num AS BIGINT) % 100 = CAST(s.num AS BIGINT) % 100
+           |   AND c.dom = s.dom
+           |  WHERE levenshtein(c.num, s.num) <= 1),
+           |edges AS (
+           |  SELECT src, dst FROM edges_raw
+           |  UNION
+           |  SELECT dst, src FROM edges_raw),
+           |nodes AS (
+           |  SELECT id FROM c UNION ALL SELECT id FROM s),
+           |reach(id, r) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+           |comps AS (SELECT id, MIN(r) AS comp_id FROM reach GROUP BY id)
+           |SELECT id AS node_id, comp_id,
+           |  COUNT(*) OVER (PARTITION BY comp_id) AS comp_size
+           |FROM comps""".stripMargin
+      })
   )
 }

@@ -115,6 +115,62 @@ object Scalars {
       Some(s"""SELECT ${Normalize.abGroupSql("c_name", 10)} AS ab_group, COUNT(*) AS n
               |FROM customer GROUP BY 1""".stripMargin)),
 
+    // M5b: the FULL A/B assignment — identifier priority email → phone-digits
+    // → customer_id (phones without digits fall through to the id, like the
+    // reference's empty-digit guard), with a manual override map applied
+    // first as a broadcast lookup (the reference's AB_GROUP_OVERRIDES dict).
+    // Reference: `customer_flags_config.py:58-132`.
+    Q("m5b_ab_priority",
+      (s, d) => {
+        import s.implicits._
+        val ck = col("c_custkey")
+        // synthetic contact info: a third has email (messy case/spaces), a
+        // third has phone (formatted; every 30th has a digitless one), a
+        // third has neither — exercising every rung of the ladder
+        val emailNorm = when(ck % 3 === 0,
+          trim(lower(concat(lit("  User"), ck, lit("@Example.COM ")))))
+        val phoneDigits = when(ck % 3 === 1,
+          nullif(regexp_replace(
+            when(ck % 30 === 1, lit("ext. abc"))
+              .otherwise(concat(lit("(555) "), ck, lit("-01"))),
+            "[^0-9]", ""), lit("")))
+        val overrides = broadcast(Seq((7L, "A"), (42L, "B"), (1001L, "B"))
+          .toDF("ov_key", "ov_group"))
+        val hashSrc = coalesce(emailNorm, phoneDigits, ck.cast("string"))
+        Tables.customer(s, d)
+          .join(overrides, ck === col("ov_key"), "left")
+          .select(ck,
+            when(col("ov_group").isNotNull, lit("override"))
+              .when(emailNorm.isNotNull, lit("email"))
+              .when(phoneDigits.isNotNull, lit("phone"))
+              .otherwise(lit("customer_id")).as("basis"),
+            coalesce(col("ov_group"),
+              when(Normalize.abGroup(hashSrc, 10) <= 4, lit("A")).otherwise(lit("B")))
+              .as("ab_group"))
+      },
+      Some {
+        val emailNorm = "trim(lower('  User' || c_custkey || '@Example.COM '))"
+        val phoneDigits = "nullif(regexp_replace(CASE WHEN c_custkey % 30 = 1 " +
+          "THEN 'ext. abc' ELSE '(555) ' || c_custkey || '-01' END, '[^0-9]', '', 'g'), '')"
+        s"""WITH base AS (
+           |  SELECT c_custkey,
+           |    CASE WHEN c_custkey = 7 THEN 'A' WHEN c_custkey = 42 THEN 'B'
+           |         WHEN c_custkey = 1001 THEN 'B' END AS ov_group,
+           |    CASE WHEN c_custkey % 3 = 0 THEN $emailNorm END AS email_norm,
+           |    CASE WHEN c_custkey % 3 = 1 THEN $phoneDigits END AS phone_digits
+           |  FROM customer)
+           |SELECT c_custkey,
+           |  CASE WHEN ov_group IS NOT NULL THEN 'override'
+           |       WHEN email_norm IS NOT NULL THEN 'email'
+           |       WHEN phone_digits IS NOT NULL THEN 'phone'
+           |       ELSE 'customer_id' END AS basis,
+           |  COALESCE(ov_group,
+           |    CASE WHEN ${Normalize.abGroupSql(
+                      "COALESCE(email_norm, phone_digits, CAST(c_custkey AS VARCHAR))", 10)} <= 4
+           |         THEN 'A' ELSE 'B' END) AS ab_group
+           |FROM base""".stripMargin
+      }),
+
     // M7: money math — tax decomposition + proportional allocation with
     // last-row rounding fix, in exact decimal so the adjustment is
     // order-independent. Reference: `fetch_square_data.py:623-706`,

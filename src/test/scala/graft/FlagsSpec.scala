@@ -90,4 +90,134 @@ class FlagsSpec extends AnyFunSuite {
     assert(types.contains("power_user"))
     assert(types.contains("big_spender"))
   }
+
+  // ---- A/B-gated offer + persistent status (mirrors test_ab_flags.py:17-60) ----
+
+  private val groupAUser = (0L to 50L).find(i => FlagRules.abDigit(i.toString) <= 4).get
+  private val groupBUser = (0L to 50L).find(i => FlagRules.abDigit(i.toString) > 4).get
+
+  private def evFor(uid: Long)(id: Long, tpe: String, ageUs: Long) =
+    Ev(userId = uid, eventId = id, eventType = tpe, us = asOf - ageUs, value = 10.0)
+
+  test("returning_offer_2wk: Group A with 2 recent purchases and fewer signups fires") {
+    val e = evFor(groupAUser) _
+    val evs = Seq(e(1, "purchase", 2 * Day), e(2, "purchase", 3 * Day), e(3, "signup", 4 * Day))
+    val f = FlagRules.evaluateAll(groupAUser, evs, asOf).find(_.flag_type == "returning_offer_2wk")
+    assert(f.isDefined && f.get.flag_data == "p7=2,s7=1")
+  }
+
+  test("returning_offer_2wk: Group B never fires on the same timeline") {
+    val e = evFor(groupBUser) _
+    val evs = Seq(e(1, "purchase", 2 * Day), e(2, "purchase", 3 * Day))
+    assert(!FlagRules.evaluateAll(groupBUser, evs, asOf)
+      .exists(_.flag_type == "returning_offer_2wk"))
+  }
+
+  test("returning_offer_2wk: one purchase, or signups >= purchases, is not enough") {
+    val e = evFor(groupAUser) _
+    val onePurchase = Seq(e(1, "purchase", 2 * Day))
+    val memberish = Seq(e(1, "purchase", 2 * Day), e(2, "purchase", 3 * Day),
+      e(3, "signup", 1 * Day), e(4, "signup", 4 * Day))
+    val stale = Seq(e(1, "purchase", 8 * Day), e(2, "purchase", 9 * Day))
+    assert(!FlagRules.evaluateAll(groupAUser, onePurchase, asOf)
+      .exists(_.flag_type == "returning_offer_2wk"))
+    assert(!FlagRules.evaluateAll(groupAUser, memberish, asOf)
+      .exists(_.flag_type == "returning_offer_2wk"))
+    assert(!FlagRules.evaluateAll(groupAUser, stale, asOf)
+      .exists(_.flag_type == "returning_offer_2wk"))
+  }
+
+  test("active_member fires on a signup within 14d, not on an older one") {
+    val fresh = Seq(ev(1, "signup", 13 * Day))
+    val old = Seq(ev(1, "signup", 15 * Day))
+    val f = FlagRules.evaluateAll(7L, fresh, asOf).find(_.flag_type == "active_member")
+    assert(f.isDefined && f.get.flag_data == "signups_14d=1")
+    assert(!FlagRules.evaluateAll(7L, old, asOf).exists(_.flag_type == "active_member"))
+  }
+}
+
+/** Relational post-passes: child attribution/suppression, offer guards,
+  * party-dim rules — synthetic frames pinning each fire/no-fire edge. */
+class FlagPassesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import graft.flags.{FlagPasses, PartyFlags}
+  import org.apache.spark.sql.functions.col
+
+  private def df(cols: String*)(rows: Product*) = {
+    import org.apache.spark.sql.{Row, types => T}
+    val schema = T.StructType(cols.map { c =>
+      T.StructField(c, if (c.contains("flag") || c == "attending") T.StringType else T.LongType)
+    })
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(p => Row(p.productIterator.toSeq: _*)), 2),
+      schema)
+  }
+
+  test("familyMap keeps minors whose decade-head parent exists in the universe") {
+    val uni = df("user_id")(Tuple1(10L), Tuple1(18L), Tuple1(19L), Tuple1(38L), Tuple1(5L))
+    val fam = FlagPasses.familyMap(uni).select("child_id", "parent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fam == Map(18L -> 10L, 19L -> 10L)) // 38's parent 30 missing; 5 not a minor
+  }
+
+  test("childPass prefixes eligible child flags and suppresses when the parent has the base flag") {
+    val flags = df("user_id", "flag_type", "flag_data")(
+      (18L, "power_user", "n_30d=90"),      // child; parent 10 has power_user → suppressed
+      (18L, "big_spender", "spend=1"),      // child; parent lacks it → child_big_spender
+      (18L, "inactive_24h", "h=30"),        // child but ineligible type → unchanged
+      (10L, "power_user", "n_30d=85"),      // the parent's own flag
+      (5L, "big_spender", "spend=2"))       // unrelated adult → unchanged
+    val uni = df("user_id")(Tuple1(10L), Tuple1(18L), Tuple1(5L))
+    val out = FlagPasses.childPass(flags, FlagPasses.familyMap(uni))
+      .select("user_id", "flag_type", "parent_user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out == Set(
+      (18L, "child_big_spender", 10L),
+      (18L, "inactive_24h", -1L),
+      (10L, "power_user", -1L),
+      (5L, "big_spender", -1L)))
+  }
+
+  test("guardOffers annotates reflag_180d, sync_30d (independent of set age), and none") {
+    val day = 86400000000L
+    val asOf = 1000L * day
+    val cur = df("user_id", "flag_type", "flag_data")(
+      (1L, "returning_offer_2wk", "p7=2,s7=0"),
+      (2L, "returning_offer_2wk", "p7=3,s7=1"),
+      (3L, "returning_offer_2wk", "p7=2,s7=1"))
+    val sets = df("user_id", "flag_type", "set_us")(
+      (1L, "returning_offer_2wk", asOf - 100 * day),   // set 100d ago → reflag
+      (2L, "returning_offer_2wk", asOf - 200 * day))   // set 200d ago → past guard
+    val syncs = df("user_id", "flag_type", "sync_us")(
+      (2L, "returning_offer_2wk", asOf - 10 * day))    // re-synced 10d ago → cooldown
+    val out = FlagPasses.guardOffers(cur, sets, syncs, asOf)
+      .select("user_id", "suppressed_by").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "reflag_180d", 2L -> "sync_30d", 3L -> "none"))
+  }
+
+  test("party host/attendee rules fire on the exact day window, first party per user") {
+    val day = 86400000000L
+    val asOf = (PartyFlags.PartyBaseDay + 6) * day // party_day base+13 is 7 days out
+    val orders = df("o_orderkey", "o_custkey")(
+      (13L, 1L),   // day base+13 = asOf+7, host 1; 13%3=1 → attendee 2 (13+1)%4!=0 yes
+      (27L, 1L),   // also asOf+7 (27%14=13), host 1 → min party_id 13 wins
+      (12L, 4L),   // day base+12 = asOf+6, host 4; 12%3=0 → no rsvps
+      (16L, 9L))   // day base+2: out of window
+    val uni = df("user_id")(Tuple1(1L), Tuple1(2L), Tuple1(4L))
+    val parties = PartyFlags.parties(orders)
+    val rsvps = PartyFlags.rsvps(orders, uni)
+    val host7 = PartyFlags.hostFlags(parties, uni, asOf, 7, "party_host_7d")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val host6 = PartyFlags.hostFlags(parties, uni, asOf, 6, "party_host_6d")
+      .collect().map(r => r.getLong(0)).toSet
+    val att7 = PartyFlags.attendeeFlags(parties, rsvps, asOf, 7, "party_attendee_7d")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(host7 == Set((1L,
+      s"party_id=13,party_day=${PartyFlags.PartyBaseDay + 13},rsvp_yes=1,days_until=7")))
+    assert(host6 == Set(4L))
+    // attendee 2 RSVP'd yes to party 13 (party 27 has no RSVPs: 27%3=0)
+    assert(att7 == Set((2L,
+      s"party_id=13,party_day=${PartyFlags.PartyBaseDay + 13},days_until=7")))
+  }
 }
