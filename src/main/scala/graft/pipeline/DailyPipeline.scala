@@ -78,7 +78,70 @@ object DailyPipeline {
       Job("revenue_dashboard_snapshot", Seq("revenue_dashboard"), s =>
         Tables.writeSnapshot(
           Registry.all.find(_.name == "ep3_revenue_dashboard").get.run(s, sfDir),
-          s"$outDir/revenue_dashboard_snap", asOfDate = "2024-02-01")))
+          s"$outDir/revenue_dashboard_snap", asOfDate = "2024-02-01")),
+      // report marts (reference DailyPipeline steps the engine was missing):
+      materialize("a11_latest_per_key", "latest_events"),
+      // leads mart (`build_leads_table.py:30`): identity + trailing-180d
+      // timeline rollup per user, enriched with the MATERIALIZED
+      // latest_events (real lineage, like packed_corpus).
+      Job("leads_table", Seq("latest_events"), s => {
+        import org.apache.spark.sql.functions._
+        val asOfUs = 1706659200000000L // 2024-01-31T00:00Z, the flags clock
+        val us = unix_micros(col("ts"))
+        val rollup = Tables.events(s, sfDir)
+          .filter(us < asOfUs && us >= asOfUs - 180L * 86400000000L)
+          .groupBy(col("user_id")).agg(
+            count(lit(1)).as("n_events_180d"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_purchases_180d"),
+            min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"))
+        Tables.write(
+          rollup.join(s.read.parquet(s"$outDir/latest_events"), Seq("user_id")),
+          s"$outDir/leads_table")
+      }),
+      // new-members mart (`identify_new_members.py:52-127`): users whose most
+      // recent membership start (signup) is inside the trailing 28 days,
+      // with their activity totals ("checkins").
+      Job("new_members", Nil, s => {
+        import org.apache.spark.sql.functions._
+        val asOfUs = 1706659200000000L
+        val us = unix_micros(col("ts"))
+        val ev = Tables.events(s, sfDir).filter(us < asOfUs)
+        val starts = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(max(unix_micros(col("ts"))).as("start_us"))
+          .filter(col("start_us") >= asOfUs - 28L * 86400000000L)
+        val totals = ev.groupBy(col("user_id")).agg(
+          count(lit(1)).as("total_events"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("total_checkins"))
+        Tables.write(starts.join(totals, Seq("user_id")), s"$outDir/new_members")
+      }),
+      // contact-preferences mart (`build_contact_preferences.py:445-497`):
+      // most recent opt-in status per (user, channel) — clicks are the email
+      // channel, views the sms channel, opt-in parity from the event props —
+      // pivoted to one row per user with reference-style fill of missing
+      // channels to opted-out.
+      Job("contact_preferences", Nil, s => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val recs = Tables.events(s, sfDir)
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"),
+            when(col("event_type") === "click", lit("email")).otherwise(lit("sms"))
+              .as("channel"),
+            unix_micros(col("ts")).as("us"), col("event_id"),
+            (get_json_object(col("props"), "$.k").cast("long") % 2 === 0)
+              .as("opted_in"))
+        val w = Window.partitionBy(col("user_id"), col("channel"))
+          .orderBy(col("us").desc, col("event_id").desc)
+        val current = recs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        val prefs = current.groupBy(col("user_id"))
+          .pivot("channel", Seq("email", "sms"))
+          .agg(first(col("opted_in")).as("opt_in"), first(col("us")).as("opt_in_us"))
+          .withColumn("email_opt_in", coalesce(col("email_opt_in"), lit(false)))
+          .withColumn("sms_opt_in", coalesce(col("sms_opt_in"), lit(false)))
+        Tables.write(prefs, s"$outDir/contact_preferences")
+      }))
   }
 
   def main(args: Array[String]): Unit = {

@@ -21,6 +21,28 @@ class DagSpec extends AnyFunSuite {
       "d" -> "ok", "e" -> "skipped"))
   }
 
+  test("DailyPipeline declares a well-formed warehouse DAG with the report marts") {
+    val jobs = graft.pipeline.DailyPipeline.jobs("/root/testdata/sf0.001", "/tmp/never_run")
+    val names = jobs.map(_.name)
+    assert(names.distinct.length == names.length, "duplicate job names")
+    assert(names.length >= 22, s"expected >= 22 warehouse jobs, got ${names.length}")
+    // every declared dependency must be a declared job (no dangling lineage)
+    val dangling = jobs.flatMap(j => j.deps.filterNot(names.contains).map(j.name -> _))
+    assert(dangling.isEmpty, s"deps on undeclared jobs: $dangling")
+    // the round-4 report marts are present, with leads consuming the
+    // materialized latest_events
+    assert(Set("latest_events", "leads_table", "new_members", "contact_preferences")
+      .subsetOf(names.toSet))
+    assert(jobs.find(_.name == "leads_table").get.deps == Seq("latest_events"))
+    // acyclic: Kahn's peeling must consume every job
+    var remaining = jobs.map(j => j.name -> j.deps.toSet).toMap
+    while (remaining.nonEmpty && remaining.exists(_._2.isEmpty)) {
+      val ready = remaining.filter(_._2.isEmpty).keySet
+      remaining = (remaining -- ready).view.mapValues(_ -- ready).toMap
+    }
+    assert(remaining.isEmpty, s"dependency cycle among: ${remaining.keys}")
+  }
+
   test("runParallel: same statuses as sequential, independent jobs overlap") {
     val gate = new java.util.concurrent.CountDownLatch(2)
     def meet(): Unit = { // both must be in-flight simultaneously to pass
