@@ -28,14 +28,25 @@ object Bench {
     // for classloading (headline queries should measure the plan, not sbt).
     qs.headOption.foreach(q => try q.run(spark, sfDir).count() catch { case _: Throwable => () })
 
-    val results = qs.map { q =>
+    // Median of N runs per query (single-shot readings swing ±30% with host
+    // co-tenant load — medians are the only comparable round-over-round
+    // number). Rounds interleave (run 0 of every query, then run 1, ...) so
+    // a transient load spike taxes all queries, not one.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val times = Array.fill(qs.length, reps)(0.0)
+    for (r <- 0 until reps; (q, i) <- qs.zipWithIndex) {
       val t0 = System.nanoTime()
       try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      times(i)(r) = (System.nanoTime() - t0) / 1e9
     }
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val results = qs.zipWithIndex.map { case (q, i) => q.name -> median(times(i)) }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }
