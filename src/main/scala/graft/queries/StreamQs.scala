@@ -57,14 +57,30 @@ object StreamQs {
     dir.toString
   }
 
+  /** Stateful-operator partition count for the streaming queries. Every
+    * stateful partition commits its state stores (delta file + snapshot
+    * bookkeeping) per micro-batch — a FIXED cost that dominates when state
+    * is small: st4 at sf0.1 runs 8.4s with 32 partitions, 2.7s with 8,
+    * 12.7s with 64. Partition count never changes results (outputs are
+    * key-partitioned and arrival-order-independent), so default it low for
+    * the replay-a-table harness scale and raise via conf on a real cluster
+    * where state volume, not store count, is the bottleneck. */
+  private def statePartitions(s: SparkSession): String =
+    s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8")
+
+  /** A child session with the stateful partition override — scoped so the
+    * override never leaks into batch queries sharing the outer session. */
+  private def streamSession(s: SparkSession): SparkSession =
+    Q.scopedSession(s, "spark.sql.shuffle.partitions" -> statePartitions(s))
+
   /** Run a streaming DataFrame to completion into a memory sink; return the
-    * collected table. */
-  private def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    * collected table (registered on the stream's own session). */
+  private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(name)
+    df.sparkSession.table(name)
   }
 
   val qs: Seq[Q] = Seq(
@@ -74,14 +90,15 @@ object StreamQs {
     // so no window is ever dropped; complete mode emits the final state.
     Q("st1_stream_window_counts",
       (s, d) => {
-        val agg = Streams.eventStream(s, asStreamDir(s"$d/events.parquet"))
+        val ss = streamSession(s)
+        val agg = Streams.eventStream(ss, asStreamDir(s"$d/events.parquet"))
           .withWatermark("ts", "90 days")
           .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
           .select(col("w.start").as("window_start"), col("event_type"),
             col("n"), col("total_value"))
-        runToMemory(s, agg, OutputMode.Complete())
+        runToMemory(agg, OutputMode.Complete())
       },
       Some("""SELECT date_trunc('day', ts) AS window_start, event_type,
              |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
@@ -93,11 +110,12 @@ object StreamQs {
     // keep-first-arrival is order-independent.
     Q("st2_stream_dedup_keys",
       (s, d) => {
-        val pairs = Streams.eventStream(s, asStreamDir(s"$d/events.parquet"))
+        val ss = streamSession(s)
+        val pairs = Streams.eventStream(ss, asStreamDir(s"$d/events.parquet"))
           .select(col("ts"), col("user_id"), col("event_type"))
         val dd = Streams.dedupByKey(pairs, "user_id", "90 days")
           .select(col("user_id"))
-        runToMemory(s, dd, OutputMode.Append())
+        runToMemory(dd, OutputMode.Append())
       },
       Some("SELECT DISTINCT user_id FROM events")),
 
@@ -107,8 +125,9 @@ object StreamQs {
     // output is the exact deterministic pair set of the batch join.
     Q("st4_stream_stream_join",
       (s, d) => {
+        val ss = streamSession(s)
         def side(tpe: String, pfx: String) =
-          Streams.eventStream(s, asStreamDir(s"$d/events.parquet"))
+          Streams.eventStream(ss, asStreamDir(s"$d/events.parquet"))
             .filter(col("event_type") === tpe)
             .select(col("user_id").as(s"${pfx}_user"), col("event_id").as(s"${pfx}_id"),
               col("ts").as(s"${pfx}_ts"))
@@ -117,7 +136,7 @@ object StreamQs {
           expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts <= p_ts"))
           .select(col("p_id"), col("c_id"),
             (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
-        runToMemory(s, joined, OutputMode.Append())
+        runToMemory(joined, OutputMode.Append())
       },
       Some("""SELECT p.event_id AS p_id, c.event_id AS c_id,
              |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
@@ -136,9 +155,9 @@ object StreamQs {
     Q("st5_stream_sessions",
       (s, d) => {
         val sessions = Streams.userSessions(
-          Streams.eventStream(s, asStreamDir(s"$d/events.parquet")),
+          Streams.eventStream(streamSession(s), asStreamDir(s"$d/events.parquet")),
           "30 minutes", "0 seconds")
-        runToMemory(s, sessions, OutputMode.Append())
+        runToMemory(sessions, OutputMode.Append())
           .select(col("user_id"), Q.usecs(col("session_start")).as("start_us"),
             col("n_events"))
       },
@@ -160,9 +179,10 @@ object StreamQs {
     // emissions equals the final state regardless of micro-batch slicing.
     Q("st3_stream_running_totals",
       (s, d) => {
-        val stream = Streams.eventStream(s, asStreamDir(s"$d/events.parquet"))
-        val totals = Streams.runningUserTotals(s, stream).toDF()
-        runToMemory(s, totals, OutputMode.Update())
+        val ss = streamSession(s)
+        val stream = Streams.eventStream(ss, asStreamDir(s"$d/events.parquet"))
+        val totals = Streams.runningUserTotals(ss, stream).toDF()
+        runToMemory(totals, OutputMode.Update())
           .groupBy(col("userId").as("user_id"))
           .agg(max(col("n")).as("n_events"), max(col("purchases")).as("n_purchases"))
       },
