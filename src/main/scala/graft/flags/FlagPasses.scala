@@ -3,7 +3,8 @@ package graft.flags
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Relational post-passes over a flags frame (user_id, flag_type, flag_data).
+/** Relational post-passes over a flags frame (user_id, flag_type,
+  * flag_data, priority).
   *
   * The reference runs these as driver-side dict/set passes after rule
   * evaluation (`/root/reference/data_pipeline/customer_flags_engine.py:
@@ -57,7 +58,7 @@ object FlagPasses {
       .select(col("user_id"),
         when(col("is_child_flag"), concat(lit("child_"), col("flag_type")))
           .otherwise(col("flag_type")).as("flag_type"),
-        col("flag_data"),
+        col("flag_data"), col("priority"),
         when(col("is_child_flag"), col("parent_id")).as("parent_user_id"))
   }
 

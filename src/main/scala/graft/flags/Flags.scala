@@ -18,10 +18,15 @@ package graft.flags
   */
 final case class Ev(userId: Long, eventId: Long, eventType: String, us: Long, value: Double)
 
-final case class Flag(user_id: Long, flag_type: String, flag_data: String)
+final case class Flag(user_id: Long, flag_type: String, flag_data: String,
+  priority: String)
 
 trait FlagRule {
   def name: String
+
+  /** Outreach priority, the reference's per-rule `priority` field
+    * (`customer_flags_config.py` rule constructors): high / medium / low. */
+  def priority: String
 
   /** `events` is the user's full event list sorted by (us, eventId);
     * `asOfUs` is the evaluation clock in epoch micros (explicit — the
@@ -36,33 +41,36 @@ object FlagRules {
   /** No activity in the trailing 24h. (Reference analogue: winback/at-risk
     * recency rules, `customer_flags_config.py:1421-1905`.) */
   object Inactive24h extends FlagRule {
+    val priority = "medium"
     val name = "inactive_24h"
     def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
       val lastUs = events.last.us
       if (lastUs < asOfUs - Day)
-        Some(Flag(userId, name, s"hours_since_last=${(asOfUs - lastUs) / Hour}"))
+        Some(Flag(userId, name, s"hours_since_last=${(asOfUs - lastUs) / Hour}", priority))
       else None
     }
   }
 
   /** >= 80 events in the trailing 30 days. */
   object PowerUser extends FlagRule {
+    val priority = "low"
     val name = "power_user"
     def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
       val n = events.count(e => e.us >= asOfUs - 30 * Day && e.us < asOfUs)
-      if (n >= 80) Some(Flag(userId, name, s"n_30d=$n")) else None
+      if (n >= 80) Some(Flag(userId, name, s"n_30d=$n", priority)) else None
     }
   }
 
   /** Purchase spend >= $800 in the trailing 30 days (exact decimal cents). */
   object BigSpender extends FlagRule {
+    val priority = "medium"
     val name = "big_spender"
     def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
       val cents = events.iterator
         .filter(e => e.eventType == "purchase" && e.us >= asOfUs - 30 * Day && e.us < asOfUs)
         .map(e => BigDecimal.valueOf(e.value))
         .foldLeft(BigDecimal(0))(_ + _) * 100
-      if (cents >= 80000) Some(Flag(userId, name, s"spend_30d_cents=${cents.toLongExact}"))
+      if (cents >= 80000) Some(Flag(userId, name, s"spend_30d_cents=${cents.toLongExact}", priority))
       else None
     }
   }
@@ -70,12 +78,13 @@ object FlagRules {
   /** >= 10 errors and an error share >= 25% in the trailing 30 days
     * (integer arithmetic — no float ratio). */
   object ErrorProne extends FlagRule {
+    val priority = "high"
     val name = "error_prone"
     def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
       val recent = events.filter(e => e.us >= asOfUs - 30 * Day && e.us < asOfUs)
       val errs = recent.count(_.eventType == "error")
       if (errs >= 10 && errs * 4 >= recent.size)
-        Some(Flag(userId, name, s"err_30d=$errs,total_30d=${recent.size}"))
+        Some(Flag(userId, name, s"err_30d=$errs,total_30d=${recent.size}", priority))
       else None
     }
   }
@@ -94,6 +103,7 @@ object FlagRules {
     * analogue: the new-member engagement streak rules,
     * `customer_flags_config.py:1421-1905`.) */
   object Streak7d extends FlagRule {
+    val priority = "low"
     val name = "streak_7d"
     def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
       val d0 = epochDay(asOfUs)
@@ -101,19 +111,20 @@ object FlagRules {
         .filter(e => e.us >= asOfUs - 7 * Day && e.us < asOfUs)
         .map(e => epochDay(e.us)).filter(d => d >= d0 - 7 && d < d0)
         .toSet
-      if (days.size == 7) Some(Flag(userId, name, s"active_days=7")) else None
+      if (days.size == 7) Some(Flag(userId, name, s"active_days=7", priority)) else None
     }
   }
 
   /** >= 30% of trailing-30d events between 00:00 and 06:00 UTC, with a
     * minimum volume (integer cross-multiplication — no float ratio). */
   object NightOwl extends FlagRule {
+    val priority = "low"
     val name = "night_owl"
     def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
       val recent = events.filter(e => e.us >= asOfUs - 30 * Day && e.us < asOfUs)
       val night = recent.count(e => hourOfDay(e.us) < 6)
       if (recent.size >= 20 && night * 10 >= recent.size * 3)
-        Some(Flag(userId, name, s"night_30d=$night,total_30d=${recent.size}"))
+        Some(Flag(userId, name, s"night_30d=$night,total_30d=${recent.size}", priority))
       else None
     }
   }
@@ -121,12 +132,13 @@ object FlagRules {
   /** >= 35% of trailing-30d events on Saturday/Sunday (UTC), with a minimum
     * volume (expected share is 2/7 ~ 28.6%; integer cross-multiplication). */
   object WeekendWarrior extends FlagRule {
+    val priority = "low"
     val name = "weekend_warrior"
     def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
       val recent = events.filter(e => e.us >= asOfUs - 30 * Day && e.us < asOfUs)
       val wkd = recent.count(e => isWeekend(e.us))
       if (recent.size >= 20 && wkd * 100 >= recent.size * 35)
-        Some(Flag(userId, name, s"weekend_30d=$wkd,total_30d=${recent.size}"))
+        Some(Flag(userId, name, s"weekend_30d=$wkd,total_30d=${recent.size}", priority))
       else None
     }
   }
@@ -150,13 +162,14 @@ object FlagRules {
     * [[graft.flags.FlagPasses.guardOffers]] (u1e), exactly where the
     * reference reads its own flag_set / flag_synced_to_shopify events. */
   object ReturningOffer2wk extends FlagRule {
+    val priority = "high"
     val name = "returning_offer_2wk"
     def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
       if (abDigit(userId.toString) > 4) return None // Group B: different journey
       val recent = events.filter(e => e.us >= asOfUs - 7 * Day && e.us < asOfUs)
       val p7 = recent.count(_.eventType == "purchase")
       val s7 = recent.count(_.eventType == "signup")
-      if (p7 >= 2 && s7 < p7) Some(Flag(userId, name, s"p7=$p7,s7=$s7"))
+      if (p7 >= 2 && s7 < p7) Some(Flag(userId, name, s"p7=$p7,s7=$s7", priority))
       else None
     }
   }
@@ -166,11 +179,12 @@ object FlagRules {
     * marks the account membership-active. Persistent = exempt from the
     * lifecycle TTL (u1b), like the reference's PERSISTENT_FLAGS. */
   object ActiveMember extends FlagRule {
+    val priority = "low"
     val name = "active_member"
     def evaluate(userId: Long, events: Seq[Ev], asOfUs: Long): Option[Flag] = {
       val s14 = events.count(e =>
         e.eventType == "signup" && e.us >= asOfUs - 14 * Day && e.us < asOfUs)
-      if (s14 >= 1) Some(Flag(userId, name, s"signups_14d=$s14")) else None
+      if (s14 >= 1) Some(Flag(userId, name, s"signups_14d=$s14", priority)) else None
     }
   }
 

@@ -70,6 +70,7 @@ object PartyFlags {
     * minimum party_id. */
   def hostFlags(parties: DataFrame, universe: DataFrame, asOfUs: Long,
       daysOut: Int, flagType: String): DataFrame = {
+    // host reminders are high priority, like the reference's host rules
     val targetDay = asOfUs / Day + daysOut
     parties.filter(col("party_day") === targetDay)
       .join(universe.select(col("user_id").as("host_user")), Seq("host_user"), "left_semi")
@@ -79,7 +80,8 @@ object PartyFlags {
       .select(col("user_id"), lit(flagType).as("flag_type"),
         concat(lit("party_id="), col("pid"), lit(",party_day="), lit(targetDay),
           lit(",rsvp_yes="), col("n_yes"), lit(",days_until="), lit(daysOut))
-          .as("flag_data"))
+          .as("flag_data"),
+        lit("high").as("priority"))
   }
 
   /** Users with a yes-RSVP to a party exactly `daysOut` days out —
@@ -97,6 +99,7 @@ object PartyFlags {
       .agg(min(col("party_id")).as("pid"))
       .select(col("user_id"), lit(flagType).as("flag_type"),
         concat(lit("party_id="), col("pid"), lit(",party_day="), lit(targetDay),
-          lit(",days_until="), lit(daysOut)).as("flag_data"))
+          lit(",days_until="), lit(daysOut)).as("flag_data"),
+        lit("medium").as("priority"))
   }
 }

@@ -94,7 +94,17 @@ object DailyPipeline {
             count(lit(1)).as("n_events_180d"),
             sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
               .as("n_purchases_180d"),
-            min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"))
+            min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"),
+            sort_array(collect_list(struct(unix_micros(col("ts")).as("us"),
+              col("event_id"), col("event_type")))).as("tl"))
+          // the reference's per-lead timeline JSON (`build_leads_table.py`:
+          // "one row per lead, including timeline JSON") — deterministic
+          // order via sort_array on (us, event_id), capped to the newest 100
+          // events so the blob stays bounded at any per-user volume (slice
+          // with a negative start yields [] on short arrays — hence the CASE)
+          .withColumn("timeline_json", to_json(expr(
+            "CASE WHEN size(tl) <= 100 THEN tl ELSE slice(tl, -100, 100) END")))
+          .drop("tl")
         Tables.write(
           rollup.join(s.read.parquet(s"$outDir/latest_events"), Seq("user_id")),
           s"$outDir/leads_table")

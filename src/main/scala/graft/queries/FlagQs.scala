@@ -43,34 +43,38 @@ object FlagQs {
        |             AND epoch_us(ts) < $asOf THEN 1 ELSE 0 END) AS s14
        |  FROM events GROUP BY user_id)
        |SELECT user_id, 'inactive_24h' AS flag_type,
-       |  'hours_since_last=' || (($asOf - last_us) // 3600000000) AS flag_data
+       |  'hours_since_last=' || (($asOf - last_us) // 3600000000) AS flag_data,
+       |  'medium' AS priority
        |FROM per_user WHERE last_us < $asOf - 86400000000
        |UNION ALL
-       |SELECT user_id, 'power_user', 'n_30d=' || n_30d
+       |SELECT user_id, 'power_user', 'n_30d=' || n_30d, 'low'
        |FROM per_user WHERE n_30d >= 80
        |UNION ALL
        |SELECT user_id, 'big_spender',
-       |  'spend_30d_cents=' || CAST(spend_30d * 100 AS BIGINT)
+       |  'spend_30d_cents=' || CAST(spend_30d * 100 AS BIGINT), 'medium'
        |FROM per_user WHERE spend_30d * 100 >= 80000
        |UNION ALL
-       |SELECT user_id, 'error_prone', 'err_30d=' || err_30d || ',total_30d=' || n_30d
+       |SELECT user_id, 'error_prone', 'err_30d=' || err_30d || ',total_30d=' || n_30d,
+       |  'high'
        |FROM per_user WHERE err_30d >= 10 AND err_30d * 4 >= n_30d
        |UNION ALL
-       |SELECT user_id, 'streak_7d', 'active_days=7'
+       |SELECT user_id, 'streak_7d', 'active_days=7', 'low'
        |FROM per_user WHERE active_days_7d = 7
        |UNION ALL
-       |SELECT user_id, 'night_owl', 'night_30d=' || night_30d || ',total_30d=' || n_30d
+       |SELECT user_id, 'night_owl', 'night_30d=' || night_30d || ',total_30d=' || n_30d,
+       |  'low'
        |FROM per_user WHERE n_30d >= 20 AND night_30d * 10 >= n_30d * 3
        |UNION ALL
-       |SELECT user_id, 'weekend_warrior', 'weekend_30d=' || wkd_30d || ',total_30d=' || n_30d
+       |SELECT user_id, 'weekend_warrior', 'weekend_30d=' || wkd_30d || ',total_30d=' || n_30d,
+       |  'low'
        |FROM per_user WHERE n_30d >= 20 AND wkd_30d * 100 >= n_30d * 35
        |UNION ALL
-       |SELECT user_id, 'returning_offer_2wk', 'p7=' || p7 || ',s7=' || s7
+       |SELECT user_id, 'returning_offer_2wk', 'p7=' || p7 || ',s7=' || s7, 'high'
        |FROM per_user
        |WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) AS BIGINT) % 10 <= 4
        |  AND p7 >= 2 AND s7 < p7
        |UNION ALL
-       |SELECT user_id, 'active_member', 'signups_14d=' || s14
+       |SELECT user_id, 'active_member', 'signups_14d=' || s14, 'low'
        |FROM per_user WHERE s14 >= 1""".stripMargin
 
   /** Typed per-user evaluation at a clock (events strictly before it). */
@@ -119,6 +123,7 @@ object FlagQs {
           .filter(col("added_us") >= asOfUs - ttlUs ||
             col("flag_type").isin(persistentFlags: _*))
           .select(col("user_id"), col("flag_type"), col("flag_data"),
+            col("priority"),
             date_format(timestamp_micros(col("added_us")), "yyyy-MM-dd").as("flag_added"))
       },
       Some(s"""WITH old_f AS (
@@ -130,7 +135,7 @@ object FlagQs {
               |  SELECT * FROM merged
               |  QUALIFY row_number() OVER (PARTITION BY user_id, flag_type
               |    ORDER BY added_us DESC) = 1)
-              |SELECT user_id, flag_type, flag_data,
+              |SELECT user_id, flag_type, flag_data, priority,
               |  strftime(make_timestamp(added_us), '%Y-%m-%d') AS flag_added
               |FROM kept
               |WHERE added_us >= ${asOfUs - ttlUs}
@@ -156,7 +161,7 @@ object FlagQs {
            |  FROM uni WHERE user_id % 10 >= 8
            |    AND (user_id - user_id % 10) IN (SELECT user_id FROM uni)),
            |tagged AS (
-           |  SELECT f.user_id, f.flag_type, f.flag_data, fam.parent_id,
+           |  SELECT f.user_id, f.flag_type, f.flag_data, f.priority, fam.parent_id,
            |    CASE WHEN fam.child_id IS NOT NULL AND f.flag_type IN ($eligible)
            |         THEN 1 ELSE 0 END AS icf
            |  FROM f LEFT JOIN fam ON f.user_id = fam.child_id),
@@ -166,7 +171,7 @@ object FlagQs {
            |SELECT t.user_id,
            |  CASE WHEN t.icf = 1 THEN 'child_' || t.flag_type
            |       ELSE t.flag_type END AS flag_type,
-           |  t.flag_data,
+           |  t.flag_data, t.priority,
            |  CASE WHEN t.icf = 1 THEN t.parent_id END AS parent_user_id
            |FROM tagged t
            |WHERE NOT (t.icf = 1 AND EXISTS (
@@ -211,19 +216,20 @@ object FlagQs {
            |  WHERE attendee_user IN (SELECT user_id FROM uni))
            |SELECT host_user AS user_id, 'party_host_7d' AS flag_type,
            |  'party_id=' || MIN(party_id) || ',party_day=' || ${asOfDay + 7} ||
-           |  ',rsvp_yes=' || min_by(rsvp_yes, party_id) || ',days_until=7' AS flag_data
+           |  ',rsvp_yes=' || min_by(rsvp_yes, party_id) || ',days_until=7' AS flag_data,
+           |  'high' AS priority
            |FROM parties WHERE party_day = ${asOfDay + 7}
            |  AND host_user IN (SELECT user_id FROM uni) GROUP BY 1
            |UNION ALL
            |SELECT host_user, 'party_host_6d',
            |  'party_id=' || MIN(party_id) || ',party_day=' || ${asOfDay + 6} ||
-           |  ',rsvp_yes=' || min_by(rsvp_yes, party_id) || ',days_until=6'
+           |  ',rsvp_yes=' || min_by(rsvp_yes, party_id) || ',days_until=6', 'high'
            |FROM parties WHERE party_day = ${asOfDay + 6}
            |  AND host_user IN (SELECT user_id FROM uni) GROUP BY 1
            |UNION ALL
            |SELECT r.attendee_user, 'party_attendee_7d',
            |  'party_id=' || MIN(r.party_id) || ',party_day=' || ${asOfDay + 7} ||
-           |  ',days_until=7'
+           |  ',days_until=7', 'medium'
            |FROM rsvps r JOIN parties p ON r.party_id = p.party_id
            |WHERE r.attending = 'yes' AND p.party_day = ${asOfDay + 7}
            |GROUP BY 1""".stripMargin
@@ -252,7 +258,7 @@ object FlagQs {
               |    MAX(${asOf1Us + 3600000000L}) AS last_sync_us
               |  FROM (${flagsSql(asOf1Us)})
               |  WHERE flag_type = 'returning_offer_2wk' GROUP BY 1, 2)
-              |SELECT c.user_id, c.flag_type, c.flag_data,
+              |SELECT c.user_id, c.flag_type, c.flag_data, c.priority,
               |  CASE WHEN p.last_set_us >= ${asOfUs - 180L * 86400000000L}
               |         THEN 'reflag_180d'
               |       WHEN p.last_sync_us >= ${asOfUs - 30L * 86400000000L}

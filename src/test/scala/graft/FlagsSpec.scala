@@ -146,7 +146,9 @@ class FlagPassesSpec extends AnyFunSuite {
   private def df(cols: String*)(rows: Product*) = {
     import org.apache.spark.sql.{Row, types => T}
     val schema = T.StructType(cols.map { c =>
-      T.StructField(c, if (c.contains("flag") || c == "attending") T.StringType else T.LongType)
+      T.StructField(c,
+        if (c.contains("flag") || c == "attending" || c == "priority") T.StringType
+        else T.LongType)
     })
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.map(p => Row(p.productIterator.toSeq: _*)), 2),
@@ -161,12 +163,12 @@ class FlagPassesSpec extends AnyFunSuite {
   }
 
   test("childPass prefixes eligible child flags and suppresses when the parent has the base flag") {
-    val flags = df("user_id", "flag_type", "flag_data")(
-      (18L, "power_user", "n_30d=90"),      // child; parent 10 has power_user → suppressed
-      (18L, "big_spender", "spend=1"),      // child; parent lacks it → child_big_spender
-      (18L, "inactive_24h", "h=30"),        // child but ineligible type → unchanged
-      (10L, "power_user", "n_30d=85"),      // the parent's own flag
-      (5L, "big_spender", "spend=2"))       // unrelated adult → unchanged
+    val flags = df("user_id", "flag_type", "flag_data", "priority")(
+      (18L, "power_user", "n_30d=90", "low"),   // child; parent 10 has it → suppressed
+      (18L, "big_spender", "spend=1", "medium"),// child; parent lacks it → child_big_spender
+      (18L, "inactive_24h", "h=30", "medium"),  // child but ineligible type → unchanged
+      (10L, "power_user", "n_30d=85", "low"),   // the parent's own flag
+      (5L, "big_spender", "spend=2", "medium")) // unrelated adult → unchanged
     val uni = df("user_id")(Tuple1(10L), Tuple1(18L), Tuple1(5L))
     val out = FlagPasses.childPass(flags, FlagPasses.familyMap(uni))
       .select("user_id", "flag_type", "parent_user_id").collect()
@@ -181,10 +183,10 @@ class FlagPassesSpec extends AnyFunSuite {
   test("guardOffers annotates reflag_180d, sync_30d (independent of set age), and none") {
     val day = 86400000000L
     val asOf = 1000L * day
-    val cur = df("user_id", "flag_type", "flag_data")(
-      (1L, "returning_offer_2wk", "p7=2,s7=0"),
-      (2L, "returning_offer_2wk", "p7=3,s7=1"),
-      (3L, "returning_offer_2wk", "p7=2,s7=1"))
+    val cur = df("user_id", "flag_type", "flag_data", "priority")(
+      (1L, "returning_offer_2wk", "p7=2,s7=0", "high"),
+      (2L, "returning_offer_2wk", "p7=3,s7=1", "high"),
+      (3L, "returning_offer_2wk", "p7=2,s7=1", "high"))
     val sets = df("user_id", "flag_type", "set_us")(
       (1L, "returning_offer_2wk", asOf - 100 * day),   // set 100d ago → reflag
       (2L, "returning_offer_2wk", asOf - 200 * day))   // set 200d ago → past guard
