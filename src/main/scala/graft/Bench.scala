@@ -33,6 +33,7 @@ object Bench {
     // number). Rounds interleave (run 0 of every query, then run 1, ...) so
     // a transient load spike taxes all queries, not one.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val times = Array.fill(qs.length, reps)(0.0)
     for (r <- 0 until reps; (q, i) <- qs.zipWithIndex) {
       val t0 = System.nanoTime()

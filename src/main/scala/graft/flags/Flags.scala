@@ -188,6 +188,13 @@ object FlagRules {
     }
   }
 
+  /** Persistent (never-expiring) flag types — the reference's
+    * PERSISTENT_FLAGS (`customer_flags_config.py:22-42`). THE single source
+    * of truth: the u1b lifecycle query and RefreshPipeline's flag-sync merge
+    * both read this list, so the daily and refresh paths can never disagree
+    * on which flags outlive the TTL. */
+  val persistentFlags: Seq[String] = Seq("error_prone", "active_member")
+
   /** Registry — mirrors `ACTIVE_RULES` `customer_flags_config.py:1888-1905`.
     * 9 timeline rules here + 3 relational party rules in
     * [[graft.flags.PartyFlags]] = the reference's 12 active rules. */

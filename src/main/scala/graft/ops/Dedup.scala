@@ -136,13 +136,15 @@ object Dedup {
     // trade-off: building this DataFrame runs the candidate job EAGERLY
     // (plan-only consumers pay it too) — the measured hint decision needs a
     // real count, and every non-trivial caller executes the result anyway.
-    // "already materialized" = every leaf is a LogicalRDD (a checkpoint), so
-    // counting re-runs only the cheap local ops layered on top — a plan-root
-    // check would re-materialize for a mere projection over a checkpoint.
-    val pairsCk =
-      if (pairs.queryExecution.analyzed.collectLeaves()
-            .forall(_.getClass.getSimpleName == "LogicalRDD")) pairs
-      else pairs.localCheckpoint(true)
+    // "already materialized" = the whole plan is Project/Filter over a
+    // LogicalRDD checkpoint — those re-run cheaply per consumer. Anything
+    // heavier above the checkpoint (a join, an aggregate) must still be
+    // materialized here, or the count plus four downstream consumers would
+    // re-execute it five times.
+    val cheapOverCheckpoint = pairs.queryExecution.analyzed.collect {
+      case n => n.getClass.getSimpleName
+    }.forall(Set("LogicalRDD", "Project", "Filter").contains)
+    val pairsCk = if (cheapOverCheckpoint) pairs else pairs.localCheckpoint(true)
     val small = pairsCk.count() <= MaxBroadcastPairs
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val candIds = pairsCk.select(col("id_a").as("cid"))

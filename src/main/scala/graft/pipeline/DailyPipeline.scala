@@ -105,9 +105,12 @@ object DailyPipeline {
           .withColumn("timeline_json", to_json(expr(
             "CASE WHEN size(tl) <= 100 THEN tl ELSE slice(tl, -100, 100) END")))
           .drop("tl")
-        Tables.write(
-          rollup.join(s.read.parquet(s"$outDir/latest_events"), Seq("user_id")),
-          s"$outDir/leads_table")
+        // the latest_events mart is unclocked (a11 over all events); keep
+        // only rows at or before this mart's as-of clock so one lead row
+        // never mixes two as-of semantics
+        val latest = s.read.parquet(s"$outDir/latest_events")
+          .filter(unix_micros(to_timestamp(col("last_ts"))) < asOfUs)
+        Tables.write(rollup.join(latest, Seq("user_id")), s"$outDir/leads_table")
       }),
       // new-members mart (`identify_new_members.py:52-127`): users whose most
       // recent membership start (signup) is inside the trailing 28 days,
@@ -124,6 +127,23 @@ object DailyPipeline {
           count(lit(1)).as("total_events"),
           sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("total_checkins"))
         Tables.write(starts.join(totals, Seq("user_id")), s"$outDir/new_members")
+      }),
+      // experiment-entries mart (`customer_flags_engine.py:268-290` +
+      // `experiment_tracking.log_experiment_entry`): every emitted A/B-gated
+      // offer flag logs an experiment entry with the customer's group.
+      Job("experiment_entries", Seq("customer_flags"), s => {
+        import org.apache.spark.sql.functions._
+        val offers = s.read.parquet(s"$outDir/customer_flags")
+          .filter(col("flag_type") === "returning_offer_2wk")
+        Tables.write(
+          offers.select(col("user_id"),
+            lit("2wk_offer_v1").as("experiment_id"),
+            // the offer rule only fires for group A; recompute the group
+            // from the same hash so the mart is self-describing
+            when(graft.ops.Normalize.abGroup(col("user_id").cast("string")) <= 4,
+              lit("A")).otherwise(lit("B")).as("ab_group"),
+            col("flag_type").as("entry_flag"), col("priority")),
+          s"$outDir/experiment_entries")
       }),
       // contact-preferences mart (`build_contact_preferences.py:445-497`):
       // most recent opt-in status per (user, channel) — clicks are the email

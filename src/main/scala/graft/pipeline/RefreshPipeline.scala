@@ -95,7 +95,7 @@ object RefreshPipeline {
         .withColumn("added_us", lit(asOf))
     }
     val merged = mergeFlags(flagsAt(asOf1), flagsAt(asOf2), asOf2, ttl,
-      persistent = Seq("error_prone"))
+      persistent = graft.flags.FlagRules.persistentFlags)
     Tables.write(merged, s"$whDir/customer_flags_current")
 
     val nEvents = spark.read.parquet(s"$whDir/events_current").count()

@@ -94,13 +94,11 @@ object FlagQs {
 
   private val ttlUs = 14L * 86400L * 1000000L
 
-  /** Persistent (never-expiring) flag types — reference
-    * `customer_flags_config.py:22-42` (ActiveMembershipFlag et al.).
-    * error_prone is the one whose qualification can lapse between runs (a
-    * spend window at the later clock SUPERSETS the earlier one, so
-    * big_spender can never lapse here); active_member is the billing-status
-    * archetype the reference marks persistent. */
-  private val persistentFlags = Seq("error_prone", "active_member")
+  /** Shared persistent-type list (see FlagRules.persistentFlags — the
+    * single source of truth also consumed by RefreshPipeline). error_prone
+    * is the one whose qualification can lapse between runs; active_member
+    * is the billing-status archetype the reference marks persistent. */
+  private val persistentFlags = FlagRules.persistentFlags
 
   val qs: Seq[Q] = Seq(
     Q("u1_flag_rules",
@@ -150,7 +148,12 @@ object FlagQs {
         import graft.flags.FlagPasses
         val uni = Tables.events(s, d).filter(Q.usecs(col("ts")) < asOfUs)
           .select(col("user_id")).distinct()
-        FlagPasses.childPass(flagsAt(s, d, asOfUs), FlagPasses.familyMap(uni))
+        // the flags frame feeds BOTH childPass branches (tagged + parent-own);
+        // without a materialization frontier each branch re-runs the whole
+        // per-user rule evaluation. The frame is flag-count sized — eager
+        // localCheckpoint costs one tiny write, saves a full corpus pass.
+        val flags = flagsAt(s, d, asOfUs).localCheckpoint(true)
+        FlagPasses.childPass(flags, FlagPasses.familyMap(uni))
       },
       Some {
         val eligible = graft.flags.FlagPasses.childEligible.map(f => s"'$f'").mkString(", ")
@@ -244,7 +247,10 @@ object FlagQs {
         import graft.flags.FlagPasses
         val offer = "returning_offer_2wk"
         val cur = flagsAt(s, d, asOfUs).filter(col("flag_type") === offer)
+        // prior feeds both guard lookups (sets + syncs) — checkpoint the
+        // tiny filtered frame so the asOf1 evaluation runs exactly once
         val prior = flagsAt(s, d, asOf1Us).filter(col("flag_type") === offer)
+          .localCheckpoint(true)
         FlagPasses.guardOffers(cur,
           prior.withColumn("set_us", lit(asOf1Us)),
           prior.withColumn("sync_us", lit(asOf1Us + 3600000000L)),

@@ -11,12 +11,18 @@ import org.apache.spark.sql.functions._
   * DuckDB recursive transitive closure over the same edge set. */
 object IdentityQs {
 
+  /** Supplier node-id offset (2^40): keeps the supplier id space disjoint
+    * from customer keys at ANY scale factor — a 100k offset collides once
+    * customers exceed 100k rows (sf >= 1), silently fusing unrelated
+    * components in a way the oracle (sharing the offset) cannot catch. */
+  private val SupplierIdBase = 1L << 40
+
   // Shared edge definition: block on suffix-number % 100, link when the
   // 9-digit suffixes are within levenshtein 1. Suppliers offset to a disjoint
   // id space.
   private val edgeSqlCte =
     """edges_raw AS (
-      |  SELECT c_custkey AS src, 100000 + s_suppkey AS dst
+      |  SELECT c_custkey AS src, 1099511627776 + s_suppkey AS dst
       |  FROM customer JOIN supplier
       |    ON CAST(regexp_extract(c_name, '#([0-9]+)', 1) AS BIGINT) % 100
       |     = CAST(regexp_extract(s_name, '#([0-9]+)', 1) AS BIGINT) % 100
@@ -34,7 +40,7 @@ object IdentityQs {
           .select(col("c_custkey").as("id"),
             regexp_extract(col("c_name"), "#([0-9]+)", 1).as("num"))
         val sup = Tables.supplier(s, d)
-          .select((col("s_suppkey") + 100000L).as("id"),
+          .select((col("s_suppkey") + SupplierIdBase).as("id"),
             regexp_extract(col("s_name"), "#([0-9]+)", 1).as("num"))
         val edges = c.select(col("id").as("src"), col("num").as("src_num"),
             (col("num").cast("long") % 100).as("blk"))
@@ -52,7 +58,7 @@ object IdentityQs {
               |$edgeSqlCte,
               |nodes AS (
               |  SELECT c_custkey AS id FROM customer
-              |  UNION ALL SELECT 100000 + s_suppkey FROM supplier),
+              |  UNION ALL SELECT 1099511627776 + s_suppkey FROM supplier),
               |reach(id, r) AS (
               |  SELECT id, id FROM nodes
               |  UNION
@@ -92,7 +98,7 @@ object IdentityQs {
         // digit makes the domain gate (and its typo correction) decide which
         // supplier×customer links survive
         val sup = Tables.supplier(s, d)
-          .select((col("s_suppkey") + 100000L).as("id"),
+          .select((col("s_suppkey") + SupplierIdBase).as("id"),
             regexp_extract(col("s_name"), "#([0-9]+)", 1).as("num"),
             Normalize.fixDomainTypos(
               domain(floor(col("s_suppkey") / 10).cast("long"), 1)).as("dom"))
@@ -129,7 +135,7 @@ object IdentityQs {
            |    ${Normalize.fixDomainTyposSql(domSql("c_custkey", 0))} AS dom
            |  FROM customer),
            |s AS (
-           |  SELECT 100000 + s_suppkey AS id, regexp_extract(s_name, '#([0-9]+)', 1) AS num,
+           |  SELECT 1099511627776 + s_suppkey AS id, regexp_extract(s_name, '#([0-9]+)', 1) AS num,
            |    ${Normalize.fixDomainTyposSql(domSql("(s_suppkey // 10)", 1))} AS dom
            |  FROM supplier),
            |edges_raw AS (

@@ -223,13 +223,21 @@ class StreamsSpec extends AnyFunSuite {
       Streams.mergeUpsert(batch((2L, 1L, "b")), table, "k", "version", "payload")
     }
     assert(ex.getMessage.contains("refusing to reinitialize"))
-    // simulate a crash between delete and rename: complete temp copy present
+    // simulate a crash between aside and swap-in: complete temp copy present
     // → the merge finishes the swap, then merges the replayed batch on top
     batch((1L, 1L, "a"), (3L, 1L, "c")).write.parquet(table + "._GRAFT_TMP")
     Streams.mergeUpsert(batch((2L, 1L, "b")), table, "k", "version", "payload")
     val got = spark.read.parquet(table).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(got == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // simulate a crash right after the previous table was set aside (no temp
+    // copy yet): recovery must restore the aside copy, never reinitialize
+    Files.move(Paths.get(table), Paths.get(table + "._GRAFT_OLD"))
+    Streams.mergeUpsert(batch((4L, 1L, "d")), table, "k", "version", "payload")
+    val got2 = spark.read.parquet(table).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got2 == Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    assert(!Files.exists(Paths.get(table + "._GRAFT_OLD")), "aside copy dropped after commit")
   }
 
   test("runningUserTotals accumulates keyed state across a batch") {
