@@ -180,7 +180,8 @@ object FlagQs {
            |WHERE NOT (t.icf = 1 AND EXISTS (
            |  SELECT 1 FROM po
            |  WHERE po.user_id = t.parent_id AND po.flag_type = t.flag_type))""".stripMargin
-      }),
+      },
+      bench = true),
 
     // U1d: the relational party rules — host 7-days-out, host 6-days-out,
     // attendee 7-days-out — over the deterministic parties/RSVPs dims.
