@@ -191,8 +191,17 @@ object FlagQs {
         import graft.flags.PartyFlags
         val uni = Tables.events(s, d).filter(Q.usecs(col("ts")) < asOfUs)
           .select(col("user_id")).distinct()
-        val parties = PartyFlags.parties(Tables.orders(s, d))
-        val rsvps = PartyFlags.rsvps(Tables.orders(s, d), uni)
+        // party_day is a pure function of o_orderkey, so pre-filtering orders
+        // to the two due days pushes the predicate to the scan and shrinks
+        // every downstream RSVP explode ~7x — the three union branches then
+        // derive their dims from the due slice, not the full fact table.
+        // rsvp_yes stays exact: a party's RSVPs derive from its own row.
+        val asOfDay = asOfUs / 86400000000L
+        val due = Tables.orders(s, d).filter(
+          (lit(PartyFlags.PartyBaseDay) + col("o_orderkey") % 14)
+            .isin(asOfDay + 6, asOfDay + 7))
+        val parties = PartyFlags.parties(due)
+        val rsvps = PartyFlags.rsvps(due, uni)
         PartyFlags.hostFlags(parties, uni, asOfUs, 7, "party_host_7d")
           .unionByName(PartyFlags.hostFlags(parties, uni, asOfUs, 6, "party_host_6d"))
           .unionByName(PartyFlags.attendeeFlags(parties, rsvps, asOfUs, 7, "party_attendee_7d"))
