@@ -81,9 +81,13 @@ object RefreshPipeline {
     val asOf1 = 1705276800000000L // daily run clock (2024-01-15)
     val asOf2 = 1706659200000000L // refresh clock  (2024-01-31)
     val ttl = 14L * 86400L * 1000000L
+    // Each run applies the child/parent pass BEFORE merging, like the
+    // reference's evaluate_all_customers tail (suppression happens at
+    // evaluation time, so the synced flags are post-pass). The flags frame
+    // is checkpointed: childPass consumes it in two branches.
     def flagsAt(asOf: Long): DataFrame = {
       import spark.implicits._
-      Tables.events(spark, sfDir)
+      val raw = Tables.events(spark, sfDir)
         .filter(unix_micros(col("ts")) < asOf)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"), col("value"))
@@ -92,6 +96,11 @@ object RefreshPipeline {
         .groupByKey(_.userId)
         .flatMapGroups { (uid, it) => graft.flags.FlagRules.evaluateAll(uid, it.toSeq, asOf) }
         .toDF()
+        .localCheckpoint(true)
+      val uni = Tables.events(spark, sfDir)
+        .filter(unix_micros(col("ts")) < asOf)
+        .select(col("user_id")).distinct()
+      graft.flags.FlagPasses.childPass(raw, graft.flags.FlagPasses.familyMap(uni))
         .withColumn("added_us", lit(asOf))
     }
     val merged = mergeFlags(flagsAt(asOf1), flagsAt(asOf2), asOf2, ttl,
