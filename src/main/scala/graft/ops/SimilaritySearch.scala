@@ -246,4 +246,54 @@ object SimilaritySearch {
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("bkt_a").as("bucket"), col("cos_sim"))
   }
+
+  /** Semantic dedup, SemDeDup-style (Abbas et al. '23): near-duplicate
+    * EMBEDDING pairs (SRP-LSH candidates verified by exact cosine against
+    * `threshold`) are collapsed into clusters by connected components, and
+    * the minimum id per cluster is the keeper — every other member is a
+    * semantic duplicate to drop. Emits one row per input vector (singletons
+    * are their own keeper), so the output IS the corpus-wide keep/drop
+    * decision.
+    *
+    * Scale: the pair graph is candidate-sized (banded LSH, never all-pairs),
+    * components iterate on that graph only — state is pair-bounded, not
+    * corpus-bounded — and the final membership join is one hash join on the
+    * vector id. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bands: Int, bits: Int, threshold: Double): DataFrame = {
+    // checkpointed: CC iterates over the edge set, and without it every
+    // iteration would replay the full LSH candidate+verify pipeline
+    val pairs = srpNearPairs(emb, idCol, vecCol, dim, bands, bits, threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nodes = emb.select(col(idCol).as("id"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    Identity.connectedComponents(nodes, edges)
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("comp_id"))))
+      .select(col("id").as(idCol), col("comp_id").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("comp_id")).as("is_keeper"))
+  }
+
+  /** k-NN JOIN under the SRP-LSH candidate graph: top-`k` cosine neighbors
+    * for EVERY vector at once (vs [[topKNeighbors]]' single query), ranked
+    * `cos_sim` desc then neighbor id among band-collision candidates. The
+    * all-queries analogue of an ANN index build — candidate generation is
+    * the banded equi-join (never all-pairs), each undirected candidate pair
+    * is scored once and consumed from both endpoints, and the per-query
+    * rank window partitions on the query id, so parallelism equals the
+    * vector count at any corpus size. */
+  def knnJoinLsh(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bands: Int, bits: Int, k: Int): DataFrame = {
+    val pairs = srpNearPairs(emb, idCol, vecCol, dim, bands, bits, threshold = -1.0)
+    // both directions via ONE explode over the scored pair stream — a
+    // two-branch self-union would replay the whole LSH candidate+verify
+    // subtree per branch (ReuseExchange can't unify the renamed projections)
+    val sym = pairs.select(expr(
+        """explode(array(struct(id_a AS qid, id_b AS nid),
+          |  struct(id_b AS qid, id_a AS nid)))""".stripMargin).as("e"), col("cos_sim"))
+      .select(col("e.qid").as(idCol), col("e.nid").as("neighbor_id"), col("cos_sim"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

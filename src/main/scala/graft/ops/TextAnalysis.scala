@@ -188,6 +188,99 @@ object TextAnalysis {
 
   def fingerprintSql(e: String): String = s"md5(${Normalize.normTextSql(e)})"
 
+  /** Gopher-style repetition metrics (Rae et al. '21, §A1.1): how much of a
+    * document the single most frequent word / bigram accounts for, plus the
+    * distinct-word ratio. Complements [[dupNgramStats]] (which measures the
+    * duplicated TAIL across all n-grams) by measuring HEAD concentration —
+    * boilerplate and keyword-stuffed documents spike these before they spike
+    * the tail metric.
+    *
+    * Shape: two explode → (doc, gram) pre-agg → per-doc agg chains, joined
+    * on the doc key. The heavy shuffle in each chain moves map-side-combined
+    * (doc, gram) counts, not the raw gram stream; the per-doc re-shuffle
+    * then moves only doc-count rows. (Partitioning the raw stream by doc
+    * up-front would fuse the two exchanges but forfeit the partial
+    * aggregation — strictly more bytes over the wire at corpus scale.) */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def headStats(k: Int, top: String, total: String, distinctC: String): DataFrame =
+      Dedup.shingles(df, idCol, textCol, k, dedup = false)
+        .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("__cnt"))
+        .groupBy(col(idCol)).agg(
+          sum(col("__cnt")).as(total), max(col("__cnt")).as(top),
+          count(lit(1)).as(distinctC))
+    val words = headStats(1, "__top_w", "n_words", "n_distinct_words")
+    val bigrams = headStats(2, "__top_b", "__n_bg", "__d_bg")
+    // single-word docs have no bigram row — their head concentration is 0
+    words.join(bigrams, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("n_distinct_words"),
+        round(col("__top_w").cast("double") / col("n_words").cast("double"), 6)
+          .as("top_word_frac"),
+        round(col("n_distinct_words").cast("double") / col("n_words").cast("double"), 6)
+          .as("distinct_word_ratio"),
+        round(coalesce(col("__top_b").cast("double") / col("__n_bg").cast("double"),
+          lit(0.0)), 6).as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("top_word_frac") > RepTopWordMax || col("top_bigram_frac") > RepTopBigramMax ||
+          col("distinct_word_ratio") < RepDistinctMin)
+  }
+
+  /** Repetition-gate thresholds (head-concentration analogues of Gopher's
+    * top-2-gram-fraction cut, calibrated to the synthetic corpus' p90s). */
+  val RepTopWordMax = 0.14
+  val RepTopBigramMax = 0.07
+  val RepDistinctMin = 0.35
+
+  def repetitionStatsSql(idExpr: String, textExpr: String, table: String): String =
+    s"""WITH w AS (
+       |  SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS gram FROM $table),
+       |wg AS (SELECT id, gram, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+       |wd AS (SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |         CAST(MAX(cnt) AS BIGINT) AS top_w, COUNT(*) AS n_distinct_words
+       |       FROM wg GROUP BY 1),
+       |t AS (SELECT $idExpr AS id, string_split($textExpr, ' ') AS ws FROM $table),
+       |b AS (SELECT id, unnest(list_transform(range(len(ws) - 1),
+       |         i -> ws[i+1] || ' ' || ws[i+2])) AS gram
+       |      FROM t WHERE len(ws) >= 2),
+       |bg AS (SELECT id, gram, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+       |bd AS (SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_bg, CAST(MAX(cnt) AS BIGINT) AS top_b
+       |       FROM bg GROUP BY 1),
+       |m AS (SELECT wd.id, n_words, n_distinct_words,
+       |        round(CAST(top_w AS DOUBLE) / n_words, 6) AS top_word_frac,
+       |        round(CAST(n_distinct_words AS DOUBLE) / n_words, 6) AS distinct_word_ratio,
+       |        round(COALESCE(CAST(top_b AS DOUBLE) / n_bg, 0.0), 6) AS top_bigram_frac
+       |      FROM wd LEFT JOIN bd USING (id))
+       |SELECT id AS $idExpr, n_words, n_distinct_words, top_word_frac,
+       |  distinct_word_ratio, top_bigram_frac,
+       |  (top_word_frac > $RepTopWordMax OR top_bigram_frac > $RepTopBigramMax
+       |    OR distinct_word_ratio < $RepDistinctMin) AS repetitive
+       |FROM m""".stripMargin
+
+  /** Leakage-safe deterministic train/val/test split: the split key is the
+    * CONTENT fingerprint, not the row id, so byte-identical duplicates land
+    * in the same split by construction — the eval set can never leak a
+    * training document through a dup. Boundaries are fixed 24-bit hash
+    * thresholds ([[hashUnit]]), so the assignment is reproducible across
+    * runs, partitionings, engines, and reprocessing — pure row-local codegen
+    * at scan speed, zero shuffles at any corpus size. */
+  val SplitTrainUpper: Long = (0.8 * (1L << 24)).toLong
+  val SplitValUpper: Long = (0.9 * (1L << 24)).toLong
+
+  def splitAssign(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String): DataFrame = {
+    val h = hashUnit(fingerprint(col(textCol)), "split")
+    df.select(col(idCol), col(srcCol), fingerprint(col(textCol)).as("fp"),
+      when(h < SplitTrainUpper, "train")
+        .when(h < SplitValUpper, "val")
+        .otherwise("test").as("split"))
+  }
+
+  def splitAssignSql(textExpr: String): String = {
+    val h = hashUnitSql(fingerprintSql(textExpr), "split")
+    s"""CASE WHEN $h < $SplitTrainUpper THEN 'train'
+       |     WHEN $h < $SplitValUpper THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  }
+
   /** Sequence packing, GPT-pretraining style: each source's documents are
     * concatenated in `idCol` order and the token stream is chunked into
     * fixed `budget`-token context windows. Adds `chunk_id` (which window the

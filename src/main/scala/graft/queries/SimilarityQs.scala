@@ -29,10 +29,11 @@ object SimilarityQs {
     s"""round(${dotSql(a, b)} /
        |  (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)""".stripMargin
 
-  // Oracle for k4: the SAME hyperplane numerators SimilaritySearch uses,
-  // spelled as exact (k/1024.0) list literals; in-order SUM over range()
-  // reproduces float_dot's fold, so every sign bit matches the Spark plan.
-  private def srpOracle(bands: Int, bits: Int, threshold: Double): String = {
+  // Shared CTE block (sig, cand) for every SRP-LSH oracle: the SAME
+  // hyperplane numerators SimilaritySearch uses, spelled as exact (k/1024.0)
+  // list literals; in-order SUM over range() reproduces float_dot's fold, so
+  // every sign bit matches the Spark plan.
+  private def srpCandCtes(bands: Int, bits: Int): String = {
     val h = graft.ops.SimilaritySearch.srpNumerators(bands * bits, dim)
     def planeDot(p: IndexedSeq[Int]): String = {
       val lit = p.map(k => s"($k/1024.0)").mkString("[", ", ", "]")
@@ -46,18 +47,21 @@ object SimilarityQs {
     val bandJoins = (0 until bands).map(k =>
       s"    SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a JOIN sig b ON a.b$k = b.b$k AND a.vec_id < b.vec_id")
       .mkString("\n    UNION ALL\n")
-    s"""WITH sig AS (
+    s"""sig AS (
        |  SELECT vec_id,
        |$bandCols
        |  FROM embeddings),
        |cand AS (
        |  SELECT id_a, id_b, COUNT(*) AS n_bands FROM (
        |$bandJoins)
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def srpOracle(bands: Int, bits: Int, threshold: Double): String =
+    s"""WITH ${srpCandCtes(bands, bits)}
        |SELECT id_a, id_b, n_bands, ${cosSql("a.embedding", "b.embedding")} AS cos_sim
        |FROM cand JOIN embeddings a ON a.vec_id = id_a JOIN embeddings b ON b.vec_id = id_b
        |WHERE ${cosSql("a.embedding", "b.embedding")} >= $threshold""".stripMargin
-  }
 
   val qs: Seq[Q] = Seq(
 
@@ -137,6 +141,59 @@ object SimilarityQs {
               |${cosSql("a.embedding", "b.embedding")} AS cos_sim
               |FROM embeddings a JOIN embeddings b
               |  ON a.label = b.label AND a.vec_id < b.vec_id
-              |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin))
+              |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin)),
+
+    // D7: SemDeDup-style semantic dedup — SRP-LSH cosine pairs collapsed to
+    // clusters (connected components), min-id keeper, one row per vector.
+    // The embedding analogue of d6's text-simhash cluster collapse; the pair
+    // graph is banded-candidate-sized, never all-pairs.
+    Q("d7_semantic_dedup",
+      (s, d) => SimilaritySearch.semanticDedup(
+        Tables.embeddings(s, d), "vec_id", "embedding", dim,
+        bands = 4, bits = 6, threshold = 0.4),
+      Some(s"""WITH RECURSIVE ${srpCandCtes(4, 6)},
+              |np AS (
+              |  SELECT id_a, id_b
+              |  FROM cand JOIN embeddings a ON a.vec_id = id_a
+              |    JOIN embeddings b ON b.vec_id = id_b
+              |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+              |uedges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM np
+              |  UNION SELECT id_b, id_a FROM np),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT src, src FROM uedges
+              |  UNION
+              |  SELECT reach.id, e.dst FROM reach JOIN uedges e ON reach.r = e.src),
+              |comps AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+              |allv AS (
+              |  SELECT vec_id, COALESCE(cluster_id, vec_id) AS cluster_id
+              |  FROM embeddings LEFT JOIN comps ON vec_id = id),
+              |sized AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM allv GROUP BY 1)
+              |SELECT vec_id, cluster_id, cluster_size, vec_id = cluster_id AS is_keeper
+              |FROM allv JOIN sized USING (cluster_id)""".stripMargin)),
+
+    // K5: k-NN JOIN — top-3 cosine neighbors for EVERY vector among its
+    // SRP band-collision candidates (the all-queries ANN build, vs k1's
+    // single query). Candidate equi-join + per-query rank window; no
+    // all-pairs stage anywhere.
+    Q("k5_knn_join_lsh",
+      (s, d) => SimilaritySearch.knnJoinLsh(
+        Tables.embeddings(s, d), "vec_id", "embedding", dim,
+        bands = 4, bits = 6, k = 3),
+      Some(s"""WITH ${srpCandCtes(4, 6)},
+              |scored AS (
+              |  SELECT id_a, id_b, ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+              |  FROM cand JOIN embeddings a ON a.vec_id = id_a
+              |    JOIN embeddings b ON b.vec_id = id_b),
+              |sym AS (
+              |  SELECT id_a AS vec_id, id_b AS neighbor_id, cos_sim FROM scored
+              |  UNION ALL SELECT id_b, id_a, cos_sim FROM scored)
+              |SELECT vec_id, neighbor_id, cos_sim,
+              |  CAST(row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+              |FROM sym
+              |QUALIFY row_number() OVER (PARTITION BY vec_id
+              |  ORDER BY cos_sim DESC, neighbor_id) <= 3""".stripMargin),
+      bench = true)
   )
 }

@@ -262,6 +262,27 @@ object TextQs {
              |  COALESCE(n_contam, 0) AS n_contam,
              |  round(CAST(COALESCE(n_contam, 0) AS DOUBLE) / n_shingles, 6) AS contam_ratio,
              |  COALESCE(n_contam, 0) > 0 AS flagged
-             |FROM ns LEFT JOIN hits USING (doc_id)""".stripMargin))
+             |FROM ns LEFT JOIN hits USING (doc_id)""".stripMargin)),
+
+    // T12: Gopher-style repetition gate — head-concentration metrics
+    // (top-word / top-bigram fraction, distinct-word ratio) complementing
+    // t7's duplicated-tail fraction. Two map-side-combinable gram aggs,
+    // doc-key join; no corpus-global state.
+    Q("t12_repetition_stats",
+      (s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text"),
+      Some(TextAnalysis.repetitionStatsSql("doc_id", "text", "documents")),
+      bench = true),
+
+    // T13: leakage-safe train/val/test split — assignment keyed on the
+    // CONTENT fingerprint (not the row id), so exact duplicates can never
+    // straddle the train/eval boundary; fixed 24-bit hash thresholds make
+    // it reproducible across engines and reprocessing. Row-local codegen,
+    // zero shuffles (SplitSpec pins the no-leak property).
+    Q("t13_split_assign",
+      (s, d) => TextAnalysis.splitAssign(Tables.documents(s, d), "doc_id", "source", "text"),
+      Some(s"""SELECT doc_id, source,
+              |  ${TextAnalysis.fingerprintSql("text")} AS fp,
+              |  ${TextAnalysis.splitAssignSql("text")} AS split
+              |FROM documents""".stripMargin))
   )
 }

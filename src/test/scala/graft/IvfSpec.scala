@@ -101,4 +101,55 @@ class IvfSpec extends AnyFunSuite {
       assert(arr.forall(x => !x.isNaN && !x.isInfinite))
     }
   }
+
+  test("semanticDedup: total cover, min-id keepers, pairs never straddle clusters") {
+    val d = SimilaritySearch.semanticDedup(emb, "vec_id", "embedding", 64,
+        bands = 4, bits = 6, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // one row per vector; keeper iff id == cluster_id; keeper = cluster min
+    assert(d.length == emb.count())
+    assert(d.forall { case (id, cl, _, keep) => keep == (id == cl) })
+    val byCluster = d.groupBy(_._2)
+    byCluster.foreach { case (cl, members) =>
+      assert(members.map(_._1).min == cl, s"cluster $cl keeper is not the min id")
+      assert(members.count(_._4) == 1, s"cluster $cl must have exactly one keeper")
+      assert(members.forall(_._3 == members.length), s"cluster $cl size mismatch")
+    }
+    // every verified near-dup pair must land in one cluster
+    val cluster = d.map(x => x._1 -> x._2).toMap
+    SimilaritySearch.srpNearPairs(emb, "vec_id", "embedding", 64, 4, 6, 0.4)
+      .collect().foreach { r =>
+        assert(cluster(r.getLong(0)) == cluster(r.getLong(1)),
+          s"pair (${r.getLong(0)}, ${r.getLong(1)}) split across clusters")
+      }
+  }
+
+  test("knnJoinLsh: contiguous ranks, cos-desc order, candidate-exact scores") {
+    val knn = SimilaritySearch.knnJoinLsh(emb, "vec_id", "embedding", 64,
+        bands = 4, bits = 6, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(knn.nonEmpty)
+    assert(knn.forall { case (q, n, _, _) => q != n })
+    knn.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq,
+        s"query $q ranks not contiguous from 1")
+      assert(sorted.map(_._2).distinct.length == sorted.length,
+        s"query $q repeats a neighbor")
+      // ranked by cos desc (ties broken by neighbor id asc)
+      assert(sorted.toSeq.sliding(2).forall {
+        case Seq((_, n1, c1, _), (_, n2, c2, _)) => c1 > c2 || (c1 == c2 && n1 < n2)
+        case _ => true
+      }, s"query $q not in (cos desc, id) order")
+    }
+    // scores agree with the exact bucketed path on a spot-checked pair set
+    val exact = SimilaritySearch.nearDupPairs(
+        emb.withColumn("one", org.apache.spark.sql.functions.lit(1)),
+        "vec_id", "embedding", "one", -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    knn.take(50).foreach { case (q, n, c, _) =>
+      val key = if (q < n) (q, n) else (n, q)
+      assert(exact(key) == c, s"cos mismatch for $key")
+    }
+  }
 }

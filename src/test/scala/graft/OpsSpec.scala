@@ -265,6 +265,37 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  test("TextAnalysis.repetitionStats measures head concentration exactly") {
+    val distinct20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, "a a a b"),   // top word a: 3/4; distinct 2/4; bigrams aa,aa,ab -> 2/3
+      (2L, distinct20),  // all distinct: 1/20, 20/20, 1/19
+      (3L, "solo")       // single word: no bigram row -> frac 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got(1L) == ((4L, 0.75, 0.5, 0.666667, true)))
+    assert(got(2L) == ((20L, 0.05, 1.0, 0.052632, false)))
+    assert(got(3L) == ((1L, 1.0, 1.0, 0.0, true)))
+  }
+
+  test("TextAnalysis.splitAssign groups exact duplicates into one split") {
+    // inline dups: identical text under different ids MUST share a split
+    val df = Seq((1L, "s0", "Hello  World"), (2L, "s1", "hello world"),
+      (3L, "s0", "another document entirely")).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.splitAssign(df, "doc_id", "source", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(got(1L) == got(2L))   // same fp (normText collapses case/ws) -> same split
+    // real corpus: every fingerprint lands in exactly one split, all splits used
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val real = TextAnalysis.splitAssign(docs, "doc_id", "source", "text")
+    val perFp = real.groupBy(col("fp"))
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(perFp == 0)
+    assert(real.select("split").distinct().count() == 3)
+  }
+
   test("TextAnalysis.hashUnit is deterministic, in-range, and salt-sensitive") {
     val df = (1L to 500L).toDF("id")
     val h1 = df.select(TextAnalysis.hashUnit(col("id"), "s1").as("h")).collect().map(_.getLong(0))
