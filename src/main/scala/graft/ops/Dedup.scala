@@ -40,6 +40,32 @@ object Dedup {
     if (dedup) raw.distinct() else raw
   }
 
+  /** Incremental near-dup: match a DELTA batch against an already-indexed
+    * corpus — the production shape at 100 TB, where the corpus minhash
+    * signatures are a persisted table and a new ingest batch must only pay
+    * for ITS OWN shingling plus a banded join against the index (never a
+    * corpus re-scan). Here the corpus side recomputes signatures from text
+    * because the testdata has no persisted index; in production that subtree
+    * is a parquet scan of the signature table — everything from `lshBands`
+    * down is identical. Candidates are cross-side band collisions only
+    * (delta × corpus, no intra-side pairs); exact Jaccard verifies.
+    * Returns (id_a = delta doc, id_b = corpus doc, n_bands, jaccard). */
+  def incrementalNearDup(delta: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, k: Int, numHashes: Int, bandSize: Int): DataFrame = {
+    val shDelta = shingles(delta, idCol, textCol, k, dedup = false)
+    val shCorpus = shingles(corpus, idCol, textCol, k, dedup = false)
+    // each side's signature table materializes once (same frontier as d2)
+    val bDelta = lshBands(minhash(shDelta, idCol, numHashes).localCheckpoint(true),
+      idCol, bandSize, numHashes)
+    val bCorpus = lshBands(minhash(shCorpus, idCol, numHashes).localCheckpoint(true),
+      idCol, bandSize, numHashes)
+    val cands = bDelta.toDF("id_a", "band_a", "sig_a")
+      .join(bCorpus.toDF("id_b", "band_b", "sig_b"),
+        col("band_a") === col("band_b") && col("sig_a") === col("sig_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_bands"))
+    jaccardFor(cands, shDelta.unionByName(shCorpus), idCol)
+  }
+
   /** Largest 32-bit prime — the modulus of the minhash affine family. */
   val MinhashP = 4294967291L
 

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text analysis for training-data pipelines: language-ID heuristic, quality
   * scoring, token counting, fingerprinting (BASELINE north star).
@@ -187,6 +188,78 @@ object TextAnalysis {
   def fingerprint(c: Column): Column = md5(Normalize.normText(c))
 
   def fingerprintSql(e: String): String = s"md5(${Normalize.normTextSql(e)})"
+
+  /** Deterministic global corpus shuffle: every row gets a reproducible
+    * `shuffle_pos` (1-based) under the salted-hash order — the "shuffle the
+    * corpus before training" step, with the property `ORDER BY rand()`
+    * lacks: stable across runs, partitionings, engines, and reprocessing.
+    * Rank is computed with [[quotaSample]]'s two-level hash-shard prefix
+    * sum (a single constant stratum), so no partition ever holds the whole
+    * corpus — the global sort a naive `row_number() OVER (ORDER BY h)`
+    * would serialize stays fully parallel. */
+  def shuffleRank(df: DataFrame, idCol: String, salt: String): DataFrame =
+    quotaSample(df.withColumn("__g", lit(0)), "__g", idCol, lit(Long.MaxValue), salt)
+      .withColumnRenamed("sample_rank", "shuffle_pos")
+      .drop("__g")
+
+  /** Unigram-LM surprisal quality score (the CCNet perplexity-filter
+    * analogue, with the corpus itself as the LM): mean bits of surprisal
+    * -log2(cnt(w)/total) per word. Templated/boilerplate docs score LOW
+    * (common words), garbage scores HIGH — gate on both tails.
+    *
+    * Scale: the unigram table is vocabulary-sized (bounded, unlike the doc
+    * stream) — AQE broadcasts it when small, shuffle-joins otherwise; the
+    * grand total is a 1-row broadcast. Per-addend DECIMAL(18,4)
+    * quantization makes the per-doc mean order-independent (double
+    * summation is not associative; decimal summation is — `Q.dsum`). */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // ONE explode for the whole query: the (doc, word) pre-agg feeds the
+    // vocab build, the grand total, AND the scorer (without materialization
+    // each consumer replays the corpus explode — measured 3 Generate
+    // subtrees in the static plan). Map-side combine shrinks the stream to
+    // per-doc-distinct words before it ever shuffles.
+    val dw = df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("dw_cnt"))
+      .localCheckpoint(true)
+    val vocab = dw.groupBy(col("word")).agg(sum(col("dw_cnt")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    dw.join(vocab, "word")
+      .crossJoin(broadcast(total)) // 1-row grand total — whitelisted broadcast
+      .withColumn("__bits",
+        -log(2.0, col("cnt").cast("double") / col("total").cast("double")))
+      .groupBy(col(idCol))
+      .agg(sum(col("dw_cnt")).as("n_words"),
+        // exact decimal arithmetic (quantized bits × integer count, decimal
+        // sum — both order-independent), then DOUBLE division at the end —
+        // decimal DIVISION scale/rounding is engine-specific (see k2b)
+        round(sum(col("__bits").cast(DecimalType(18, 4)) * col("dw_cnt")).cast("double") /
+          sum(col("dw_cnt")).cast("double"), 6).as("bits_per_word"))
+      .withColumn("unusual", col("bits_per_word") > SurprisalMaxBits ||
+        col("bits_per_word") < SurprisalMinBits)
+  }
+
+  /** Surprisal gate bounds (calibrated to the synthetic corpus' p5/p95). */
+  val SurprisalMinBits = 4.897
+  val SurprisalMaxBits = 4.94
+
+  def unigramSurprisalSql(idExpr: String, textExpr: String, table: String): String =
+    s"""WITH w AS (
+       |  SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS word FROM $table),
+       |dw AS (SELECT id, word, CAST(COUNT(*) AS BIGINT) AS dw_cnt FROM w GROUP BY 1, 2),
+       |v AS (SELECT word, CAST(SUM(dw_cnt) AS BIGINT) AS cnt FROM dw GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+       |b AS (
+       |  SELECT dw.id, dw_cnt,
+       |    -ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) / ln(2.0) AS bits
+       |  FROM dw JOIN v USING (word) CROSS JOIN tot),
+       |m AS (
+       |  SELECT id, CAST(SUM(dw_cnt) AS BIGINT) AS n_words,
+       |    CAST(SUM(CAST(bits AS DECIMAL(18,4)) * dw_cnt) AS DOUBLE) /
+       |      CAST(SUM(dw_cnt) AS DOUBLE) AS raw
+       |  FROM b GROUP BY 1)
+       |SELECT id AS $idExpr, n_words, round(raw, 6) AS bits_per_word,
+       |  (round(raw, 6) > $SurprisalMaxBits OR round(raw, 6) < $SurprisalMinBits) AS unusual
+       |FROM m""".stripMargin
 
   /** Gopher-style repetition metrics (Rae et al. '21, §A1.1): how much of a
     * document the single most frequent word / bigram accounts for, plus the

@@ -123,6 +123,55 @@ object DedupQs {
               |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin),
       bench = true),
 
+    // D8: incremental near-dup — a delta ingest batch (doc_id % 5 = 0)
+    // matched against the already-indexed corpus (the rest). Cross-side
+    // band collisions only; in production the corpus subtree is a persisted
+    // signature-table scan, so a new batch never re-pays corpus shingling.
+    Q("d8_incremental_minhash",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalNearDup(
+            docs.filter(col("doc_id") % 5 === 0),
+            docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", 3, numHashes = 8, bandSize = 2)
+          .withColumn("is_dup", col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("n_bands"), col("jaccard"), col("is_dup"))
+      },
+      Some(s"""WITH $shinglesCte,
+              |lanes AS (
+              |  SELECT doc_id,
+              |    ('0x' || substr(h, 1, 8))::BIGINT AS x1,
+              |    ('0x' || substr(h, 9, 8))::BIGINT AS x2
+              |  FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
+              |mh AS (
+              |  SELECT doc_id,
+              |${Dedup.minhashMinsSql(8)}
+              |  FROM lanes GROUP BY doc_id),
+              |bands AS (
+              |${(0 until 4).map(b =>
+                  s"  SELECT doc_id, $b AS band, CAST(mh_${2 * b} AS VARCHAR) || '|' || CAST(mh_${2 * b + 1} AS VARCHAR) AS sig FROM mh")
+                  .mkString("\n  UNION ALL\n")}),
+              |cands AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.sig = b.sig
+              |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+              |  FROM cands c
+              |  JOIN sh a ON a.doc_id = c.id_a
+              |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              |  GROUP BY 1, 2)
+              |SELECT c.id_a, c.id_b, c.n_bands,
+              |  round(COALESCE(n_inter, 0) / CAST(sa.n_sh + sb.n_sh - COALESCE(n_inter, 0) AS DOUBLE), 6) AS jaccard,
+              |  round(COALESCE(n_inter, 0) / CAST(sa.n_sh + sb.n_sh - COALESCE(n_inter, 0) AS DOUBLE), 6) >= 0.5 AS is_dup
+              |FROM cands c
+              |LEFT JOIN inter USING (id_a, id_b)
+              |JOIN sizes sa ON sa.doc_id = c.id_a
+              |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin)),
+
     // D3: 16-bit SimHash fingerprints (frequency-weighted bit votes).
     Q("d3_simhash",
       (s, d) => Dedup.simhash16(Tables.documents(s, d), "doc_id", "text"),

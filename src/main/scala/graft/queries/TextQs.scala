@@ -273,6 +273,26 @@ object TextQs {
       Some(TextAnalysis.repetitionStatsSql("doc_id", "text", "documents")),
       bench = true),
 
+    // T14: deterministic global corpus shuffle — reproducible 1-based
+    // shuffle_pos under the salted-hash order, computed with the two-level
+    // hash-shard prefix sum so no partition ever holds the corpus (the
+    // naive global row_number window would).
+    Q("t14_corpus_shuffle",
+      (s, d) => TextAnalysis.shuffleRank(
+        Tables.documents(s, d).select(col("doc_id"), col("source")), "doc_id", "shuffle"),
+      Some(s"""SELECT doc_id, source,
+              |  CAST(row_number() OVER (ORDER BY
+              |    ${TextAnalysis.hashUnitSql("doc_id", "shuffle")}, doc_id) AS BIGINT)
+              |    AS shuffle_pos
+              |FROM documents""".stripMargin)),
+
+    // T15: unigram-LM surprisal quality gate (CCNet perplexity-filter
+    // analogue) — mean -log2 p(word) per doc against the corpus unigram
+    // table; decimal-quantized addends make the mean order-independent.
+    Q("t15_unigram_surprisal",
+      (s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text"),
+      Some(TextAnalysis.unigramSurprisalSql("doc_id", "text", "documents"))),
+
     // T13: leakage-safe train/val/test split — assignment keyed on the
     // CONTENT fingerprint (not the row id), so exact duplicates can never
     // straddle the train/eval boundary; fixed 24-bit hash thresholds make

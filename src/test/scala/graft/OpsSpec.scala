@@ -296,6 +296,55 @@ class OpsSpec extends AnyFunSuite {
     assert(real.select("split").distinct().count() == 3)
   }
 
+  test("TextAnalysis.shuffleRank is a deterministic permutation = naive rank") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val got = TextAnalysis.shuffleRank(df, "doc_id", "shuffle")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // exactly the positions 1..N, no gaps or dups
+    assert(got.values.toSeq.sorted == (1L to 300L).toSeq)
+    // equals the naive single-partition window rank
+    val naive = df.withColumn("p", row_number().over(
+        Window.orderBy(TextAnalysis.hashUnit(col("doc_id"), "shuffle"), col("doc_id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == naive)
+    // partitioning-independent
+    val again = TextAnalysis.shuffleRank(df.repartition(7), "doc_id", "shuffle")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got)
+  }
+
+  test("TextAnalysis.unigramSurprisal computes mean -log2 p(word) exactly") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2, b=2, c=1, total=5; bits(a)=bits(b)=1.3219, bits(c)=2.3219
+    val got = TextAnalysis.unigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, 1.3219)))
+    assert(got(2L) == ((2L, 1.8219)))
+  }
+
+  test("Dedup.incrementalNearDup equals the full LSH restricted to cross-side pairs") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val inc = Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", 3, numHashes = 8, bandSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(r.fieldIndex("jaccard"))))).toMap
+    // full corpus-wide pipeline (the d2 shape), then keep cross-side pairs
+    val shAll = Dedup.shingles(docs, "doc_id", "text", 3, dedup = false)
+    val mh = Dedup.minhash(shAll, "doc_id", 8).localCheckpoint(true)
+    val cands = Dedup.lshCandidates(Dedup.lshBands(mh, "doc_id", 2, 8), "doc_id")
+      .localCheckpoint(true)
+    val full = Dedup.jaccardFor(cands, shAll, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(r.fieldIndex("jaccard"))))).toMap
+    val crossFull = full.collect {
+      case ((a, b), v) if a % 5 == 0 && b % 5 != 0 => (a, b) -> v
+      case ((a, b), v) if b % 5 == 0 && a % 5 != 0 => (b, a) -> v
+    }.toMap
+    assert(inc == crossFull)
+  }
+
   test("TextAnalysis.hashUnit is deterministic, in-range, and salt-sensitive") {
     val df = (1L to 500L).toDF("id")
     val h1 = df.select(TextAnalysis.hashUnit(col("id"), "s1").as("h")).collect().map(_.getLong(0))

@@ -86,7 +86,8 @@ class QueriesSpec extends AnyFunSuite {
     "j9b_refund_redistribution", // two 1-row total broadcasts
     "k2b_knn_ivf_centroid",    // k-row centroid table broadcast
     "k2c_knn_ivf_kmeans",      // k-row centroid broadcast per Lloyd iteration
-    "t11_tfidf"                // 1-row corpus-total broadcast (same shape as a6)
+    "t11_tfidf",               // 1-row corpus-total broadcast (same shape as a6)
+    "t15_unigram_surprisal"    // 1-row corpus-total broadcast (same shape as a6)
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
