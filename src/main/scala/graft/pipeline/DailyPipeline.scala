@@ -59,6 +59,39 @@ object DailyPipeline {
             docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 5),
           s"$outDir/decontamination_report")
       }),
+      // train/val/test assignment for the MATERIALIZED curated corpus —
+      // keyed on the content fingerprint (exact dups can never straddle
+      // train/eval), so the assignment survives reprocessing verbatim.
+      Job("corpus_splits", Seq("curated_corpus"), s => {
+        val cur = s.read.parquet(s"$outDir/curated_corpus").select(col("doc_id"))
+        Tables.write(
+          graft.ops.TextAnalysis.splitAssign(
+            Tables.documents(s, sfDir).join(cur, "doc_id"), "doc_id", "source", "text"),
+          s"$outDir/corpus_splits")
+      }),
+      // deterministic training order for the train split: reproducible
+      // global shuffle positions (two-level prefix sum — no driver sort).
+      Job("training_order", Seq("corpus_splits"), s => {
+        val train = s.read.parquet(s"$outDir/corpus_splits")
+          .filter(col("split") === "train").select(col("doc_id"), col("source"))
+        Tables.write(
+          graft.ops.TextAnalysis.shuffleRank(train, "doc_id", "epoch0"),
+          s"$outDir/training_order")
+      }),
+      // embedding-space dedup decision (SemDeDup): keeper/cluster per vector.
+      materialize("d7_semantic_dedup", "embedding_dedup_clusters"),
+      // incremental ingest report: today's batch (delta) matched against the
+      // indexed corpus — cross-side band collisions only, the shape that
+      // never re-pays corpus shingling at scale.
+      Job("incremental_dedup_report", Nil, s => {
+        val docs = Tables.documents(s, sfDir)
+        Tables.write(
+          graft.ops.Dedup.incrementalNearDup(
+            docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", 3, numHashes = 8, bandSize = 2)
+            .withColumn("is_dup", col("jaccard") >= 0.5),
+          s"$outDir/incremental_dedup_report")
+      }),
       // privacy mart: the shareable customer export (pseudonyms + k-anonymity
       // suppression) — the form that may leave the warehouse.
       materialize("u5_anonymize", "anonymized_customers"),

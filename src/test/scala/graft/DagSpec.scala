@@ -25,7 +25,7 @@ class DagSpec extends AnyFunSuite {
     val jobs = graft.pipeline.DailyPipeline.jobs("/root/testdata/sf0.001", "/tmp/never_run")
     val names = jobs.map(_.name)
     assert(names.distinct.length == names.length, "duplicate job names")
-    assert(names.length >= 22, s"expected >= 22 warehouse jobs, got ${names.length}")
+    assert(names.length >= 30, s"expected >= 30 warehouse jobs, got ${names.length}")
     // every declared dependency must be a declared job (no dangling lineage)
     val dangling = jobs.flatMap(j => j.deps.filterNot(names.contains).map(j.name -> _))
     assert(dangling.isEmpty, s"deps on undeclared jobs: $dangling")
@@ -34,6 +34,11 @@ class DagSpec extends AnyFunSuite {
     assert(Set("latest_events", "leads_table", "new_members", "contact_preferences")
       .subsetOf(names.toSet))
     assert(jobs.find(_.name == "leads_table").get.deps == Seq("latest_events"))
+    // training-data marts: splits feed the training order (real lineage)
+    assert(Set("corpus_splits", "training_order", "embedding_dedup_clusters",
+      "incremental_dedup_report").subsetOf(names.toSet))
+    assert(jobs.find(_.name == "corpus_splits").get.deps == Seq("curated_corpus"))
+    assert(jobs.find(_.name == "training_order").get.deps == Seq("corpus_splits"))
     // acyclic: Kahn's peeling must consume every job
     var remaining = jobs.map(j => j.name -> j.deps.toSet).toMap
     while (remaining.nonEmpty && remaining.exists(_._2.isEmpty)) {
