@@ -63,7 +63,21 @@ object Dedup {
       .join(bCorpus.toDF("id_b", "band_b", "sig_b"),
         col("band_a") === col("band_b") && col("sig_a") === col("sig_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_bands"))
-    jaccardFor(cands, shDelta.unionByName(shCorpus), idCol)
+      .localCheckpoint(true)
+    // the exact-Jaccard verify re-shingles CANDIDATE docs only: semi-filter
+    // each side's DOC TABLE to its candidate ids BEFORE the explode (a semi
+    // join can't push through Generate, so filtering the shingle stream
+    // after the fact would still explode the whole corpus — the contract is
+    // that a batch never re-pays corpus-wide shingling)
+    // candidate volume is data-dependent (hot buckets are quadratic) — no
+    // forced broadcast; AQE converts the semi join at runtime when small
+    def candDocs(side: DataFrame, pairCol: String) = {
+      val ids = cands.select(col(pairCol).as("__cid")).distinct()
+      side.join(ids, side(idCol) === col("__cid"), "left_semi")
+    }
+    val shVerify = shingles(candDocs(delta, "id_a"), idCol, textCol, k, dedup = false)
+      .unionByName(shingles(candDocs(corpus, "id_b"), idCol, textCol, k, dedup = false))
+    jaccardFor(cands, shVerify, idCol)
   }
 
   /** Largest 32-bit prime — the modulus of the minhash affine family. */

@@ -267,10 +267,16 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
     val nodes = emb.select(col(idCol).as("id"))
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val w = Window.partitionBy(col("comp_id"))
+    // keeper = the cluster's ACTUAL minimum member, not id === comp_id: if
+    // min-label propagation stops at maxIter on a deep chain, comp_id may
+    // not be any member's id — the window-min guarantees every emitted
+    // cluster still elects exactly one keeper (identical when converged)
     Identity.connectedComponents(nodes, edges)
-      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("comp_id"))))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("__min_id", min(col("id")).over(w))
       .select(col("id").as(idCol), col("comp_id").as("cluster_id"),
-        col("cluster_size"), (col("id") === col("comp_id")).as("is_keeper"))
+        col("cluster_size"), (col("id") === col("__min_id")).as("is_keeper"))
   }
 
   /** k-NN JOIN under the SRP-LSH candidate graph: top-`k` cosine neighbors

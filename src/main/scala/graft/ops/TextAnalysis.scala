@@ -275,14 +275,16 @@ object TextAnalysis {
     * up-front would fuse the two exchanges but forfeit the partial
     * aggregation — strictly more bytes over the wire at corpus scale.) */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def headStats(k: Int, top: String, total: String, distinctC: String): DataFrame =
+    def headStats(k: Int, top: String, total: String,
+        distinctC: Option[String]): DataFrame = {
+      val aggs = Seq(sum(col("__cnt")).as(total), max(col("__cnt")).as(top)) ++
+        distinctC.map(c => count(lit(1)).as(c))
       Dedup.shingles(df, idCol, textCol, k, dedup = false)
         .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("__cnt"))
-        .groupBy(col(idCol)).agg(
-          sum(col("__cnt")).as(total), max(col("__cnt")).as(top),
-          count(lit(1)).as(distinctC))
-    val words = headStats(1, "__top_w", "n_words", "n_distinct_words")
-    val bigrams = headStats(2, "__top_b", "__n_bg", "__d_bg")
+        .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    }
+    val words = headStats(1, "__top_w", "n_words", Some("n_distinct_words"))
+    val bigrams = headStats(2, "__top_b", "__n_bg", None)
     // single-word docs have no bigram row — their head concentration is 0
     words.join(bigrams, Seq(idCol), "left")
       .select(col(idCol), col("n_words"), col("n_distinct_words"),

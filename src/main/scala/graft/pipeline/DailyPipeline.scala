@@ -82,16 +82,9 @@ object DailyPipeline {
       materialize("d7_semantic_dedup", "embedding_dedup_clusters"),
       // incremental ingest report: today's batch (delta) matched against the
       // indexed corpus — cross-side band collisions only, the shape that
-      // never re-pays corpus shingling at scale.
-      Job("incremental_dedup_report", Nil, s => {
-        val docs = Tables.documents(s, sfDir)
-        Tables.write(
-          graft.ops.Dedup.incrementalNearDup(
-            docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
-            "doc_id", "text", 3, numHashes = 8, bandSize = 2)
-            .withColumn("is_dup", col("jaccard") >= 0.5),
-          s"$outDir/incremental_dedup_report")
-      }),
+      // never re-pays corpus-wide shingling at scale. The oracle-gated d8
+      // query IS the mart (one definition, no drift).
+      materialize("d8_incremental_minhash", "incremental_dedup_report"),
       // privacy mart: the shareable customer export (pseudonyms + k-anonymity
       // suppression) — the form that may leave the warehouse.
       materialize("u5_anonymize", "anonymized_customers"),

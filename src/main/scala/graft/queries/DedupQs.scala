@@ -235,11 +235,14 @@ object DedupQs {
         val nodes = pairs.select(col("id_a").as("id"))
           .unionByName(pairs.select(col("id_b").as("id"))).distinct()
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        // keeper via window-min (not id === comp_id): exactly one keeper per
+        // cluster even if label propagation hit maxIter (see semanticDedup)
+        val cw = Window.partitionBy(col("comp_id"))
         Identity.connectedComponents(nodes, edges)
-          .withColumn("cluster_size",
-            count(lit(1)).over(Window.partitionBy(col("comp_id"))))
+          .withColumn("cluster_size", count(lit(1)).over(cw))
+          .withColumn("__min_id", min(col("id")).over(cw))
           .select(col("id").as("doc_id"), col("comp_id").as("cluster_id"),
-            col("cluster_size"), (col("id") === col("comp_id")).as("is_keeper"))
+            col("cluster_size"), (col("id") === col("__min_id")).as("is_keeper"))
       },
       Some(
         s"""WITH RECURSIVE $simhash64CtesSql,
