@@ -166,6 +166,86 @@ object SimilaritySearch {
     assign
   }
 
+  /** Product-quantization codes (Jégou et al. '11): the vector is split into
+    * `m` contiguous sub-blocks and each block is quantized by its own
+    * deterministic k-means codebook ([[kmeansAssign]] on the sub-vectors).
+    * Output: (idCol, code_0..code_{m-1}) — the compressed representation an
+    * ANN index stores instead of raw vectors (dim×4 bytes → m bytes at
+    * k<=256), which is what makes billion-vector indexes fit in memory.
+    * Codebook training is index-build-time work, not query-time. */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, k: Int, iters: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m blocks")
+    val sub = dim / m
+    (0 until m).map { b =>
+      val sv = expr(s"CAST(slice($vecCol, ${b * sub + 1}, $sub) AS ARRAY<FLOAT>)")
+      kmeansAssign(emb.select(col(idCol), sv.as("__sv")), idCol, "__sv", k, iters)
+        .select(col(idCol), col("cell").as(s"code_$b"))
+    }.reduce(_.join(_, idCol))
+  }
+
+  /** Per-block PQ codebook: the exact-decimal mean sub-vector of every
+    * (block, code) cell, as float (same arithmetic as [[kmeansAssign]]'s
+    * update step). (block, code, centroid). */
+  def pqCodebook(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, codes: DataFrame): DataFrame = {
+    val sub = dim / m
+    (0 until m).map { b =>
+      val sv = expr(s"CAST(slice($vecCol, ${b * sub + 1}, $sub) AS ARRAY<FLOAT>)")
+      emb.select(col(idCol), sv.as("__sv")).join(codes.select(col(idCol),
+          col(s"code_$b").as("code")), idCol)
+        .select(col("code"), posexplode(col("__sv")).as(Seq("pos", "x")))
+        .groupBy(col("code"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(28, 9))) / count(lit(1)))
+          .cast("float").as("cx"))
+        .groupBy(col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
+          .as("centroid"))
+        .withColumn("block", lit(b))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** PQ-ADC search (asymmetric distance computation): the query stays
+    * full-precision; each candidate's distance is the SUM over blocks of
+    * d²(query sub-vector, codebook centroid of the candidate's code) — one
+    * m×k lookup table computed once per query, then a per-candidate table
+    * join + sum. The scan touches only m-byte codes, never raw vectors:
+    * the memory/IO shape that survives a billion-vector index. Approximate
+    * by construction → rows-only gate; `IvfSpec` proves the ADC arithmetic
+    * exactly and pins determinism. */
+  def topKNeighborsPq(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryId: Long, k: Int, m: Int, kCodes: Int, iters: Int): DataFrame = {
+    registerFns(emb)
+    val sub = dim / m
+    val codes = pqCodes(emb, idCol, vecCol, dim, m, kCodes, iters).localCheckpoint(true)
+    val book = pqCodebook(emb, idCol, vecCol, dim, m, codes)
+    // the query's m sub-vectors (1 row, broadcast)
+    val qSubs = (0 until m).map { b =>
+      emb.filter(col(idCol) === queryId)
+        .select(lit(b).as("block"),
+          expr(s"CAST(slice($vecCol, ${b * sub + 1}, $sub) AS ARRAY<FLOAT>)").as("q_sv"))
+    }.reduce(_.unionByName(_))
+    // ADC lookup table: m×kCodes squared euclidean distances
+    val lut = book.join(broadcast(qSubs), Seq("block"))
+      .withColumn("d2",
+        expr(normSqExpr("q_sv")).cast("double") + expr(normSqExpr("centroid")).cast("double")
+          - lit(2.0) * expr("float_dot(q_sv, centroid)"))
+      .select(col("block"), col("code"), col("d2"))
+    val melted = codes.filter(col(idCol) =!= queryId)
+      .select(col(idCol), expr(
+        s"explode(array(${(0 until m).map(b => s"struct($b AS block, code_$b AS code)").mkString(", ")}))").as("bc"))
+      .select(col(idCol), col("bc.block").as("block"), col("bc.code").as("code"))
+    // TakeOrderedAndProject (orderBy+limit) does the global top-k with k rows
+    // of per-partition state; the rank window then runs over k rows only
+    melted.join(broadcast(lut), Seq("block", "code"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("d2")), 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("adc_dist").asc, col(idCol))).cast("long"))
+      .select(col(idCol), col("adc_dist"), col("rank"))
+  }
+
   /** Deterministic signed-random-projection hyperplanes, as dyadic NUMERATORS
     * k (component value k/1024, k in [-1024, 1024]). Dyadic rationals with a
     * 2^10 denominator are exactly representable in FLOAT and DOUBLE and print

@@ -172,6 +172,18 @@ object SimilarityQs {
               |SELECT vec_id, cluster_id, cluster_size, vec_id = cluster_id AS is_keeper
               |FROM allv JOIN sized USING (cluster_id)""".stripMargin)),
 
+    // K6: product-quantization ADC search — candidates are scored from
+    // m-byte PQ codes via a per-query m×k lookup table, never from raw
+    // vectors (the billion-vector index memory shape). Deterministic
+    // codebooks (id-seeded k-means per block), but decimal-mean centroids
+    // make the distances non-portable to DuckDB → rows-only, with the ADC
+    // arithmetic proven exactly in IvfSpec.
+    Q("k6_pq_adc",
+      (s, d) => SimilaritySearch.topKNeighborsPq(
+        Tables.embeddings(s, d), "vec_id", "embedding", dim,
+        queryId = 0L, k = 5, m = 4, kCodes = 16, iters = 2),
+      None),
+
     // K5: k-NN JOIN — top-3 cosine neighbors for EVERY vector among its
     // SRP band-collision candidates (the all-queries ANN build, vs k1's
     // single query). Candidate equi-join + per-query rank window; no

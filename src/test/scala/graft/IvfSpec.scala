@@ -102,6 +102,47 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: codes cover all vectors in-range and are partitioning-independent") {
+    val c1 = SimilaritySearch.pqCodes(emb, "vec_id", "embedding", 64, m = 4,
+        k = 16, iters = 2)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    assert(c1.size == emb.count())
+    assert(c1.values.forall(_.forall(c => c >= 0 && c < 16)))
+    val c2 = SimilaritySearch.pqCodes(emb.repartition(7), "vec_id", "embedding",
+        64, m = 4, k = 16, iters = 2)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    assert(c1 == c2)
+  }
+
+  test("PQ-ADC distances equal the codebook lookup arithmetic exactly") {
+    val m = 4; val sub = 16
+    val got = SimilaritySearch.topKNeighborsPq(emb, "vec_id", "embedding", 64,
+        queryId = 0L, k = 5, m = m, kCodes = 16, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(_._3).toSeq == (1L to 5L))
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted)
+    // recompute the winners' ADC distances driver-side from codes + codebook
+    val codes = SimilaritySearch.pqCodes(emb, "vec_id", "embedding", 64, m, 16, 2)
+    val book = SimilaritySearch.pqCodebook(emb, "vec_id", "embedding", 64, m, codes)
+      .collect().map(r => (r.getInt(2), r.getInt(0)) -> r.getSeq[Float](1)).toMap
+    val codeMap = codes.collect().map(r => r.getLong(0) -> (1 to m).map(r.getInt)).toMap
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .collect().head.getSeq[Float](1)
+    def d2(a: Seq[Float], b: Seq[Float]): Double = {
+      // FloatDot's ascending double fold, spelled the same way
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i).toDouble * y(i).toDouble)
+      dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+    }
+    got.foreach { case (id, dist, _) =>
+      val expected = (0 until m).map { b =>
+        d2(q.slice(b * sub, (b + 1) * sub), book((b, codeMap(id)(b))))
+      }.sum
+      assert(math.abs(BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble - dist) < 1e-9, s"vec $id: expected $expected vs $dist")
+    }
+  }
+
   test("semanticDedup: total cover, min-id keepers, pairs never straddle clusters") {
     val d = SimilaritySearch.semanticDedup(emb, "vec_id", "embedding", 64,
         bands = 4, bits = 6, threshold = 0.4)

@@ -19,7 +19,7 @@ class QueriesSpec extends AnyFunSuite {
   // check for these.
   private val noOracleByDesign =
     Set("a4b_approx_distinct", "k2b_knn_ivf_centroid", "k2c_knn_ivf_kmeans",
-      "a17b_approx_percentiles")
+      "a17b_approx_percentiles", "k6_pq_adc")
 
   test("query names are unique and every query has oracle SQL or a reason") {
     val names = Registry.all.map(_.name)
@@ -86,6 +86,7 @@ class QueriesSpec extends AnyFunSuite {
     "j9b_refund_redistribution", // two 1-row total broadcasts
     "k2b_knn_ivf_centroid",    // k-row centroid table broadcast
     "k2c_knn_ivf_kmeans",      // k-row centroid broadcast per Lloyd iteration
+    "k6_pq_adc",               // k-row centroid broadcast per Lloyd iteration + m-row query subs
     "t11_tfidf",               // 1-row corpus-total broadcast (same shape as a6)
     "t15_unigram_surprisal"    // 1-row corpus-total broadcast (same shape as a6)
   )
