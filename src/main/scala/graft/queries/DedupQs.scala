@@ -48,6 +48,66 @@ object DedupQs {
        |  FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)""".stripMargin
   }
 
+  // Shared oracle pieces for the verified-LSH pair queries (d2/d9): the full
+  // shingle → minhash-lane → band → candidate → intersection/size CTE chain,
+  // the exact-Jaccard expression, and the final join block.
+  private val jaccardSql =
+    "round(COALESCE(n_inter, 0) / CAST(sa.n_sh + sb.n_sh - COALESCE(n_inter, 0) AS DOUBLE), 6)"
+
+  private def lshOracleCtes = s"""$shinglesCte,
+     |lanes AS (
+     |  SELECT doc_id,
+     |    ('0x' || substr(h, 1, 8))::BIGINT AS x1,
+     |    ('0x' || substr(h, 9, 8))::BIGINT AS x2
+     |  FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
+     |mh AS (
+     |  SELECT doc_id,
+     |${Dedup.minhashMinsSql(8)}
+     |  FROM lanes GROUP BY doc_id),
+     |bands AS (
+     |${(0 until 4).map(b =>
+         s"  SELECT doc_id, $b AS band, CAST(mh_${2 * b} AS VARCHAR) || '|' || CAST(mh_${2 * b + 1} AS VARCHAR) AS sig FROM mh")
+         .mkString("\n  UNION ALL\n")}),
+     |cands AS (
+     |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+     |  FROM bands a JOIN bands b
+     |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+     |  GROUP BY 1, 2),
+     |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+     |inter AS (
+     |  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+     |  FROM cands c
+     |  JOIN sh a ON a.doc_id = c.id_a
+     |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+     |  GROUP BY 1, 2)""".stripMargin
+
+  private val lshOracleFrom = """FROM cands c
+     |LEFT JOIN inter USING (id_a, id_b)
+     |JOIN sizes sa ON sa.doc_id = c.id_a
+     |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin
+
+  /** Shared by d2/d9: the verified MinHash-LSH pair frame (keeps
+    * jaccardFor's n_inter/n_a/n_b so consumers can derive asymmetric
+    * metrics). Materialization frontiers, A/B-measured in rounds 3-4:
+    * - ONE heavy pass over RAW shingles (no distinct shuffle — minhash is
+    *   duplicate-insensitive); the verify stage semi-filters to candidate
+    *   docs before deduping and sizing.
+    * - The signature table checkpoints (ONE row per doc — the natural
+    *   persist point; the band self-join's two renamed branches defeat
+    *   ReuseExchange, so without it the shingle+md5 pipeline runs twice
+    *   more: 2.2s -> 0.7s at sf0.1). The petabyte shingle stream is never
+    *   materialized anywhere.
+    * - The tiny candidate set checkpoints (three consumers: semi-filter,
+    *   intersection, final join; ~0.5s at sf0.1 vs replaying signatures). */
+  private def lshVerified(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val shRaw = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3, dedup = false)
+    val mh = Dedup.minhash(shRaw, "doc_id", 8).localCheckpoint(true)
+    val cands = Dedup.lshCandidates(Dedup.lshBands(mh, "doc_id", 2, 8), "doc_id")
+      .localCheckpoint(true)
+    Dedup.jaccardFor(cands, shRaw, "doc_id")
+  }
+
   val qs: Seq[Q] = Seq(
 
     // D1: exact dedup via normalized-text hash groups.
@@ -62,66 +122,40 @@ object DedupQs {
     // prime) → 4 bands of 2 → bucket-join candidates → exact-Jaccard
     // verification.
     Q("d2_minhash_lsh",
-      (s, d) => {
-        // One heavy pass over RAW shingles (no distinct shuffle — minhash is
-        // duplicate-insensitive); the verification stage semi-filters to the
-        // candidates' shingles before deduping and sizing them.
-        val shRaw = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3, dedup = false)
-        // ONE row per doc — the natural materialization frontier. The band
-        // self-join's two toDF-renamed branches defeat ReuseExchange (the
-        // renamed subtrees aren't structurally equal), so without this the
-        // shingle explode + md5 pipeline runs TWICE more inside
-        // lshCandidates (measured 2.2s -> 0.7s at sf0.1). At 100 TB the
-        // signature table is docs-count-sized — materializing it is the
-        // standard persist point; the petabyte shingle stream is never
-        // materialized anywhere.
-        val mh = Dedup.minhash(shRaw, "doc_id", 8).localCheckpoint(true)
-        // The candidate set is tiny but feeds three consumers (semi-filter,
-        // intersection, final join); eager localCheckpoint materializes the
-        // signature pipeline exactly once and truncates the lineage.
-        // A/B-measured both rounds: eager localCheckpoint of the tiny
-        // candidate set beats recomputing the signature pipeline for its
-        // three consumers (~0.5s at sf0.1), even with broadcast consumers.
-        val cands = Dedup.lshCandidates(Dedup.lshBands(mh, "doc_id", 2, 8), "doc_id")
-          .localCheckpoint(true)
-        Dedup.jaccardFor(cands, shRaw, "doc_id")
-          .withColumn("is_dup", col("jaccard") >= 0.5)
-          .select(col("id_a"), col("id_b"), col("n_bands"), col("jaccard"), col("is_dup"))
-      },
-      Some(s"""WITH $shinglesCte,
-              |lanes AS (
-              |  SELECT doc_id,
-              |    ('0x' || substr(h, 1, 8))::BIGINT AS x1,
-              |    ('0x' || substr(h, 9, 8))::BIGINT AS x2
-              |  FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
-              |mh AS (
-              |  SELECT doc_id,
-              |${Dedup.minhashMinsSql(8)}
-              |  FROM lanes GROUP BY doc_id),
-              |bands AS (
-              |${(0 until 4).map(b =>
-                  s"  SELECT doc_id, $b AS band, CAST(mh_${2 * b} AS VARCHAR) || '|' || CAST(mh_${2 * b + 1} AS VARCHAR) AS sig FROM mh")
-                  .mkString("\n  UNION ALL\n")}),
-              |cands AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
-              |  FROM bands a JOIN bands b
-              |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2),
-              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-              |inter AS (
-              |  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
-              |  FROM cands c
-              |  JOIN sh a ON a.doc_id = c.id_a
-              |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-              |  GROUP BY 1, 2)
+      (s, d) => lshVerified(s, d)
+        .withColumn("is_dup", col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("n_bands"), col("jaccard"), col("is_dup")),
+      Some(s"""WITH $lshOracleCtes
               |SELECT c.id_a, c.id_b, c.n_bands,
-              |  round(COALESCE(n_inter, 0) / CAST(sa.n_sh + sb.n_sh - COALESCE(n_inter, 0) AS DOUBLE), 6) AS jaccard,
-              |  round(COALESCE(n_inter, 0) / CAST(sa.n_sh + sb.n_sh - COALESCE(n_inter, 0) AS DOUBLE), 6) >= 0.5 AS is_dup
-              |FROM cands c
-              |LEFT JOIN inter USING (id_a, id_b)
-              |JOIN sizes sa ON sa.doc_id = c.id_a
-              |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin),
+              |  $jaccardSql AS jaccard,
+              |  $jaccardSql >= 0.5 AS is_dup
+              |$lshOracleFrom""".stripMargin),
       bench = true),
+
+    // D9: near-CONTAINMENT detection over the same verified LSH pairs —
+    // |A∩B|/|A| and /|B| are asymmetric, so a short doc quoted inside a
+    // long one scores high containment at low Jaccard (quote/wrapper
+    // detection — the case symmetric near-dup misses).
+    Q("d9_containment",
+      (s, d) => {
+        val ni = coalesce(col("n_inter"), lit(0L)).cast("double")
+        lshVerified(s, d)
+          .withColumn("containment_a", round(ni / col("n_a").cast("double"), 6))
+          .withColumn("containment_b", round(ni / col("n_b").cast("double"), 6))
+          .withColumn("contained",
+            col("containment_a") >= 0.8 || col("containment_b") >= 0.8)
+          .select(col("id_a"), col("id_b"), col("n_bands"), col("jaccard"),
+            col("containment_a"), col("containment_b"), col("contained"))
+      },
+      Some(s"""WITH $lshOracleCtes
+              |SELECT c.id_a, c.id_b, c.n_bands,
+              |  $jaccardSql AS jaccard,
+              |  round(COALESCE(n_inter, 0) / CAST(sa.n_sh AS DOUBLE), 6) AS containment_a,
+              |  round(COALESCE(n_inter, 0) / CAST(sb.n_sh AS DOUBLE), 6) AS containment_b,
+              |  (round(COALESCE(n_inter, 0) / CAST(sa.n_sh AS DOUBLE), 6) >= 0.8
+              |    OR round(COALESCE(n_inter, 0) / CAST(sb.n_sh AS DOUBLE), 6) >= 0.8)
+              |    AS contained
+              |$lshOracleFrom""".stripMargin)),
 
     // D8: incremental near-dup — a delta ingest batch (doc_id % 5 = 0)
     // matched against the already-indexed corpus (the rest). Cross-side
