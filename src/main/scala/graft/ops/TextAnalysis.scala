@@ -202,6 +202,32 @@ object TextAnalysis {
       .withColumnRenamed("sample_rank", "shuffle_pos")
       .drop("__g")
 
+  /** Global token-budget cut: keep documents in the deterministic
+    * salted-hash order until a CORPUS-WIDE token budget is exhausted — the
+    * "train on exactly N tokens" selection, reproducible across runs,
+    * partitionings, and engines. Same two-level hash-shard decomposition as
+    * [[shuffleRank]] but with a WEIGHTED prefix sum (token counts instead
+    * of row counts): in-shard running sums + the ≤256-row shard-base frame,
+    * so the global cumulative sum never serializes the corpus onto one
+    * partition. Emits (input columns, n_tokens, cum_tokens). */
+  def globalTokenBudget(df: DataFrame, idCol: String, tokens: Column,
+      budget: Long, salt: String): DataFrame = {
+    val base = df.withColumn("n_tokens", tokens)
+      .withColumn("__h", hashUnit(col(idCol), salt))
+      .withColumn("__shard", (col("__h") / 65536L).cast("int"))
+    val wIn = Window.partitionBy(col("__shard")).orderBy(col("__h"), col(idCol))
+    val wCum = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = base.groupBy(col("__shard")).agg(sum(col("n_tokens")).as("__c"))
+      .withColumn("__base", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .select(col("__shard"), col("__base"))
+    base.withColumn("__run", sum(col("n_tokens")).over(wIn))
+      .join(bases, Seq("__shard"))
+      .withColumn("cum_tokens", col("__base") + col("__run"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__h", "__shard", "__run", "__base", "__c")
+  }
+
   /** Unigram-LM surprisal quality score (the CCNet perplexity-filter
     * analogue, with the corpus itself as the LM): mean bits of surprisal
     * -log2(cnt(w)/total) per word. Templated/boilerplate docs score LOW

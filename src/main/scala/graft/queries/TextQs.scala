@@ -286,6 +286,28 @@ object TextQs {
               |    AS shuffle_pos
               |FROM documents""".stripMargin)),
 
+    // T16: global token-budget cut — "train on exactly this many tokens":
+    // keep docs in the deterministic shuffled order until the corpus-wide
+    // budget is hit. Weighted two-level prefix sum; no single-partition
+    // global window.
+    Q("t16_token_budget",
+      (s, d) => TextAnalysis.globalTokenBudget(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+        "doc_id", TextAnalysis.wsTokens(col("text")), budget = 20000L, salt = "budget")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source, ${TextAnalysis.wsTokensSql("text")} AS n_tokens,
+              |    ${TextAnalysis.hashUnitSql("doc_id", "budget")} AS h
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id, source, n_tokens,
+              |    CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |      AS cum_tokens
+              |  FROM t)
+              |SELECT doc_id, source, n_tokens, cum_tokens
+              |FROM c WHERE cum_tokens <= 20000""".stripMargin)),
+
     // T15: unigram-LM surprisal quality gate (CCNet perplexity-filter
     // analogue) — mean -log2 p(word) per doc against the corpus unigram
     // table; decimal-quantized addends make the mean order-independent.

@@ -345,6 +345,22 @@ class OpsSpec extends AnyFunSuite {
     assert(inc == crossFull)
   }
 
+  test("TextAnalysis.globalTokenBudget = naive global cumsum, boundary-exact") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (0L until 300L).map(i => (i, (i % 17) + 1)).toDF("doc_id", "n")
+    val budget = 900L
+    val got = TextAnalysis.globalTokenBudget(df, "doc_id", col("n"), budget, "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val naive = df
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(TextAnalysis.hashUnit(col("doc_id"), "b"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == naive)
+    assert(got.nonEmpty && got.values.max <= budget)
+  }
+
   test("TextAnalysis.hashUnit is deterministic, in-range, and salt-sensitive") {
     val df = (1L to 500L).toDF("id")
     val h1 = df.select(TextAnalysis.hashUnit(col("id"), "s1").as("h")).collect().map(_.getLong(0))
