@@ -51,6 +51,18 @@ object RefreshPipeline {
       .filter(col("added_us") >= asOfUs - ttlUs || col("flag_type").isin(persistent: _*))
   }
 
+  /** Incremental ingest accept-filter: keep only fresh documents with NO
+    * near-dup match in the indexed corpus (cross-side banded LSH candidates
+    * + exact Jaccard >= threshold — `Dedup.incrementalNearDup`, so the
+    * refresh never re-pays corpus-wide shingling). */
+  def acceptNonDup(delta: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val matches = graft.ops.Dedup
+      .incrementalNearDup(delta, corpus, idCol, textCol, 3, numHashes = 8, bandSize = 2)
+      .filter(col("jaccard") >= threshold)
+    delta.join(matches.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val whDir = if (args.length > 1) args(1) else "/tmp/graft_warehouse"
@@ -107,9 +119,20 @@ object RefreshPipeline {
       persistent = graft.flags.FlagRules.persistentFlags)
     Tables.write(merged, s"$whDir/customer_flags_current")
 
+    // 5: incremental document ingest — the fresh batch (doc_id % 5 = 0
+    // stands in for today's pull) is matched against the indexed corpus and
+    // only non-near-dups are accepted into the warehouse.
+    val docs = Tables.documents(spark, sfDir)
+    val accepted = acceptNonDup(
+      docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", threshold = 0.5)
+    Tables.write(accepted, s"$whDir/documents_ingested")
+
     val nEvents = spark.read.parquet(s"$whDir/events_current").count()
     val nFlags = spark.read.parquet(s"$whDir/customer_flags_current").count()
-    println(s"[refresh] events_current=$nEvents customer_flags_current=$nFlags -> $whDir")
+    val nDocs = spark.read.parquet(s"$whDir/documents_ingested").count()
+    println(s"[refresh] events_current=$nEvents customer_flags_current=$nFlags " +
+      s"documents_ingested=$nDocs -> $whDir")
     spark.stop()
   }
 }

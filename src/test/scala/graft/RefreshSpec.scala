@@ -35,6 +35,20 @@ class RefreshSpec extends AnyFunSuite {
     assert(got == Set((1L, "c"), (2L, "d")))
   }
 
+  test("acceptNonDup rejects corpus near-dups and keeps novel documents") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "the quick brown fox jumps over")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),    // exact dup of 1 -> rejected
+      (11L, "completely different words appearing here now") // novel -> kept
+    ).toDF("doc_id", "text")
+    val got = RefreshPipeline.acceptNonDup(delta, corpus, "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L))
+  }
+
   test("mergeFlags keeps newest per (user, type), TTL-expires, persists carve-outs") {
     val day = 86400000000L
     val asOf = 100L * day
