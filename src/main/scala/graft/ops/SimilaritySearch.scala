@@ -132,7 +132,15 @@ object SimilaritySearch {
     * standard distributed Lloyd's step. Output: (idCol, cell).
     */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame =
+    kmeansModel(emb, idCol, vecCol, k, iters)._1
+
+  /** [[kmeansAssign]] plus the FINAL centroids (cell, __c ARRAY<FLOAT>) —
+    * the loop updates centroids from the final assignment before exiting,
+    * so returning them saves consumers (PQ codebooks) a full recompute
+    * pass over the corpus. */
+  def kmeansModel(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     graft.plans.FloatDot.register(emb.sparkSession)
     val base = emb.select(col(idCol), col(vecCol).as("__v"))
@@ -163,7 +171,7 @@ object SimilaritySearch {
         .withColumn("__cnsq", expr(normSqExpr("__c")).cast("double"))
         .localCheckpoint(true) // k rows; breaks the growing iteration lineage
     }
-    assign
+    (assign, cents.select(col("cell"), col("__c")))
   }
 
   /** Product-quantization codes (Jégou et al. '11): the vector is split into
@@ -174,14 +182,26 @@ object SimilaritySearch {
     * k<=256), which is what makes billion-vector indexes fit in memory.
     * Codebook training is index-build-time work, not query-time. */
   def pqCodes(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-      m: Int, k: Int, iters: Int): DataFrame = {
+      m: Int, k: Int, iters: Int): DataFrame =
+    pqModel(emb, idCol, vecCol, dim, m, k, iters)._1
+
+  /** PQ codes AND the per-block codebooks from the same k-means runs —
+    * (codes, (block, code, centroid)). The codebook rides out of
+    * [[kmeansModel]]'s final update step, so building the index pays the
+    * corpus passes once, not twice. */
+  def pqModel(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim not divisible into $m blocks")
     val sub = dim / m
-    (0 until m).map { b =>
+    val parts = (0 until m).map { b =>
       val sv = expr(s"CAST(slice($vecCol, ${b * sub + 1}, $sub) AS ARRAY<FLOAT>)")
-      kmeansAssign(emb.select(col(idCol), sv.as("__sv")), idCol, "__sv", k, iters)
-        .select(col(idCol), col("cell").as(s"code_$b"))
-    }.reduce(_.join(_, idCol))
+      val (assign, cents) =
+        kmeansModel(emb.select(col(idCol), sv.as("__sv")), idCol, "__sv", k, iters)
+      (assign.select(col(idCol), col("cell").as(s"code_$b")),
+        cents.select(col("cell").as("code"), col("__c").as("centroid"))
+          .withColumn("block", lit(b)))
+    }
+    (parts.map(_._1).reduce(_.join(_, idCol)), parts.map(_._2).reduce(_.unionByName(_)))
   }
 
   /** Per-block PQ codebook: the exact-decimal mean sub-vector of every
@@ -217,14 +237,16 @@ object SimilaritySearch {
       queryId: Long, k: Int, m: Int, kCodes: Int, iters: Int): DataFrame = {
     registerFns(emb)
     val sub = dim / m
-    val codes = pqCodes(emb, idCol, vecCol, dim, m, kCodes, iters).localCheckpoint(true)
-    val book = pqCodebook(emb, idCol, vecCol, dim, m, codes)
-    // the query's m sub-vectors (1 row, broadcast)
-    val qSubs = (0 until m).map { b =>
-      emb.filter(col(idCol) === queryId)
-        .select(lit(b).as("block"),
-          expr(s"CAST(slice($vecCol, ${b * sub + 1}, $sub) AS ARRAY<FLOAT>)").as("q_sv"))
-    }.reduce(_.unionByName(_))
+    val (codesRaw, book) = pqModel(emb, idCol, vecCol, dim, m, kCodes, iters)
+    val codes = codesRaw.localCheckpoint(true)
+    // the query's m sub-vectors: ONE scan, melted by the same explode
+    // pattern the codes use below (m filter-scans unioned would re-read
+    // the source m times)
+    val qSubs = emb.filter(col(idCol) === queryId)
+      .select(expr(s"explode(array(${(0 until m).map(b =>
+          s"struct($b AS block, CAST(slice($vecCol, ${b * sub + 1}, $sub) AS ARRAY<FLOAT>) AS q_sv)")
+        .mkString(", ")}))").as("e"))
+      .select(col("e.block").as("block"), col("e.q_sv").as("q_sv"))
     // ADC lookup table: m×kCodes squared euclidean distances
     val lut = book.join(broadcast(qSubs), Seq("block"))
       .withColumn("d2",

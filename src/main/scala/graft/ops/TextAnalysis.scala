@@ -166,22 +166,37 @@ object TextAnalysis {
     * Equal hashes share a shard, so the two-level rank is exactly the
     * global rank. */
   def quotaSample(df: DataFrame, strataCol: String, idCol: String,
-      quota: Column, salt: String): DataFrame = {
-    val base = df.withColumn("__h", hashUnit(col(idCol), salt))
-      .withColumn("__shard", (col("__h") / 65536L).cast("int"))
-    val wIn = Window.partitionBy(col(strataCol), col("__shard"))
-      .orderBy(col("__h"), col(idCol))
-    val wCum = Window.partitionBy(col(strataCol)).orderBy(col("__shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = base.groupBy(col(strataCol), col("__shard"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__base", coalesce(sum(col("__c")).over(wCum), lit(0L)))
-      .select(col(strataCol), col("__shard"), col("__base"))
-    base.withColumn("__rn", row_number().over(wIn))
-      .join(bases, Seq(strataCol, "__shard"))
-      .withColumn("sample_rank", col("__base") + col("__rn"))
+      quota: Column, salt: String): DataFrame =
+    shardedPrefixSum(df, Seq(strataCol), idCol, lit(1L), salt, "sample_rank")
       .filter(col("sample_rank") <= quota)
-      .drop("__h", "__shard", "__rn", "__base")
+
+  /** The two-level hash-shard prefix sum shared by [[quotaSample]] (weight
+    * 1 → the rank), [[shuffleRank]] (single constant stratum), and
+    * [[globalTokenBudget]] (weight = token count): per-(strata, shard)
+    * running sums over the (hash, id) order, plus the summed totals of
+    * lower shards joined back from a frame of at most 256 rows per stratum
+    * (AQE broadcasts it; no forced hint). Equal hashes share a shard, so
+    * shard order == hash order and the two-level sum is exactly the global
+    * prefix sum — without ever holding a stratum on one partition. */
+  private def shardedPrefixSum(df: DataFrame, strata: Seq[String], idCol: String,
+      weight: Column, salt: String, outCol: String): DataFrame = {
+    val sCols = strata.map(col)
+    val base = df.withColumn("__w", weight)
+      .withColumn("__h", hashUnit(col(idCol), salt))
+      .withColumn("__shard", (col("__h") / 65536L).cast("int"))
+    val wIn = Window.partitionBy(sCols :+ col("__shard"): _*)
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.partitionBy(sCols: _*).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = base.groupBy(sCols :+ col("__shard"): _*)
+      .agg(sum(col("__w")).as("__c"))
+      .withColumn("__base", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .select(sCols :+ col("__shard") :+ col("__base"): _*)
+    base.withColumn("__run", sum(col("__w")).over(wIn))
+      .join(bases, strata :+ "__shard")
+      .withColumn(outCol, col("__base") + col("__run"))
+      .drop("__h", "__shard", "__run", "__base", "__w")
   }
 
   /** Content fingerprint: md5 of the whitespace/case-normalized text. */
@@ -211,22 +226,10 @@ object TextAnalysis {
     * so the global cumulative sum never serializes the corpus onto one
     * partition. Emits (input columns, n_tokens, cum_tokens). */
   def globalTokenBudget(df: DataFrame, idCol: String, tokens: Column,
-      budget: Long, salt: String): DataFrame = {
-    val base = df.withColumn("n_tokens", tokens)
-      .withColumn("__h", hashUnit(col(idCol), salt))
-      .withColumn("__shard", (col("__h") / 65536L).cast("int"))
-    val wIn = Window.partitionBy(col("__shard")).orderBy(col("__h"), col(idCol))
-    val wCum = Window.orderBy(col("__shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = base.groupBy(col("__shard")).agg(sum(col("n_tokens")).as("__c"))
-      .withColumn("__base", coalesce(sum(col("__c")).over(wCum), lit(0L)))
-      .select(col("__shard"), col("__base"))
-    base.withColumn("__run", sum(col("n_tokens")).over(wIn))
-      .join(bases, Seq("__shard"))
-      .withColumn("cum_tokens", col("__base") + col("__run"))
+      budget: Long, salt: String): DataFrame =
+    shardedPrefixSum(df.withColumn("n_tokens", tokens), Nil, idCol,
+      col("n_tokens"), salt, "cum_tokens")
       .filter(col("cum_tokens") <= budget)
-      .drop("__h", "__shard", "__run", "__base", "__c")
-  }
 
   /** Unigram-LM surprisal quality score (the CCNet perplexity-filter
     * analogue, with the corpus itself as the LM): mean bits of surprisal

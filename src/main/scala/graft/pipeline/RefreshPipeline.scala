@@ -51,16 +51,29 @@ object RefreshPipeline {
       .filter(col("added_us") >= asOfUs - ttlUs || col("flag_type").isin(persistent: _*))
   }
 
-  /** Incremental ingest accept-filter: keep only fresh documents with NO
-    * near-dup match in the indexed corpus (cross-side banded LSH candidates
-    * + exact Jaccard >= threshold — `Dedup.incrementalNearDup`, so the
-    * refresh never re-pays corpus-wide shingling). */
+  /** Incremental ingest accept-filter, three gates:
+    *  1. exact-fingerprint anti-join vs the corpus — catches byte-identical
+    *     dups of ANY length (the shingle path silently passes docs shorter
+    *     than its k, so exactness cannot ride on the near-dup gate alone);
+    *  2. intra-batch exact collapse (min id per fingerprint) — two identical
+    *     docs arriving in the same refresh keep one representative;
+    *  3. near-dup gate vs the indexed corpus (cross-side banded LSH
+    *     candidates + exact Jaccard >= threshold —
+    *     `Dedup.incrementalNearDup`, never corpus-wide re-shingling). */
   def acceptNonDup(delta: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
+    import graft.ops.TextAnalysis.fingerprint
+    val corpusFps = corpus.select(fingerprint(col(textCol)).as("__fp")).distinct()
+    val noExact = delta.join(corpusFps,
+      fingerprint(col(textCol)) === col("__fp"), "left_anti")
+    val batchKeeper = noExact.groupBy(fingerprint(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as(idCol)).drop("__fp")
+    val batchUnique = noExact.join(batchKeeper, Seq(idCol), "left_semi")
     val matches = graft.ops.Dedup
-      .incrementalNearDup(delta, corpus, idCol, textCol, 3, numHashes = 8, bandSize = 2)
+      .incrementalNearDup(batchUnique, corpus, idCol, textCol, 3, numHashes = 8, bandSize = 2)
       .filter(col("jaccard") >= threshold)
-    delta.join(matches.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    batchUnique.join(matches.select(col("id_a").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
   }
 
   def main(args: Array[String]): Unit = {

@@ -86,9 +86,9 @@ object DedupQs {
      |JOIN sizes sa ON sa.doc_id = c.id_a
      |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin
 
-  /** Shared by d2/d9: the verified MinHash-LSH pair frame (keeps
-    * jaccardFor's n_inter/n_a/n_b so consumers can derive asymmetric
-    * metrics). Materialization frontiers, A/B-measured in rounds 3-4:
+  /** The verified MinHash-LSH pair frame (keeps jaccardFor's
+    * n_inter/n_a/n_b so consumers can derive further metrics).
+    * Materialization frontiers, A/B-measured in rounds 3-4:
     * - ONE heavy pass over RAW shingles (no distinct shuffle — minhash is
     *   duplicate-insensitive); the verify stage semi-filters to candidate
     *   docs before deduping and sizing.
@@ -132,30 +132,62 @@ object DedupQs {
               |$lshOracleFrom""".stripMargin),
       bench = true),
 
-    // D9: near-CONTAINMENT detection over the same verified LSH pairs —
-    // |A∩B|/|A| and /|B| are asymmetric, so a short doc quoted inside a
-    // long one scores high containment at low Jaccard (quote/wrapper
-    // detection — the case symmetric near-dup misses).
+    // D9: near-CONTAINMENT detection — |A∩B|/|A| and /|B| are asymmetric,
+    // so a short doc quoted inside a long one scores high containment at
+    // LOW Jaccard. Symmetric minhash-LSH structurally misses that regime
+    // (a 10%-Jaccard pair collides on a 2-hash band w.p. ~1%), so
+    // candidates come from RARE-SHINGLE BLOCKING instead: any pair sharing
+    // a shingle with document frequency <= 4 is verified exactly. A quoted
+    // passage shares ALL its shingles with the quoting doc, so one rare
+    // shingle anywhere in the quote surfaces the pair; per-shingle fanout
+    // is df-capped at 4² pairs, so candidate volume is bounded no matter
+    // how large the corpus — the reason common shingles must be excluded.
     Q("d9_containment",
       (s, d) => {
+        val shDist = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
+          .localCheckpoint(true) // feeds df-count + both candidate branches
+        val rare = shDist.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 4).select(col("shingle"))
+        val shRare = shDist.join(rare, "shingle")
+        val cands = shRare.toDF("sh_a", "id_a").join(shRare.toDF("sh_b", "id_b"),
+            col("sh_a") === col("sh_b") && col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared_rare"))
         val ni = coalesce(col("n_inter"), lit(0L)).cast("double")
-        lshVerified(s, d)
+        Dedup.jaccardFor(cands, shDist, "doc_id")
           .withColumn("containment_a", round(ni / col("n_a").cast("double"), 6))
           .withColumn("containment_b", round(ni / col("n_b").cast("double"), 6))
+          // report pairs with substantial one-sided overlap; `contained`
+          // flags the quote/wrapper threshold
+          .filter(col("containment_a") >= 0.2 || col("containment_b") >= 0.2)
           .withColumn("contained",
             col("containment_a") >= 0.8 || col("containment_b") >= 0.8)
-          .select(col("id_a"), col("id_b"), col("n_bands"), col("jaccard"),
+          .select(col("id_a"), col("id_b"), col("n_shared_rare"), col("jaccard"),
             col("containment_a"), col("containment_b"), col("contained"))
       },
-      Some(s"""WITH $lshOracleCtes
-              |SELECT c.id_a, c.id_b, c.n_bands,
+      Some(s"""WITH $shinglesCte,
+              |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 4),
+              |rs AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
+              |cands AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_rare
+              |  FROM rs a JOIN rs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+              |  FROM cands c
+              |  JOIN sh a ON a.doc_id = c.id_a
+              |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              |  GROUP BY 1, 2)
+              |SELECT c.id_a, c.id_b, c.n_shared_rare,
               |  $jaccardSql AS jaccard,
               |  round(COALESCE(n_inter, 0) / CAST(sa.n_sh AS DOUBLE), 6) AS containment_a,
               |  round(COALESCE(n_inter, 0) / CAST(sb.n_sh AS DOUBLE), 6) AS containment_b,
               |  (round(COALESCE(n_inter, 0) / CAST(sa.n_sh AS DOUBLE), 6) >= 0.8
               |    OR round(COALESCE(n_inter, 0) / CAST(sb.n_sh AS DOUBLE), 6) >= 0.8)
               |    AS contained
-              |$lshOracleFrom""".stripMargin)),
+              |$lshOracleFrom
+              |WHERE round(COALESCE(n_inter, 0) / CAST(sa.n_sh AS DOUBLE), 6) >= 0.2
+              |   OR round(COALESCE(n_inter, 0) / CAST(sb.n_sh AS DOUBLE), 6) >= 0.2""".stripMargin)),
 
     // D8: incremental near-dup — a delta ingest batch (doc_id % 5 = 0)
     // matched against the already-indexed corpus (the rest). Cross-side

@@ -35,18 +35,22 @@ class RefreshSpec extends AnyFunSuite {
     assert(got == Set((1L, "c"), (2L, "d")))
   }
 
-  test("acceptNonDup rejects corpus near-dups and keeps novel documents") {
+  test("acceptNonDup rejects corpus dups (any length) and intra-batch dups") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
-      (2L, "the quick brown fox jumps over")
+      (2L, "the quick brown fox jumps over"),
+      (3L, "hi there") // shorter than the shingle width
     ).toDF("doc_id", "text")
     val delta = Seq(
-      (10L, "alpha beta gamma delta epsilon zeta"),    // exact dup of 1 -> rejected
-      (11L, "completely different words appearing here now") // novel -> kept
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1 -> rejected
+      (11L, "completely different words appearing here now"), // novel -> kept
+      (12L, "hi there"), // exact dup of 3, too short to shingle -> still rejected
+      (13L, "another novel doc with plenty of words"), // novel, duplicated in-batch
+      (14L, "another novel doc with plenty of words")  // -> only min id 13 kept
     ).toDF("doc_id", "text")
     val got = RefreshPipeline.acceptNonDup(delta, corpus, "doc_id", "text", 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(got == Set(11L))
+    assert(got == Set(11L, 13L))
   }
 
   test("mergeFlags keeps newest per (user, type), TTL-expires, persists carve-outs") {
