@@ -80,6 +80,34 @@ object Dedup {
     jaccardFor(cands, shVerify, idCol)
   }
 
+  /** Near-containment pairs via RARE-SHINGLE BLOCKING: candidates are any
+    * two docs sharing a shingle with document frequency <= `maxDf`, verified
+    * by exact intersection/size counts. Containment |A∩B|/|A| is asymmetric
+    * — a short doc quoted inside a long one scores ~1.0 at LOW Jaccard, the
+    * regime symmetric minhash banding structurally misses (a 10%-Jaccard
+    * pair collides on a 2-hash band w.p. ~1%). A quoted passage shares ALL
+    * its shingles with the quoting doc, so any ONE rare shingle in the
+    * quote surfaces the pair; per-shingle fanout is df-capped at maxDf², so
+    * candidate volume stays bounded at any corpus size — the reason common
+    * shingles must be excluded from blocking (not from verification).
+    * Emits pairs with max-side containment >= `floor`. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+      maxDf: Int, floor: Double): DataFrame = {
+    val shDist = shingles(df, idCol, textCol, k)
+      .localCheckpoint(true) // feeds df-count + both candidate branches
+    val rare = shDist.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("shingle"))
+    val shRare = shDist.join(rare, "shingle")
+    val cands = shRare.toDF("sh_a", "id_a").join(shRare.toDF("sh_b", "id_b"),
+        col("sh_a") === col("sh_b") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared_rare"))
+    val ni = coalesce(col("n_inter"), lit(0L)).cast("double")
+    jaccardFor(cands, shDist, idCol)
+      .withColumn("containment_a", round(ni / col("n_a").cast("double"), 6))
+      .withColumn("containment_b", round(ni / col("n_b").cast("double"), 6))
+      .filter(col("containment_a") >= floor || col("containment_b") >= floor)
+  }
+
   /** Largest 32-bit prime — the modulus of the minhash affine family. */
   val MinhashP = 4294967291L
 

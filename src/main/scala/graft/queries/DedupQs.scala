@@ -143,27 +143,12 @@ object DedupQs {
     // is df-capped at 4² pairs, so candidate volume is bounded no matter
     // how large the corpus — the reason common shingles must be excluded.
     Q("d9_containment",
-      (s, d) => {
-        val shDist = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
-          .localCheckpoint(true) // feeds df-count + both candidate branches
-        val rare = shDist.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 4).select(col("shingle"))
-        val shRare = shDist.join(rare, "shingle")
-        val cands = shRare.toDF("sh_a", "id_a").join(shRare.toDF("sh_b", "id_b"),
-            col("sh_a") === col("sh_b") && col("id_a") < col("id_b"))
-          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared_rare"))
-        val ni = coalesce(col("n_inter"), lit(0L)).cast("double")
-        Dedup.jaccardFor(cands, shDist, "doc_id")
-          .withColumn("containment_a", round(ni / col("n_a").cast("double"), 6))
-          .withColumn("containment_b", round(ni / col("n_b").cast("double"), 6))
-          // report pairs with substantial one-sided overlap; `contained`
-          // flags the quote/wrapper threshold
-          .filter(col("containment_a") >= 0.2 || col("containment_b") >= 0.2)
-          .withColumn("contained",
-            col("containment_a") >= 0.8 || col("containment_b") >= 0.8)
-          .select(col("id_a"), col("id_b"), col("n_shared_rare"), col("jaccard"),
-            col("containment_a"), col("containment_b"), col("contained"))
-      },
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 3, maxDf = 4, floor = 0.2)
+        .withColumn("contained",
+          col("containment_a") >= 0.8 || col("containment_b") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("n_shared_rare"), col("jaccard"),
+          col("containment_a"), col("containment_b"), col("contained")),
       Some(s"""WITH $shinglesCte,
               |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 4),
               |rs AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),

@@ -323,6 +323,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 1.8219)))
   }
 
+  test("Dedup.containmentPairs surfaces a planted quote at containment 1.0") {
+    val quote = "unique rare tokens forming the quoted passage body"
+    val docs = Seq(
+      (1L, quote),                                            // the short doc
+      (2L, s"long wrapper document begins here $quote and then continues onward"),
+      (3L, "entirely unrelated filler content with other words"),
+      (4L, "more unrelated filler prose that shares nothing at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", k = 3, maxDf = 4, floor = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(r.fieldIndex("containment_a")), r.getDouble(r.fieldIndex("jaccard"))))).toMap
+    // doc 1's shingles all appear in doc 2: containment_a = 1.0 even though
+    // jaccard is well under any near-dup threshold — the regime the rare-
+    // shingle blocking exists for
+    assert(got.contains((1L, 2L)), s"planted quote pair missing: ${got.keySet}")
+    val (ca, j) = got((1L, 2L))
+    assert(ca == 1.0)
+    assert(j < 0.8)
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L || a == 4L || b == 4L })
+  }
+
   test("Dedup.incrementalNearDup equals the full LSH restricted to cross-side pairs") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val inc = Dedup.incrementalNearDup(
