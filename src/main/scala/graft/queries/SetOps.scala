@@ -94,6 +94,48 @@ object SetOps {
              |UNION ALL
              |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice * 2 AS price,
              |       'respliced' AS provenance
-             |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin))
+             |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin)),
+
+    // O6: snapshot diff (CDC between table versions) — classify every key as
+    // added / removed / changed / unchanged via one full outer join on the
+    // key with value comparison. The audit step after any reprocessing run
+    // (the reference re-splices windows 3×/day with no diff report).
+    // Versions are derived deterministically: v1 drops event_id % 11 = 0
+    // (yesterday missed them), v2 doubles value on event_id % 7 = 0
+    // (today's correction).
+    Q("o6_snapshot_diff",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val v1 = e.filter(col("event_id") % 11 =!= 0)
+          .select(col("event_id").as("k1"), col("value").as("val1"))
+        val v2 = e.select(col("event_id").as("k2"),
+          when(col("event_id") % 7 === 0, col("value") * 2).otherwise(col("value"))
+            .as("val2"))
+        v1.join(v2, col("k1") === col("k2"), "full_outer")
+          .select(coalesce(col("k1"), col("k2")).as("event_id"),
+            when(col("k1").isNull, "added")
+              .when(col("k2").isNull, "removed")
+              .when(col("val1") =!= col("val2"), "changed")
+              .otherwise("unchanged").as("change_type"),
+            col("val1"), col("val2"))
+          .filter(col("change_type") =!= "unchanged")
+      },
+      Some("""WITH v1 AS (
+             |  SELECT event_id AS k1, value AS val1 FROM events WHERE event_id % 11 <> 0),
+             |v2 AS (
+             |  SELECT event_id AS k2,
+             |    CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS val2
+             |  FROM events)
+             |SELECT COALESCE(k1, k2) AS event_id,
+             |  CASE WHEN k1 IS NULL THEN 'added'
+             |       WHEN k2 IS NULL THEN 'removed'
+             |       WHEN val1 <> val2 THEN 'changed'
+             |       ELSE 'unchanged' END AS change_type,
+             |  val1, val2
+             |FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+             |WHERE (CASE WHEN k1 IS NULL THEN 'added'
+             |       WHEN k2 IS NULL THEN 'removed'
+             |       WHEN val1 <> val2 THEN 'changed'
+             |       ELSE 'unchanged' END) <> 'unchanged'""".stripMargin))
   )
 }
