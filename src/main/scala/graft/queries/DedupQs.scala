@@ -354,6 +354,91 @@ object DedupQs {
            |QUALIFY cum_tok <= 3000""".stripMargin
       }),
 
+    // C2: curation v2 — the full training-data gate stack as ONE declared
+    // plan: language → quality (t2) → repetition head-concentration (t12) →
+    // unigram-surprisal LM band (t15) → exact-dup keeper (d1) → simhash64
+    // near-dup drop (d5) → leakage-safe content-fingerprint split (t13) →
+    // deterministic-shuffle GLOBAL token budget over the train split (t16).
+    // Each gate is corpus-derived (repetition/surprisal stats over the whole
+    // table) but applied per-row via semi-joins on the narrow doc_id key —
+    // the wide text column never re-shuffles. Val/test docs bypass the
+    // budget (cum_tokens NULL): the budget shapes what we TRAIN on, the
+    // eval sets stay complete.
+    Q("c2_curation_v2",
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        val docs = Tables.documents(s, d)
+        val keepRep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+          .filter(!col("repetitive")).select("doc_id")
+        val keepSurp = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+          .filter(!col("unusual")).select("doc_id")
+        val keepers = Dedup.exactDupGroups(docs, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id"))
+        val nearDrop = Dedup.simhash64NearDup(docs, "doc_id", "text", 3)
+          .select(col("id_b").as("doc_id")).distinct()
+        // t13's content-fingerprint split, inlined from the same public
+        // threshold constants so the gated frame is scanned once instead of
+        // re-joined onto itself
+        val h = TextAnalysis.hashUnit(TextAnalysis.fingerprint(col("text")), "split")
+        val gated = docs
+          .filter(col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8)
+          .join(keepers, Seq("doc_id"), "left_semi")
+          .join(keepRep, Seq("doc_id"), "left_semi")
+          .join(keepSurp, Seq("doc_id"), "left_semi")
+          .join(nearDrop, Seq("doc_id"), "left_anti")
+          .withColumn("split",
+            when(h < TextAnalysis.SplitTrainUpper, "train")
+              .when(h < TextAnalysis.SplitValUpper, "val")
+              .otherwise("test"))
+          // narrow eager checkpoint (the d6 pattern): the train/eval union
+          // below consumes the gated frame TWICE — without materialization
+          // each branch replays the whole gate stack (simhash LSH + two
+          // corpus explodes), doubling the heaviest work at any scale. Only
+          // (doc_id, source, split, n_tokens) is kept; text never re-ships.
+          .withColumn("n_tokens", TextAnalysis.wsTokens(col("text")))
+          .select(col("doc_id"), col("source"), col("split"), col("n_tokens"))
+          .localCheckpoint(true)
+        val train = TextAnalysis.globalTokenBudget(
+          gated.filter(col("split") === "train"),
+          "doc_id", col("n_tokens"), budget = 15000L, salt = "budget")
+          .select(col("doc_id"), col("source"), col("split"),
+            col("n_tokens"), col("cum_tokens"))
+        val evalSets = gated.filter(col("split") =!= "train")
+          .withColumn("cum_tokens", lit(null).cast("long"))
+        train.unionByName(evalSets)
+      },
+      Some {
+        import graft.ops.TextAnalysis
+        s"""WITH $simhash64CtesSql,
+           |rep AS (${TextAnalysis.repetitionStatsSql("doc_id", "text", "documents")}),
+           |surp AS (${TextAnalysis.unigramSurprisalSql("doc_id", "text", "documents")}),
+           |keepers AS (
+           |  SELECT MIN(doc_id) AS doc_id FROM documents
+           |  GROUP BY md5(${Normalize.normTextSql("text")})),
+           |near_drop AS (SELECT DISTINCT id_b AS doc_id FROM ham WHERE hamming <= 3),
+           |gated AS (
+           |  SELECT doc_id, source, ${TextAnalysis.wsTokensSql("text")} AS n_tokens,
+           |    ${TextAnalysis.splitAssignSql("text")} AS split,
+           |    ${TextAnalysis.hashUnitSql("doc_id", "budget")} AS h
+           |  FROM documents
+           |  WHERE lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8
+           |    AND doc_id IN (SELECT doc_id FROM keepers)
+           |    AND doc_id IN (SELECT doc_id FROM rep WHERE NOT repetitive)
+           |    AND doc_id IN (SELECT doc_id FROM surp WHERE NOT unusual)
+           |    AND doc_id NOT IN (SELECT doc_id FROM near_drop)),
+           |train AS (
+           |  SELECT doc_id, source, split, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM gated WHERE split = 'train')
+           |SELECT doc_id, source, split, n_tokens, cum_tokens
+           |FROM train WHERE cum_tokens <= 15000
+           |UNION ALL
+           |SELECT doc_id, source, split, n_tokens, CAST(NULL AS BIGINT) AS cum_tokens
+           |FROM gated WHERE split <> 'train'""".stripMargin
+      },
+      bench = true),
+
     // D4: n-gram Jaccard near-dup, blocked by source (all within-block pairs,
     // exact — the non-LSH comparison point).
     Q("d4_ngram_jaccard",

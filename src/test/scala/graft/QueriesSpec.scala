@@ -88,6 +88,7 @@ class QueriesSpec extends AnyFunSuite {
     "k2c_knn_ivf_kmeans",      // k-row centroid broadcast per Lloyd iteration
     "k6_pq_adc",               // k-row centroid broadcast per Lloyd iteration + m-row query subs
     "t11_tfidf",               // 1-row corpus-total broadcast (same shape as a6)
+    "c2_curation_v2",          // inherits t15's 1-row grand-total broadcast
     "t15_unigram_surprisal"    // 1-row corpus-total broadcast (same shape as a6)
   )
 
