@@ -249,17 +249,28 @@ object Dedup {
     * the per-doc reduction is one map-side-combinable groupBy with nBits
     * sum columns. No per-bit row explosion: the naive (doc, bit) explode
     * shuffles nBits× the token count (measured 4-8x slower). */
+  /** (doc, word, count) pre-agg: the shared spine of every token-weighted
+    * signature and gate (simhash votes, unigram surprisal, repetition
+    * stats). Composite jobs compute it ONCE (checkpointed) and fan out to
+    * the `...FromCounts` variants instead of re-exploding the corpus per
+    * consumer — the explode+combine here is the heaviest shuffle in each. */
+  def wordCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("dw_cnt"))
+
   private def voteSums(df: DataFrame, idCol: String, textCol: String,
+      nBits: Int, bitExpr: String): DataFrame =
+    voteSumsFromCounts(wordCounts(df, idCol, textCol), idCol, nBits, bitExpr)
+
+  private def voteSumsFromCounts(dw: DataFrame, idCol: String,
       nBits: Int, bitExpr: String): DataFrame = {
-    val tokCounts = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
-    val vocab = tokCounts.select(col("tok")).distinct()
-      .select(col("tok"), md5(col("tok")).as("h"))
-      .select(col("tok"),
+    val tokCounts = dw.filter(col("word") =!= "")
+    val vocab = tokCounts.select(col("word")).distinct()
+      .select(col("word"), md5(col("word")).as("h"))
+      .select(col("word"),
         expr(s"transform(sequence(0, ${nBits - 1}), bit -> $bitExpr)").as("v"))
-    val sums = (0 until nBits).map(i => sum(col("cnt") * expr(s"v[$i]")).as(s"s$i"))
-    tokCounts.join(vocab, "tok")
+    val sums = (0 until nBits).map(i => sum(col("dw_cnt") * expr(s"v[$i]")).as(s"s$i"))
+    tokCounts.join(vocab, "word")
       .groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
   }
 
@@ -269,9 +280,13 @@ object Dedup {
     * 128-bit digest. Keeping the fingerprint as four small ints instead of
     * one BIGINT sidesteps 2^63 sign overflow AND is exactly the shape banded
     * hamming-LSH needs: each band column is an equi-join key. */
-  def simhash64Bands(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash64Bands(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash64BandsFromCounts(wordCounts(df, idCol, textCol), idCol)
+
+  /** [[simhash64Bands]] over a pre-built [[wordCounts]] frame. */
+  def simhash64BandsFromCounts(dw: DataFrame, idCol: String): DataFrame = {
     val hx = "ascii(substr(h, bit % 32 + 1, 1))"
-    val votes = voteSums(df, idCol, textCol, 64,
+    val votes = voteSumsFromCounts(dw, idCol, 64,
       s"(shiftright($hx - CASE WHEN $hx >= 97 THEN 87 ELSE 48 END, bit div 32) & 1) * 2 - 1")
     val bands = (0 until 4).map { b =>
       (0 until 16).map(j => when(col(s"s${16 * b + j}") > 0, 1 << j).otherwise(0))
@@ -286,8 +301,16 @@ object Dedup {
     * hamming distance over all 64 bits filters to `maxHamming`. Four
     * equi-joins + a distinct — never an all-pairs comparison. */
   def simhash64NearDup(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame =
+    simhash64NearDupFromCounts(wordCounts(df, idCol, textCol), idCol, maxHamming)
+
+  /** [[simhash64NearDup]] over a pre-built [[wordCounts]] frame. */
+  def simhash64NearDupFromCounts(dw: DataFrame, idCol: String,
       maxHamming: Int): DataFrame = {
-    val sig = simhash64Bands(df, idCol, textCol)
+    // sig is consumed SIX times (4 band joins + 2 verify sides); the frame
+    // is doc-count rows of 5 ints, so materialize once rather than lean on
+    // exchange reuse to dedupe the 64-column vote aggregation per consumer
+    val sig = simhash64BandsFromCounts(dw, idCol).localCheckpoint(true)
     val a = sig.toDF("id_a", "a0", "a1", "a2", "a3")
     val b = sig.toDF("id_b", "c0", "c1", "c2", "c3")
     val pairs = (0 until 4).map { k =>

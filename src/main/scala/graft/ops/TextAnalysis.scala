@@ -241,15 +241,19 @@ object TextAnalysis {
     * grand total is a 1-row broadcast. Per-addend DECIMAL(18,4)
     * quantization makes the per-doc mean order-independent (double
     * summation is not associative; decimal summation is — `Q.dsum`). */
-  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame =
     // ONE explode for the whole query: the (doc, word) pre-agg feeds the
     // vocab build, the grand total, AND the scorer (without materialization
     // each consumer replays the corpus explode — measured 3 Generate
     // subtrees in the static plan). Map-side combine shrinks the stream to
     // per-doc-distinct words before it ever shuffles.
-    val dw = df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
-      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("dw_cnt"))
-      .localCheckpoint(true)
+    unigramSurprisalFromCounts(
+      Dedup.wordCounts(df, idCol, textCol).localCheckpoint(true), idCol)
+
+  /** [[unigramSurprisal]] over a pre-built (already materialized)
+    * [[Dedup.wordCounts]] frame — composite jobs share one corpus explode
+    * across the word-side gates. */
+  def unigramSurprisalFromCounts(dw: DataFrame, idCol: String): DataFrame = {
     val vocab = dw.groupBy(col("word")).agg(sum(col("dw_cnt")).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
     dw.join(vocab, "word")
@@ -303,17 +307,21 @@ object TextAnalysis {
     * then moves only doc-count rows. (Partitioning the raw stream by doc
     * up-front would fuse the two exchanges but forfeit the partial
     * aggregation — strictly more bytes over the wire at corpus scale.) */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def headStats(k: Int, top: String, total: String,
-        distinctC: Option[String]): DataFrame = {
-      val aggs = Seq(sum(col("__cnt")).as(total), max(col("__cnt")).as(top)) ++
-        distinctC.map(c => count(lit(1)).as(c))
-      Dedup.shingles(df, idCol, textCol, k, dedup = false)
-        .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("__cnt"))
-        .groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    }
-    val words = headStats(1, "__top_w", "n_words", Some("n_distinct_words"))
-    val bigrams = headStats(2, "__top_b", "__n_bg", None)
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    repetitionStatsFromCounts(Dedup.wordCounts(df, idCol, textCol), df, idCol, textCol)
+
+  /** [[repetitionStats]] with the word-side stats drawn from a pre-built
+    * [[Dedup.wordCounts]] frame (the bigram side is its own explode either
+    * way). Composite jobs pass the shared materialized frame. */
+  def repetitionStatsFromCounts(dw: DataFrame, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = dw.groupBy(col(idCol)).agg(
+      sum(col("dw_cnt")).as("n_words"), max(col("dw_cnt")).as("__top_w"),
+      count(lit(1)).as("n_distinct_words"))
+    val bigrams = Dedup.shingles(df, idCol, textCol, 2, dedup = false)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol)).agg(sum(col("__cnt")).as("__n_bg"),
+        max(col("__cnt")).as("__top_b"))
     // single-word docs have no bigram row — their head concentration is 0
     words.join(bigrams, Seq(idCol), "left")
       .select(col(idCol), col("n_words"), col("n_distinct_words"),

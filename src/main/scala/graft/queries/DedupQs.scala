@@ -368,13 +368,17 @@ object DedupQs {
       (s, d) => {
         import graft.ops.TextAnalysis
         val docs = Tables.documents(s, d)
-        val keepRep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+        // ONE corpus explode for all three word-side consumers: the shared
+        // (doc, word, count) spine feeds the repetition gate, the surprisal
+        // gate, AND the simhash votes (each otherwise re-explodes the text).
+        val dw = Dedup.wordCounts(docs, "doc_id", "text").localCheckpoint(true)
+        val keepRep = TextAnalysis.repetitionStatsFromCounts(dw, docs, "doc_id", "text")
           .filter(!col("repetitive")).select("doc_id")
-        val keepSurp = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+        val keepSurp = TextAnalysis.unigramSurprisalFromCounts(dw, "doc_id")
           .filter(!col("unusual")).select("doc_id")
         val keepers = Dedup.exactDupGroups(docs, "doc_id", "text")
           .select(col("keeper_id").as("doc_id"))
-        val nearDrop = Dedup.simhash64NearDup(docs, "doc_id", "text", 3)
+        val nearDrop = Dedup.simhash64NearDupFromCounts(dw, "doc_id", 3)
           .select(col("id_b").as("doc_id")).distinct()
         // t13's content-fingerprint split, inlined from the same public
         // threshold constants so the gated frame is scanned once instead of
