@@ -130,6 +130,51 @@ object TextAnalysis {
     s"CASE $srcExpr $whens ELSE ${mixThreshold(mixDefaultRate)} END"
   }
 
+  /** Temperature-scaled source mixture resampling (the GPT-3 §2.2 /
+    * data-mixture "temperature" step): target share per source ∝ n_s^α,
+    * realized by acceptance sampling at the largest overall size that
+    * requires no up-sampling. The per-source keep-rate then collapses to
+    * `(n_min / n_s)^(1-α)` — the normalizing sum cancels, so no
+    * order-dependent double summation crosses engines; the single pow is
+    * rounded to 6 decimals before the 24-bit threshold compare. α = 1
+    * keeps everything (natural mixture), α = 0 flattens every source to
+    * the smallest one's size, 0 < α < 1 interpolates (α ≈ 0.3–0.7 is the
+    * published range). Keep decisions ride on the salted [[hashUnit]], so
+    * the resample is deterministic across runs, partitionings, and engines.
+    *
+    * Scale: the rate table is one row per SOURCE (bounded, tiny) built from
+    * a count-agg; it broadcasts onto the doc stream, which is then filtered
+    * row-locally at scan speed — one small shuffle for the counts, zero for
+    * the data path. */
+  def temperatureMix(df: DataFrame, srcCol: String, idCol: String,
+      alpha: Double, salt: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin)) // 1-row min — whitelisted broadcast
+      .withColumn("keep_rate", round(
+        pow(col("n_min").cast("double") / col("n_docs").cast("double"), 1 - alpha), 6))
+      .withColumn("__thr", round(col("keep_rate") * (1L << 24)).cast("long"))
+    df.join(broadcast(rates.select(col(srcCol), col("keep_rate"), col("__thr"))),
+        Seq(srcCol))
+      .filter(hashUnit(col(idCol), salt) < col("__thr"))
+      .drop("__thr")
+  }
+
+  def temperatureMixSql(srcExpr: String, idExpr: String, alpha: Double,
+      salt: String, table: String): String =
+    s"""WITH counts AS (
+       |  SELECT $srcExpr, COUNT(*) AS n_docs FROM $table GROUP BY 1),
+       |mn AS (SELECT MIN(n_docs) AS n_min FROM counts),
+       |rates AS (
+       |  SELECT $srcExpr, round(pow(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE),
+       |    ${1 - alpha}), 6) AS keep_rate,
+       |    CAST(round(round(pow(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE),
+       |      ${1 - alpha}), 6) * ${1L << 24}) AS BIGINT) AS thr
+       |  FROM counts CROSS JOIN mn)
+       |SELECT t.*, keep_rate FROM (SELECT $srcExpr, $idExpr FROM $table) t
+       |JOIN rates USING ($srcExpr)
+       |WHERE ${hashUnitSql(idExpr, salt)} < thr""".stripMargin
+
   /** Per-source EXACT sample quotas (documents to keep, not a rate) — the
     * "give me exactly N docs from each source" counterpart of [[mixRates]]. */
   val quotaCounts: Map[String, Long] =

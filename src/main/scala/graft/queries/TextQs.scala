@@ -315,6 +315,20 @@ object TextQs {
       (s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text"),
       Some(TextAnalysis.unigramSurprisalSql("doc_id", "text", "documents"))),
 
+    // T17: temperature-scaled mixture (α = 0.5) — down-samples big strata
+    // toward the flat mixture; the keep-rate per stratum collapses to
+    // (n_min/n_s)^(1-α) so no cross-engine double summation exists. The
+    // stratum is the length band (the testdata's sources are uniform by
+    // construction, so the band is where real skew lives).
+    Q("t17_temperature_mix",
+      (s, d) => TextAnalysis.temperatureMix(
+        Tables.documents(s, d).select(col("doc_id"),
+          floor(col("n_chars") / 150).cast("long").as("len_band")),
+        "len_band", "doc_id", alpha = 0.5, salt = "mix2"),
+      Some(TextAnalysis.temperatureMixSql("len_band", "doc_id", alpha = 0.5,
+        salt = "mix2",
+        table = "(SELECT doc_id, CAST(n_chars // 150 AS BIGINT) AS len_band FROM documents)"))),
+
     // T13: leakage-safe train/val/test split — assignment keyed on the
     // CONTENT fingerprint (not the row id), so exact duplicates can never
     // straddle the train/eval boundary; fixed 24-bit hash thresholds make

@@ -502,4 +502,21 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(0).getLong(4) == -1000L) // floor toward -inf, not trunc toward 0
     assert(rows(1).getLong(4) == 1000L)
   }
+
+  test("TextAnalysis.temperatureMix: alpha=1 keeps all, alpha=0 flattens toward n_min") {
+    val df = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 450).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val all = TextAnalysis.temperatureMix(df, "src", "id", alpha = 1.0, salt = "t")
+    assert(all.count() == 450) // natural mixture: no cut
+    val flat = TextAnalysis.temperatureMix(df, "src", "id", alpha = 0.0, salt = "t")
+    val bySrc = flat.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") == 50) // the smallest stratum always survives whole
+    // big is cut to rate n_min/n_s = 1/8: expected 50, hash-binomial spread
+    assert(bySrc("big") > 25 && bySrc("big") < 85, s"got ${bySrc("big")}")
+    // determinism: the SAME ids survive on a re-run
+    val again = TextAnalysis.temperatureMix(df, "src", "id", alpha = 0.0, salt = "t")
+    assert(flat.select("id").collect().map(_.getLong(0)).sorted.sameElements(
+      again.select("id").collect().map(_.getLong(0)).sorted))
+  }
 }

@@ -89,6 +89,7 @@ class QueriesSpec extends AnyFunSuite {
     "k6_pq_adc",               // k-row centroid broadcast per Lloyd iteration + m-row query subs
     "t11_tfidf",               // 1-row corpus-total broadcast (same shape as a6)
     "c2_curation_v2",          // inherits t15's 1-row grand-total broadcast
+    "t17_temperature_mix",     // 1-row source-min broadcast onto the rate table
     "t15_unigram_surprisal"    // 1-row corpus-total broadcast (same shape as a6)
   )
 
