@@ -332,6 +332,27 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"), col("n_bands"), col("cos_sim"))
   }
 
+  /** Embedding-space stratified diversity sample: one `bits`-bit SRP band
+    * partitions the space into 2^bits angular cells (deterministic,
+    * data-independent hyperplanes — the same [[srpNumerators]] family the
+    * LSH paths use), then a per-cell salted-hash quota keeps at most
+    * `quota` vectors per cell. Dense regions get the same budget as sparse
+    * ones — COVERAGE sampling rather than density sampling (the "diversify
+    * the corpus" curation step). Contrast [[semanticDedup]]: dedup removes
+    * near-identical pairs; this bounds region occupancy with no pair graph
+    * at all.
+    *
+    * Scale: cell assignment is `bits` codegen float_dots per row at scan
+    * speed; the quota rank is [[TextAnalysis.quotaSample]]'s two-level
+    * hash-shard prefix sum — no cell ever gathers on one partition. */
+  def diversitySample(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bits: Int, quota: Long, salt: String): DataFrame = {
+    registerFns(emb)
+    val sig = emb.select(col(idCol) +: srpBandCols(vecCol, 1, bits, dim): _*)
+      .withColumnRenamed("b0", "cell")
+    TextAnalysis.quotaSample(sig, "cell", idCol, lit(quota), salt)
+  }
+
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, threshold: Double): DataFrame = {
     registerFns(emb)

@@ -33,16 +33,23 @@ object SimilarityQs {
   // hyperplane numerators SimilaritySearch uses, spelled as exact (k/1024.0)
   // list literals; in-order SUM over range() reproduces float_dot's fold, so
   // every sign bit matches the Spark plan.
-  private def srpCandCtes(bands: Int, bits: Int): String = {
+  private def planeDot(p: IndexedSeq[Int]): String = {
+    val lit = p.map(k => s"($k/1024.0)").mkString("[", ", ", "]")
+    s"(SELECT SUM(CAST(embedding[i + 1] AS DOUBLE) * ($lit)[i + 1]) FROM range($dim) t(i))"
+  }
+
+  /** One SRP band value as a SQL expression (bits sign-projections packed
+    * into an int) — band `b` of the (bands, bits) family. */
+  private def srpBandSql(bands: Int, bits: Int, b: Int): String = {
     val h = graft.ops.SimilaritySearch.srpNumerators(bands * bits, dim)
-    def planeDot(p: IndexedSeq[Int]): String = {
-      val lit = p.map(k => s"($k/1024.0)").mkString("[", ", ", "]")
-      s"(SELECT SUM(CAST(embedding[i + 1] AS DOUBLE) * ($lit)[i + 1]) FROM range($dim) t(i))"
-    }
+    (0 until bits).map(j =>
+      s"(CASE WHEN ${planeDot(h(b * bits + j))} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString("    (", " + ", ")")
+  }
+
+  private def srpCandCtes(bands: Int, bits: Int): String = {
     val bandCols = (0 until bands).map { b =>
-      (0 until bits).map(j =>
-        s"(CASE WHEN ${planeDot(h(b * bits + j))} > 0 THEN ${1 << j} ELSE 0 END)")
-        .mkString("    (", " + ", s") AS b$b")
+      s"${srpBandSql(bands, bits, b)} AS b$b"
     }.mkString(",\n")
     val bandJoins = (0 until bands).map(k =>
       s"    SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a JOIN sig b ON a.b$k = b.b$k AND a.vec_id < b.vec_id")
@@ -206,6 +213,29 @@ object SimilarityQs {
               |FROM sym
               |QUALIFY row_number() OVER (PARTITION BY vec_id
               |  ORDER BY cos_sim DESC, neighbor_id) <= 3""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // K7: embedding-space stratified DIVERSITY sample — a 4-bit SRP band
+    // cuts the space into 16 angular cells, a salted-hash quota keeps at
+    // most 20 vectors per cell. Dense regions are capped at the same
+    // budget as sparse ones: coverage sampling, the curation complement of
+    // d7's near-duplicate removal.
+    Q("k7_diversity_sample",
+      (s, d) => SimilaritySearch.diversitySample(
+          Tables.embeddings(s, d), "vec_id", "embedding", dim,
+          bits = 4, quota = 20L, salt = "k7")
+        .select(col("vec_id"), col("cell"), col("sample_rank")),
+      Some {
+        import graft.ops.TextAnalysis
+        s"""WITH sig AS (
+           |  SELECT vec_id, CAST(${srpBandSql(1, 4, 0)} AS INTEGER) AS cell
+           |  FROM embeddings)
+           |SELECT vec_id, cell, rnk AS sample_rank FROM (
+           |  SELECT vec_id, cell,
+           |    ROW_NUMBER() OVER (PARTITION BY cell
+           |      ORDER BY ${TextAnalysis.hashUnitSql("vec_id", "k7")}, vec_id) AS rnk
+           |  FROM sig)
+           |WHERE rnk <= 20""".stripMargin
+      })
   )
 }
