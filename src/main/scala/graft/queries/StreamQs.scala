@@ -188,6 +188,33 @@ object StreamQs {
       },
       Some("""SELECT user_id, COUNT(*) AS n_events,
              |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
-             |FROM events GROUP BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // ST6: streaming curation front door — the row-local c2 gates applied
+    // on ingest: language + quality filter, leakage-safe split assignment,
+    // and content-fingerprint dedup (keep-first) in streaming state. The
+    // output is keyed on the fingerprint and split is a pure function of
+    // it, so the result SET is arrival-order-independent and batch SQL is
+    // an exact oracle. Dedup state is fingerprint-sized (no watermark: the
+    // documents table has no event time — this is a whole-corpus replay; a
+    // production ingest bounds it with an ingest-time watermark, st2-style).
+    Q("st6_stream_curation_gate",
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        val ss = streamSession(s)
+        val gated = Streams.documentStream(ss, asStreamDir(s"$d/documents.parquet"))
+          .filter(col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8)
+        val keyed = TextAnalysis.splitAssign(gated, "doc_id", "source", "text")
+          .select(col("fp"), col("split"))
+          .dropDuplicates("fp")
+        runToMemory(keyed, OutputMode.Append())
+      },
+      Some {
+        import graft.ops.TextAnalysis
+        s"""SELECT DISTINCT ${TextAnalysis.fingerprintSql("text")} AS fp,
+           |  ${TextAnalysis.splitAssignSql("text")} AS split
+           |FROM documents
+           |WHERE lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8""".stripMargin
+      })
   )
 }

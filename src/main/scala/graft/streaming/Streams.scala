@@ -31,6 +31,12 @@ object Streams {
     spark.readStream.schema(eventsRawSchema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Streaming read of the documents table (curation front door). */
+  def documentStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(
+      "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir)
+
   /** Incremental append + key dedup: the `drop_duplicates(transaction_id,
     * keep='first')` pattern with a watermark bounding the dedup state —
     * exactly-once per key within the lateness horizon. */
