@@ -36,6 +36,35 @@ object Tables {
     write(df, s"${basePath}_$asOfDate", format)
   }
 
+  final case class CompactStats(filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  /** Small-file compaction: rewrite a directory-backed parquet table into
+    * ceil(bytes / targetBytes) files under the [[TableSwap]] atomic-replace
+    * protocol. Incremental ingest (streaming upserts, per-batch appends)
+    * accumulates files far smaller than a scan-efficient split — at warehouse
+    * scale the resulting per-file open/footer overhead dominates scan time,
+    * so compaction is a first-class maintenance op, not an afterthought.
+    * No-ops (without rewriting) when the table already has that few files.
+    * The rewrite is one round-robin repartition — no shuffle key, content
+    * preserved as a set. */
+  def compact(spark: SparkSession, tableDir: String,
+      targetBytes: Long = 128L << 20): CompactStats = {
+    TableSwap.recover(spark, tableDir)
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(path).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val bytes = dataFiles.map(_.getLen).sum
+    val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    if (dataFiles.length <= target)
+      return CompactStats(dataFiles.length, dataFiles.length, bytes)
+    val df = spark.read.parquet(tableDir).repartition(target)
+    TableSwap.commit(spark, tableDir)(df.write.parquet(_))
+    CompactStats(dataFiles.length, target, bytes)
+  }
+
   /** S1 CSV parity source: schema-on-read CSV with explicit StructType and
     * null-on-error coercion, matching `pd.read_csv` + `to_datetime(errors=
     * 'coerce')` (`shared/data_loader.py:21-28`). */

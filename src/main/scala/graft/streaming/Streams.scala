@@ -63,52 +63,20 @@ object Streams {
   def mergeUpsert(batch: DataFrame, tableDir: String,
       keyCol: String, versionCol: String, tiebreakCol: String): Unit = {
     val spark = batch.sparkSession
+    // Commit via the shared atomic-swap protocol (graft.core.TableSwap):
+    // recover any interrupted swap BEFORE reading the current table, build
+    // the merge lazily against it, commit under rename-only replacement — a
+    // crash never loses the table or replays into an empty one.
+    graft.core.TableSwap.recover(spark, tableDir)
     val path = new org.apache.hadoop.fs.Path(tableDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Commit protocol: parquet overwrite is not atomic, so the merge writes
-    // to a sibling temp dir and swaps it in with ATOMIC renames only — the
-    // previous table is set ASIDE by rename, never deleted in place, because
-    // an interrupted recursive delete leaves a partial directory that a
-    // later run would read as the complete prior table (silent key loss).
-    // A marker file records that the table has committed at least once — a
-    // missing data dir WITH the marker present means an interrupted swap,
-    // never "first batch": restore from the complete temp copy (preferred —
-    // it already holds the last merge) or the set-aside previous table;
-    // abort if neither survives. Every rename's Boolean result is checked:
-    // HadoopFS reports most failures by returning false, and an unchecked
-    // false here would fall through to exactly the reinitialization this
-    // protocol exists to prevent.
-    val marker = new org.apache.hadoop.fs.Path(tableDir + "._GRAFT_TABLE")
-    val tmp = new org.apache.hadoop.fs.Path(tableDir + "._GRAFT_TMP")
-    val old = new org.apache.hadoop.fs.Path(tableDir + "._GRAFT_OLD")
-    def mustRename(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(from, to))
-        sys.error(s"rename $from -> $to failed; table $tableDir left un-swapped")
-    if (!fs.exists(path) && fs.exists(marker)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-        mustRename(tmp, path) // finish the interrupted swap, then merge on top
-      else if (fs.exists(old))
-        mustRename(old, path) // swap never completed; previous table intact
-      else sys.error(s"table $tableDir has committed before (marker present) " +
-        "but the data directory is missing and no complete copy survives — " +
-        "refusing to reinitialize from one micro-batch")
-    }
     val existing = if (fs.exists(path)) Some(spark.read.parquet(tableDir)) else None
     val all = existing.fold(batch)(_.unionByName(batch))
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(versionCol).desc, col(tiebreakCol).desc)
     val merged = all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    merged.write.parquet(tmp.toString) // reads old dir, writes new — no overlap
-    if (!fs.exists(marker)) fs.create(marker).close()
-    // swap: aside (atomic) -> in (atomic) -> drop the aside copy. A crash in
-    // either delete leaves only the disposable _GRAFT_OLD partial, never a
-    // partial live table.
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(path)) mustRename(path, old)
-    mustRename(tmp, path)
-    if (fs.exists(old)) fs.delete(old, true)
+    graft.core.TableSwap.commit(spark, tableDir)(merged.write.parquet(_))
   }
 
   /** Continuous upsert: every micro-batch of `stream` is merged into

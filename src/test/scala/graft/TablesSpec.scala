@@ -28,6 +28,44 @@ class TablesSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/nation_2026-08-12").count() == src.count())
   }
 
+  test("compact bin-packs small files, preserves content, no-ops when already compact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val dir = s"$tmp/t"
+    val src = (1 to 1000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+    src.repartition(20).write.parquet(dir) // the small-file ingest shape
+    // materialize the pre-compaction content: a DataFrame would pin the OLD
+    // file listing and break after the swap (dir tables have writer-crash
+    // atomicity, not reader snapshot isolation)
+    val before = spark.read.parquet(dir).collect().toSet
+    val stats = Tables.compact(spark, dir, targetBytes = 1L << 20)
+    assert(stats.filesBefore == 20 && stats.filesAfter == 1, stats.toString)
+    assert(spark.read.parquet(dir).collect().toSet == before)
+    // already compact: second call must not rewrite
+    val again = Tables.compact(spark, dir, targetBytes = 1L << 20)
+    assert(again.filesBefore == 1 && again.filesAfter == 1)
+  }
+
+  test("TableSwap.recover finishes an interrupted swap from the complete tmp copy") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_swap").toString
+    val dir = s"$tmp/t"
+    val src = (1 to 100).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+    src.repartition(4).write.parquet(dir)
+    // a real rewrite (4 files -> 1) establishes the commit marker
+    assert(Tables.compact(spark, dir, targetBytes = 1L << 20).filesAfter == 1)
+    // simulate a crash between "tmp fully written" and "swap completed":
+    // the data dir is gone, marker present, tmp holds the complete table
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "._GRAFT_TMP")))
+    graft.core.TableSwap.recover(spark, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.exceptAll(src).count() + src.exceptAll(back).count() == 0)
+    // marker present but NOTHING survives -> must refuse, not reinitialize
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    intercept[RuntimeException](graft.core.TableSwap.recover(spark, dir))
+  }
+
   test("pair_combinations generator equals the self-join formulation") {
     val df = Seq((1L, Seq(3L, 1L, 2L)), (2L, Seq(7L)), (3L, Seq.empty[Long]))
       .toDF("k", "xs").withColumn("xs", array_sort(col("xs")))
