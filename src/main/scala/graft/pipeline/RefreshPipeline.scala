@@ -141,11 +141,21 @@ object RefreshPipeline {
       "doc_id", "text", threshold = 0.5)
     Tables.write(accepted, s"$whDir/documents_ingested")
 
+    // 6: maintenance — repeated refreshes fragment the refreshed tables
+    // into per-run small files; bin-pack them back to scan-efficient sizes
+    // under the atomic swap (readers of the PREVIOUS listing are the known
+    // non-ACID caveat, same as every overwrite in this pipeline).
+    val compacted = Seq("events_current", "customer_flags_current", "documents_ingested")
+      .map { t =>
+        val st = Tables.compact(spark, s"$whDir/$t")
+        s"$t:${st.filesBefore}->${st.filesAfter}"
+      }.mkString(" ")
+
     val nEvents = spark.read.parquet(s"$whDir/events_current").count()
     val nFlags = spark.read.parquet(s"$whDir/customer_flags_current").count()
     val nDocs = spark.read.parquet(s"$whDir/documents_ingested").count()
     println(s"[refresh] events_current=$nEvents customer_flags_current=$nFlags " +
-      s"documents_ingested=$nDocs -> $whDir")
+      s"documents_ingested=$nDocs compact[$compacted] -> $whDir")
     spark.stop()
   }
 }
