@@ -99,6 +99,9 @@ object DailyPipeline {
             TextAnalysis.mixThresholdCol(col("source"))),
           s"$outDir/corpus_mix_sample")
       }),
+      // the corpus data card: per-source release stats (volume, language
+      // purity, quality, dup rate) — shipped with every corpus build.
+      materialize("ep4_corpus_datacard", "corpus_datacard"),
       // EP1's month-start dated snapshot (`pipeline_handler.py:343-354`):
       // live table + immutable dated copy.
       Job("revenue_dashboard_snapshot", Seq("revenue_dashboard"), s =>

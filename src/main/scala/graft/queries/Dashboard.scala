@@ -118,6 +118,42 @@ object Dashboard {
               |  ON ${Normalize.normTextSql("c_mktsegment")} = seg_key
               |GROUP BY seg_code""".stripMargin)),
 
+    // EP4: corpus DATA CARD — the per-source release sheet every training
+    // dataset ships: volume (docs, tokens), language purity, mean quality,
+    // median length, exact-dup rate. One hash aggregation over the corpus;
+    // the mean quality divides a quantized-decimal sum in DOUBLE (decimal
+    // division scale is engine-specific — the k2b lesson) and the median is
+    // percentile_disc (portable, a17's pattern).
+    Q("ep4_corpus_datacard",
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        Tables.documents(s, d).groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.wsTokens(col("text"))).as("n_tokens"),
+            round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6).as("pct_en"),
+            round(Q.dsum(TextAnalysis.qualityScore("text")) / count(lit(1)), 6)
+              .as("avg_quality"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("med_chars"),
+            countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique"))
+          .withColumn("dup_rate", round(
+            lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"), 6))
+      },
+      Some {
+        import graft.ops.TextAnalysis
+        s"""SELECT source, n_docs, n_tokens, pct_en, avg_quality, med_chars, n_unique,
+           |  round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS dup_rate
+           |FROM (
+           |  SELECT source, COUNT(*) AS n_docs,
+           |    CAST(SUM(${TextAnalysis.wsTokensSql("text")}) AS BIGINT) AS n_tokens,
+           |    round(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pct_en,
+           |    round(${Q.dsumSql(TextAnalysis.qualityScoreSql("text"))} / COUNT(*), 6)
+           |      AS avg_quality,
+           |    percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS med_chars,
+           |    CAST(COUNT(DISTINCT ${TextAnalysis.fingerprintSql("text")}) AS BIGINT)
+           |      AS n_unique
+           |  FROM documents GROUP BY 1)""".stripMargin
+      }),
+
     // M7b: the 8.25% tax decomposition applied at ingest
     // (`pipeline_handler.py:87-89`: pre_tax = total/1.0825, tax = rest).
     Q("m7b_tax_split",
