@@ -124,7 +124,7 @@ object RefreshPipeline {
         .localCheckpoint(true)
       val uni = Tables.events(spark, sfDir)
         .filter(unix_micros(col("ts")) < asOf)
-        .select(col("user_id")).distinct()
+        .select(col("user_id")).distinct().localCheckpoint(true) // familyMap reads it twice
       graft.flags.FlagPasses.childPass(raw, graft.flags.FlagPasses.familyMap(uni))
         .withColumn("added_us", lit(asOf))
     }

@@ -146,8 +146,11 @@ object FlagQs {
     Q("u1c_child_suppression",
       (s, d) => {
         import graft.flags.FlagPasses
+        // familyMap consumes the universe twice (child derivation + the
+        // parent-exists semi-join); the distinct-user frame is tiny, the
+        // events scan behind it is not — materialize it once.
         val uni = Tables.events(s, d).filter(Q.usecs(col("ts")) < asOfUs)
-          .select(col("user_id")).distinct()
+          .select(col("user_id")).distinct().localCheckpoint(true)
         // the flags frame feeds BOTH childPass branches (tagged + parent-own);
         // without a materialization frontier each branch re-runs the whole
         // per-user rule evaluation. The frame is flag-count sized — eager
