@@ -102,6 +102,29 @@ object DailyPipeline {
       // the corpus data card: per-source release stats (volume, language
       // purity, quality, dup rate) — shipped with every corpus build.
       materialize("ep4_corpus_datacard", "corpus_datacard"),
+      // ANN index BUILD as warehouse state — the build-once/query-many
+      // split the similarity ops are designed around: k-means cell
+      // assignments + centroids (IVF probe tables) and per-block PQ codes +
+      // codebook (ADC scan tables), with the same parameters the k2c/k6
+      // query paths use. At production scale these rebuild on index
+      // cadence, not per query.
+      Job("ann_ivf_index", Nil, s => {
+        import graft.ops.SimilaritySearch
+        val (assign, cents) = SimilaritySearch.kmeansModel(
+          Tables.embeddings(s, sfDir), "vec_id", "embedding", k = 8, iters = 3)
+        Tables.write(assign, s"$outDir/ann_ivf_assignments")
+        Tables.write(cents.select(col("cell"), col("__c").as("centroid")),
+          s"$outDir/ann_ivf_centroids")
+      }),
+      Job("ann_pq_index", Nil, s => {
+        import graft.ops.SimilaritySearch
+        val emb = Tables.embeddings(s, sfDir)
+        val (codes, cents) = SimilaritySearch.pqModel(
+          emb, "vec_id", "embedding", dim = 64, m = 4, k = 16, iters = 2)
+        Tables.write(codes, s"$outDir/ann_pq_codes")
+        Tables.write(cents.select(col("block"), col("code"), col("centroid")),
+          s"$outDir/ann_pq_codebook")
+      }),
       // EP1's month-start dated snapshot (`pipeline_handler.py:343-354`):
       // live table + immutable dated copy.
       Job("revenue_dashboard_snapshot", Seq("revenue_dashboard"), s =>
