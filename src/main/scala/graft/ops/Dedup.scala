@@ -23,6 +23,21 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
 
+  /** [[exactDupGroups]] with keeper election by PRIORITY, not id: when the
+    * same text arrives from several sources, keep the copy from the most
+    * trusted one (curated > crawled), id as the tiebreak — the real
+    * cross-source curation rule. One min over a (rank, id) struct: still a
+    * single map-side-combinable aggregation, identical shuffle shape. */
+  def exactDupGroupsBy(df: DataFrame, idCol: String, textCol: String,
+      rankCol: Column): DataFrame =
+    df.select(col(idCol), md5(Normalize.normText(col(textCol))).as("text_hash"),
+        rankCol.cast("long").as("__rank"))
+      .groupBy(col("text_hash"))
+      .agg(min(struct(col("__rank"), col(idCol))).as("__best"),
+        count(lit(1)).as("group_size"))
+      .select(col("text_hash"), col(s"__best.$idCol").as("keeper_id"),
+        col("group_size"))
+
   /** Word k-gram shingles per document: (id, shingle). `dedup = false` skips
     * the distinct shuffle — correct whenever the consumer is duplicate-
     * insensitive (min-hash, countDistinct). */

@@ -117,6 +117,23 @@ object DedupQs {
               |MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
               |FROM documents GROUP BY 1""".stripMargin)),
 
+    // D1b: exact dedup with PRIORITY keeper election — on a cross-source
+    // dup, keep the copy from the most trusted source family (the mixRates
+    // ladder: srcN % 4 == 0 most trusted), id as tiebreak. Same single
+    // aggregation as d1; the keeper is a min over a (rank, id) struct.
+    Q("d1b_priority_dedup",
+      (s, d) => Dedup.exactDupGroupsBy(Tables.documents(s, d), "doc_id", "text",
+        expr("CAST(substring(source, 4) AS INT) % 4")),
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, md5(${Normalize.normTextSql("text")}) AS text_hash,
+              |    CAST(substr(source, 4) AS INT) % 4 AS rank FROM documents)
+              |SELECT text_hash, doc_id AS keeper_id, group_size FROM (
+              |  SELECT text_hash, doc_id,
+              |    ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY rank, doc_id) AS rn,
+              |    COUNT(*) OVER (PARTITION BY text_hash) AS group_size
+              |  FROM h)
+              |WHERE rn = 1""".stripMargin)),
+
     // D2: full MinHash-LSH near-dup pipeline — shingle → 8 minhashes (ONE
     // md5 per shingle: two 32-bit lanes, affine combinations mod a 32-bit
     // prime) → 4 bands of 2 → bucket-join candidates → exact-Jaccard

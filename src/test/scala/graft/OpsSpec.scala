@@ -503,6 +503,32 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(1).getLong(4) == 1000L)
   }
 
+  test("Dedup.exactDupGroupsBy elects the keeper by priority, id breaks ties") {
+    val df = Seq(
+      (1L, "dup A", 3L), (2L, "dup A", 1L), // rank beats lower id -> keeper 2
+      (3L, "dup B", 1L), (4L, "dup B", 1L), // equal rank -> lower id, keeper 3
+      (9L, "solo", 2L)
+    ).toDF("id", "t", "rank")
+    val out = Dedup.exactDupGroupsBy(df, "id", "t", col("rank"))
+      .select("keeper_id", "group_size").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 2L, 3L -> 2L, 9L -> 1L))
+  }
+
+  test("SimilaritySearch.diversitySample caps every cell at the quota, exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val kept = SimilaritySearch.diversitySample(emb, "vec_id", "embedding",
+      dim = 64, bits = 3, quota = 10L, salt = "p")
+    val perCell = kept.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCell.values.forall(_ <= 10), perCell.toString)
+    // each cell keeps exactly min(occupancy, quota) — nothing silently lost
+    val occupancy = SimilaritySearch.diversitySample(emb, "vec_id", "embedding",
+      dim = 64, bits = 3, quota = Long.MaxValue, salt = "p")
+      .groupBy("cell").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(occupancy.forall { case (cell, n) => perCell(cell) == math.min(n, 10L) })
+  }
+
   test("TextAnalysis.temperatureMix: alpha=1 keeps all, alpha=0 flattens toward n_min") {
     val df = ((1 to 400).map(i => (i.toLong, "big")) ++
       (401 to 450).map(i => (i.toLong, "small"))).toDF("id", "src")
