@@ -65,6 +65,21 @@ object Tables {
     CompactStats(dataFiles.length, target, bytes)
   }
 
+  /** Time-travel read over [[writeSnapshot]]'s dated copies: the newest
+    * snapshot at or before `asOfDate` (ISO dates order lexically, so the
+    * resolution is a pure name comparison — no file opens). Errors out when
+    * nothing that old exists rather than silently serving a later state. */
+  def asOf(spark: SparkSession, basePath: String, asOfDate: String): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = base.getName + "_"
+    val dates = fs.listStatus(base.getParent).map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) => n.stripPrefix(prefix) }
+      .filter(d => d.length == 10 && d <= asOfDate)
+    require(dates.nonEmpty, s"no snapshot of $basePath at or before $asOfDate")
+    spark.read.parquet(s"${basePath}_${dates.max}")
+  }
+
   /** S1 CSV parity source: schema-on-read CSV with explicit StructType and
     * null-on-error coercion, matching `pd.read_csv` + `to_datetime(errors=
     * 'coerce')` (`shared/data_loader.py:21-28`). */

@@ -28,6 +28,18 @@ class TablesSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$tmp/nation_2026-08-12").count() == src.count())
   }
 
+  test("asOf resolves the newest snapshot at or before the date, refuses older asks") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    val v1 = Seq((1L, "a")).toDF("k", "v")
+    val v2 = Seq((1L, "b"), (2L, "c")).toDF("k", "v")
+    Tables.writeSnapshot(v1, s"$tmp/t", "2026-01-01")
+    Tables.writeSnapshot(v2, s"$tmp/t", "2026-03-01")
+    assert(Tables.asOf(spark, s"$tmp/t", "2026-02-15").count() == 1) // sees v1
+    assert(Tables.asOf(spark, s"$tmp/t", "2026-03-01").count() == 2) // inclusive
+    assert(Tables.asOf(spark, s"$tmp/t", "2027-01-01").count() == 2) // newest
+    intercept[IllegalArgumentException](Tables.asOf(spark, s"$tmp/t", "2025-12-31"))
+  }
+
   test("compact bin-packs small files, preserves content, no-ops when already compact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val dir = s"$tmp/t"
