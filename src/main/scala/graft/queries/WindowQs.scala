@@ -208,6 +208,45 @@ object WindowQs {
              |  WHERE prev IS DISTINCT FROM event_type)
              |SELECT user_id, row_number() OVER w AS version, event_type,
              |  us AS valid_from_us, lead(us) OVER w AS valid_to_us
-             |FROM st WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin))
+             |FROM st WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin)),
+
+    // W11: member growth — per day, NEW users (first-seen) and NEW
+    // purchasers (first purchase), each with its running cumulative.
+    // "Cumulative distinct users" is rewritten as a cumulative sum over
+    // first occurrences: the per-user min-day aggs and daily rollups
+    // shuffle user/day-count rows; only the final running sums are a global
+    // window, over a calendar-bounded day-count frame (the t16 base-frame
+    // scale, not a data-sized one).
+    Q("w11_user_growth",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+        def newPerDay(df: org.apache.spark.sql.DataFrame, cname: String) =
+          df.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("day"))
+            .groupBy(col("day")).agg(count(lit(1)).as(cname))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        newPerDay(ev, "new_users")
+          .join(newPerDay(ev.filter(col("event_type") === "purchase"),
+            "new_purchasers"), Seq("day"), "full_outer")
+          .na.fill(0L, Seq("new_users", "new_purchasers"))
+          .withColumn("cum_users", sum(col("new_users")).over(w))
+          .withColumn("cum_purchasers", sum(col("new_purchasers")).over(w))
+      },
+      Some("""WITH fu AS (
+             |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+             |du AS (SELECT day, COUNT(*) AS new_users FROM fu GROUP BY 1),
+             |fp AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events
+             |  WHERE event_type = 'purchase' GROUP BY 1),
+             |dp AS (SELECT day, COUNT(*) AS new_purchasers FROM fp GROUP BY 1),
+             |j AS (
+             |  SELECT COALESCE(du.day, dp.day) AS day,
+             |    COALESCE(new_users, 0) AS new_users,
+             |    COALESCE(new_purchasers, 0) AS new_purchasers
+             |  FROM du FULL OUTER JOIN dp ON du.day = dp.day)
+             |SELECT day, new_users, new_purchasers,
+             |  CAST(SUM(new_users) OVER w AS BIGINT) AS cum_users,
+             |  CAST(SUM(new_purchasers) OVER w AS BIGINT) AS cum_purchasers
+             |FROM j WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)""".stripMargin))
   )
 }
