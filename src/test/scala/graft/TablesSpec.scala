@@ -73,6 +73,12 @@ class TablesSpec extends AnyFunSuite {
     graft.core.TableSwap.recover(spark, dir)
     val back = spark.read.parquet(dir)
     assert(back.exceptAll(src).count() + src.exceptAll(back).count() == 0)
+    // marker present, no tmp, but the set-aside previous table survives
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "._GRAFT_OLD")))
+    graft.core.TableSwap.recover(spark, dir)
+    val restored = spark.read.parquet(dir)
+    assert(restored.exceptAll(src).count() + src.exceptAll(restored).count() == 0)
     // marker present but NOTHING survives -> must refuse, not reinitialize
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     intercept[RuntimeException](graft.core.TableSwap.recover(spark, dir))
