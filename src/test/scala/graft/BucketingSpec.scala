@@ -48,4 +48,28 @@ class BucketingSpec extends AnyFunSuite {
     assert(bucketed.count() == plain.count())
     assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At warehouse scale the size thresholds trigger naturally; here they
+    // are scoped to zero to prove the engine's config leaves Spark's
+    // runtime row-level filtering ON: the selective dim side publishes a
+    // bloom filter that prunes lineitem rows BEFORE the shuffle.
+    val s2 = graft.queries.Q.scopedSession(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true")
+    val li = Tables.lineitem(s2, sf)
+    val sel = Tables.orders(s2, sf).filter(col("o_totalprice") > 300000)
+      .select(col("o_orderkey"))
+    val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+      s"expected a runtime bloom filter in:\n$plan")
+    // and it is semantics-preserving
+    val expected = Tables.lineitem(spark, sf).join(
+      Tables.orders(spark, sf).filter(col("o_totalprice") > 300000)
+        .select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() == expected)
+  }
 }
