@@ -32,7 +32,9 @@ object Bench {
     // co-tenant load — medians are the only comparable round-over-round
     // number). Rounds interleave (run 0 of every query, then run 1, ...) so
     // a transient load spike taxes all queries, not one.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // (5 default: 3-rep medians still drifted ~30% under sustained co-tenant
+    // load in round-4 measurements; 5 tightens the median at ~30s extra)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val times = Array.fill(qs.length, reps)(0.0)
     for (r <- 0 until reps; (q, i) <- qs.zipWithIndex) {
