@@ -51,7 +51,8 @@ object SimilaritySearch {
     * precomputed once) is broadcast; each candidate's norm is computed once —
     * per-row work is exactly one dot product plus one norm. */
   def topKNeighbors(emb: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, bucketCol: Option[String] = None): DataFrame = {
+      queryId: Long, k: Int, bucketCol: Option[String] = None,
+      probeHamming: Int = 0): DataFrame = {
     registerFns(emb)
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"),
@@ -60,6 +61,12 @@ object SimilaritySearch {
     val candidates = emb.filter(col(idCol) =!= queryId)
       .withColumn("c_norm", sqrt(expr(normSqExpr(vecCol)).cast("double")))
     val joined = bucketCol match {
+      // multiprobe (Lv et al. '07): also search cells within `probeHamming`
+      // sign-flips of the query's — each flipped bit is a hyperplane the
+      // query sits close to, where its true neighbors land just across
+      case Some(bc) if probeHamming > 0 =>
+        candidates.join(broadcast(q),
+          expr(s"bit_count($bc ^ q_bucket) <= $probeHamming"))
       case Some(bc) => candidates.join(broadcast(q), col(bc) === col("q_bucket"))
       case None     => candidates.crossJoin(broadcast(q))
     }

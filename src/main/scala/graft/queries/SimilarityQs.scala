@@ -215,6 +215,49 @@ object SimilarityQs {
               |  ORDER BY cos_sim DESC, neighbor_id) <= 3""".stripMargin),
       bench = true),
 
+    // K8: ANN quality evaluation as a first-class op — recall@5 of the
+    // SRP-cell MULTIPROBE search (the query's 4-bit angular cell plus its
+    // hamming-1 neighbors: cells one sign-flip away, where true neighbors
+    // land when the query sits close to a hyperplane) against the exact
+    // brute-force top-5. The report is one row; the semi-join runs on two
+    // k-row result sets. (The learned-quantizer paths get the same
+    // treatment driver-side in IvfSpec — their cell ranking isn't
+    // SQL-portable.)
+    Q("k8_ann_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val exact = SimilaritySearch.topKNeighbors(
+          emb, "vec_id", "embedding", queryId = 0L, k = 5)
+        val cells = SimilaritySearch.diversitySample(emb, "vec_id", "embedding",
+          dim, bits = 4, quota = Long.MaxValue, salt = "k8")
+          .select(col("vec_id"), col("cell"))
+        val approx = SimilaritySearch.topKNeighbors(
+          emb.join(cells, "vec_id"), "vec_id", "embedding", queryId = 0L, k = 5,
+          bucketCol = Some("cell"), probeHamming = 1)
+        exact.join(approx.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(5).as("k"), col("n_hit"),
+            round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
+      },
+      Some(s"""WITH sig AS (
+              |  SELECT vec_id, ${srpBandSql(1, 4, 0)} AS cell FROM embeddings),
+              |q AS (
+              |  SELECT embedding AS q_vec, cell AS q_cell
+              |  FROM embeddings JOIN sig USING (vec_id) WHERE vec_id = 0),
+              |scored AS (
+              |  SELECT e.vec_id, sig.cell, ${cosSql("e.embedding", "q_vec")} AS cos_sim,
+              |    q_cell FROM embeddings e JOIN sig USING (vec_id), q
+              |  WHERE e.vec_id <> 0),
+              |exact AS (
+              |  SELECT vec_id FROM scored
+              |  QUALIFY row_number() OVER (ORDER BY cos_sim DESC, vec_id) <= 5),
+              |approx AS (
+              |  SELECT vec_id FROM scored WHERE bit_count(xor(cell, q_cell)) <= 1
+              |  QUALIFY row_number() OVER (ORDER BY cos_sim DESC, vec_id) <= 5)
+              |SELECT 5 AS k, CAST(COUNT(*) AS BIGINT) AS n_hit,
+              |  round(COUNT(*) / 5.0, 6) AS recall
+              |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin)),
+
     // K7: embedding-space stratified DIVERSITY sample — a 4-bit SRP band
     // cuts the space into 16 angular cells, a salted-hash quota keeps at
     // most 20 vectors per cell. Dense regions are capped at the same
