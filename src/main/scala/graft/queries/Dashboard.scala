@@ -133,7 +133,11 @@ object Dashboard {
             round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6).as("pct_en"),
             round(Q.dsum(TextAnalysis.qualityScore("text")) / count(lit(1)), 6)
               .as("avg_quality"),
-            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)").as("med_chars"),
+            // n_chars is integral: DuckDB's percentile_disc returns the input
+            // type while Spark's returns DOUBLE — pin both to BIGINT (exact:
+            // percentile_disc yields an actual data value, no interpolation).
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+              .cast("long").as("med_chars"),
             countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique"))
           .withColumn("dup_rate", round(
             lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"), 6))
@@ -148,7 +152,8 @@ object Dashboard {
            |    round(AVG(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pct_en,
            |    round(${Q.dsumSql(TextAnalysis.qualityScoreSql("text"))} / COUNT(*), 6)
            |      AS avg_quality,
-           |    percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS med_chars,
+           |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+           |      AS med_chars,
            |    CAST(COUNT(DISTINCT ${TextAnalysis.fingerprintSql("text")}) AS BIGINT)
            |      AS n_unique
            |  FROM documents GROUP BY 1)""".stripMargin
