@@ -22,11 +22,19 @@ object DailyPipeline {
     Seq(
       materialize("o2_union_align", "combined_transactions"),
       materialize("a1_multi_agg", "customer_order_stats"),
-      materialize("j1_left_join_stats", "customer_master", Seq("customer_order_stats")),
+      // the wide master (cm1): the reference's most-consumed table
+      // (`build_customer_master.py:28-570`); j1's slim join-stats survive
+      // inside it as n_orders/total_spend
+      materialize("cm1_customer_master", "customer_master", Seq("customer_order_stats")),
       materialize("u1_flag_rules", "customer_flags", Seq("customer_master")),
       materialize("j6_proximity_pairs", "customer_interactions"),
       materialize("a16_edge_rollup", "customer_connections", Seq("customer_interactions")),
       materialize("a7_cohort_matrix", "conversion_cohorts"),
+      // the conversion funnel pair (`build_conversion_rate_analysis.py`):
+      // per-visit enrichment, then the cohort rollup chained from it
+      materialize("cv1_enriched_visits", "day_pass_visits_enriched"),
+      materialize("cv2_conversion_cohorts", "conversion_funnel",
+        Seq("day_pass_visits_enriched")),
       materialize("j4_interval_active", "daily_active_timeline"),
       materialize("ep3_revenue_dashboard", "revenue_dashboard", Seq("combined_transactions")),
       materialize("a13_risk_buckets", "at_risk_members", Seq("customer_master")),

@@ -10,14 +10,14 @@ import org.apache.spark.sql.functions._
 object FlagQs {
 
   /** Evaluation clock: 2024-01-31T00:00:00Z (data ends 2024-01-30). */
-  private val asOfUs = 1706659200000000L
+  private[queries] val asOfUs = 1706659200000000L
 
   /** Earlier clock for the lifecycle query: 2024-01-15T00:00:00Z. */
   private val asOf1Us = 1705276800000000L
 
   /** Oracle-side per-user flag evaluation at a parameterized clock —
     * mirrors `FlagRules.active` exactly (shared by u1 and u1b). */
-  private def flagsSql(asOf: Long): String =
+  private[queries] def flagsSql(asOf: Long): String =
     s"""WITH per_user AS (
        |  SELECT user_id,
        |    MAX(CASE WHEN epoch_us(ts) < $asOf THEN epoch_us(ts) END) AS last_us,
@@ -78,7 +78,7 @@ object FlagQs {
        |FROM per_user WHERE s14 >= 1""".stripMargin
 
   /** Typed per-user evaluation at a clock (events strictly before it). */
-  private def flagsAt(s: org.apache.spark.sql.SparkSession, d: String, asOf: Long)
+  private[queries] def flagsAt(s: org.apache.spark.sql.SparkSession, d: String, asOf: Long)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     Tables.events(s, d)

@@ -19,7 +19,9 @@ object Registry {
     PrivacyQs.qs,
     MultimodalQs.qs,
     StreamQs.qs,
-    Dashboard.qs)
+    Dashboard.qs,
+    CustomerMaster.qs,
+    ConversionFunnel.qs)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten

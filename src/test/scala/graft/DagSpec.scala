@@ -29,6 +29,10 @@ class DagSpec extends AnyFunSuite {
     // every declared dependency must be a declared job (no dangling lineage)
     val dangling = jobs.flatMap(j => j.deps.filterNot(names.contains).map(j.name -> _))
     assert(dangling.isEmpty, s"deps on undeclared jobs: $dangling")
+    // the wide customer master (cm1) is the warehouse's customer_master,
+    // and the flag run is downstream of it (the reference's read order)
+    assert(names.contains("customer_master"))
+    assert(jobs.find(_.name == "customer_flags").get.deps.contains("customer_master"))
     // the round-4 report marts are present, with leads consuming the
     // materialized latest_events
     assert(Set("latest_events", "leads_table", "new_members", "contact_preferences")
