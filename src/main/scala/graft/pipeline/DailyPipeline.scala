@@ -86,6 +86,19 @@ object DailyPipeline {
           graft.ops.TextAnalysis.shuffleRank(train, "doc_id", "epoch0"),
           s"$outDir/training_order")
       }),
+      // multi-strategy family edges (`build_family_relationships.py`), then
+      // the child/parent flag pass fed from the DERIVED edges (high tier)
+      // rather than the raw dim — the reference's read order
+      materialize("fam1_family_edges", "family_edges"),
+      Job("customer_flags_enriched", Seq("family_edges", "customer_flags"), s => {
+        val fam = s.read.parquet(s"$outDir/family_edges")
+          .filter(col("confidence") === "high")
+          .select(col("child_customer_id").as("child_id"),
+            col("parent_customer_id").as("parent_id"))
+        val flags = s.read.parquet(s"$outDir/customer_flags")
+        Tables.write(graft.flags.FlagPasses.childPass(flags, fam),
+          s"$outDir/customer_flags_enriched")
+      }),
       // embedding-space dedup decision (SemDeDup): keeper/cluster per vector.
       materialize("d7_semantic_dedup", "embedding_dedup_clusters"),
       // incremental ingest report: today's batch (delta) matched against the

@@ -21,7 +21,8 @@ object Registry {
     StreamQs.qs,
     Dashboard.qs,
     CustomerMaster.qs,
-    ConversionFunnel.qs)
+    ConversionFunnel.qs,
+    FamilyEdges.qs)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten
