@@ -75,6 +75,27 @@ object SimilaritySearch {
     rankTopK(scored, idCol, k)
   }
 
+  /** Exact EUCLIDEAN top-k brute force — the metric twin of [[topKNeighbors]]
+    * for gates over L2-based paths (PQ-ADC minimizes squared euclidean, and
+    * on unnormalized vectors the L2 and cosine orders genuinely differ, so a
+    * cosine baseline would mis-measure ADC recall). Output:
+    * (idCol, l2_dist, rank). */
+  def topKNeighborsL2(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    registerFns(emb)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"),
+        expr(normSqExpr(vecCol)).cast("double").as("q_nsq"))
+    val scored = emb.filter(col(idCol) =!= queryId).crossJoin(broadcast(q))
+      .withColumn("l2_dist", round(
+        col("q_nsq") + expr(normSqExpr(vecCol)).cast("double")
+          - lit(2.0) * expr(dotExpr(vecCol, "q_vec")).cast("double"), 6))
+    scored.orderBy(col("l2_dist").asc, col(idCol)).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("l2_dist").asc, col(idCol))).cast("long"))
+      .select(col(idCol), col("l2_dist"), col("rank"))
+  }
+
   /** Deterministic top-k + 1-based rank. `orderBy.limit` is
     * TakeOrderedAndProject (per-partition k-row heaps, k-row merge) — the
     * global row_number window it replaces funneled the whole scored set into
@@ -265,10 +286,15 @@ object SimilaritySearch {
         s"explode(array(${(0 until m).map(b => s"struct($b AS block, code_$b AS code)").mkString(", ")}))").as("bc"))
       .select(col(idCol), col("bc.block").as("block"), col("bc.code").as("code"))
     // TakeOrderedAndProject (orderBy+limit) does the global top-k with k rows
-    // of per-partition state; the rank window then runs over k rows only
+    // of per-partition state; the rank window then runs over k rows only.
+    // d2 addends are quantized to DECIMAL before the sum — decimal addition
+    // is associative, so adc_dist is independent of partial-aggregation
+    // order (the repo's order-independent-sum discipline; a raw double sum
+    // can flip a 6th-decimal tie across partitionings).
     melted.join(broadcast(lut), Seq("block", "code"))
       .groupBy(col(idCol))
-      .agg(round(sum(col("d2")), 6).as("adc_dist"))
+      .agg(round(sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+        .cast("double"), 6).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol)).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("adc_dist").asc, col(idCol))).cast("long"))

@@ -59,14 +59,25 @@ object Aggregates {
              |COUNT(DISTINCT o_custkey) AS n_customers FROM orders GROUP BY 1""".stripMargin)),
 
     // A4b: approximate distinct (HyperLogLog++) — the at-scale alternative to
-    // A4's exact count (SURVEY §2.4 note). No SQL oracle: HLL estimates are
-    // engine-specific; the driver records a rows-only check and AggSpec bounds
-    // the relative error against the exact count.
+    // A4's exact count (SURVEY §2.4 note). HLL estimates are engine-specific,
+    // so the sketch VALUE can't hash-match a DuckDB oracle; instead the query
+    // emits the tolerance VERDICT — |approx − exact| within max(2, 5%) per
+    // month — and the oracle asserts it must hold, making the accuracy
+    // contract machine-checked by the driver's gate rather than rows-only.
+    // (The exact count here is the verification harness, not the scale path:
+    // at 100 TB ship the sketch column alone — the point of the op.)
     Q("a4b_approx_distinct",
       (s, d) => Tables.orders(s, d)
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers")),
-      None),
+        .agg(countDistinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+        .select(col("month"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")) <=
+            greatest(lit(2L), (col("n_exact") * 0.05).cast("long")))
+            .as("within_5pct")),
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |COUNT(DISTINCT o_custkey) AS n_exact, true AS within_5pct
+             |FROM orders GROUP BY 1""".stripMargin)),
 
     // A5: conditional aggregates (gross / discounted / net in one pass).
     // Reference: `dashboard.py:660-684`.
@@ -353,15 +364,31 @@ object Aggregates {
     // A17b: the unbounded-scale twin of A17 — approx_percentile's mergeable
     // sketch keeps executor memory constant per group where exact
     // percentile_disc buffers every value. Sketch internals are
-    // engine-specific, so (like a4b's HLL) this is rows-only gated; the
-    // accuracy contract is asserted against A17's exact values in
-    // QueriesSpec instead.
+    // engine-specific, so (like a4b's HLL) the sketch VALUE can't hash-match;
+    // the query instead emits the rank-band VERDICT — the approx value must
+    // land between the exact 45th/55th (resp. 85th/95th) percentiles, a ±5%
+    // rank tolerance the accuracy-10000 sketch beats by orders of magnitude —
+    // plus the exact p50/p90 (oracle-computable). The exact columns are the
+    // verification harness; at 100 TB ship the sketch columns alone.
     Q("a17b_approx_percentiles",
       (s, d) => Tables.customer(s, d)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
-          percentile_approx(col("c_acctbal"), lit(0.5), lit(10000)).as("p50_approx"),
-          percentile_approx(col("c_acctbal"), lit(0.9), lit(10000)).as("p90_approx")),
-      None)
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").as("p50_exact"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal)").as("p90_exact"),
+          expr("percentile_disc(0.45) WITHIN GROUP (ORDER BY c_acctbal)").as("p45"),
+          expr("percentile_disc(0.55) WITHIN GROUP (ORDER BY c_acctbal)").as("p55"),
+          expr("percentile_disc(0.85) WITHIN GROUP (ORDER BY c_acctbal)").as("p85"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY c_acctbal)").as("p95"),
+          percentile_approx(col("c_acctbal"), lit(0.5), lit(10000)).as("a50"),
+          percentile_approx(col("c_acctbal"), lit(0.9), lit(10000)).as("a90"))
+        .select(col("c_mktsegment"), col("n"), col("p50_exact"), col("p90_exact"),
+          col("a50").between(col("p45"), col("p55")).as("p50_in_rank_band"),
+          col("a90").between(col("p85"), col("p95")).as("p90_in_rank_band")),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |  percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS p50_exact,
+             |  percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS p90_exact,
+             |  true AS p50_in_rank_band, true AS p90_in_rank_band
+             |FROM customer GROUP BY 1""".stripMargin))
   )
 }

@@ -121,6 +121,12 @@ class IvfSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(got.map(_._3).toSeq == (1L to 5L))
     assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted)
+    // adc_dist is partitioning-independent (decimal-quantized addends —
+    // a raw double sum could flip a 6th-decimal tie across partitionings)
+    val rep = SimilaritySearch.topKNeighborsPq(emb.repartition(7), "vec_id",
+        "embedding", 64, queryId = 0L, k = 5, m = m, kCodes = 16, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == rep.toSeq)
     // recompute the winners' ADC distances driver-side from codes + codebook
     val codes = SimilaritySearch.pqCodes(emb, "vec_id", "embedding", 64, m, 16, 2)
     val book = SimilaritySearch.pqCodebook(emb, "vec_id", "embedding", 64, m, codes)

@@ -14,12 +14,11 @@ class QueriesSpec extends AnyFunSuite {
   private val mayBeEmpty = Set("a9_dup_groups", "j9_amount_date_link",
     "d4_ngram_jaccard", "k3_embedding_neardup", "a12_count_threshold")
 
-  // Queries with deliberately no oracle (engine-specific estimates /
-  // non-portable decimal-division rounding) — the driver records a rows-only
-  // check for these.
-  private val noOracleByDesign =
-    Set("a4b_approx_distinct", "k2b_knn_ivf_centroid", "k2c_knn_ivf_kmeans",
-      "a17b_approx_percentiles", "k6_pq_adc")
+  // Queries with deliberately no oracle — empty since round 5: the five
+  // sketch/ANN queries (a4b, a17b, k2b, k2c, k6) now emit tolerance/recall
+  // VERDICT columns the oracle asserts, so every declared query is
+  // machine-checked by the driver's hash gate.
+  private val noOracleByDesign = Set.empty[String]
 
   test("query names are unique and every query has oracle SQL or a reason") {
     val names = Registry.all.map(_.name)
@@ -29,33 +28,36 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct stays within 5% of exact per month") {
-    val approx = Registry.all.find(_.name == "a4b_approx_distinct").get.run(spark, sf)
-      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // a4b emits the verdict itself; assert it holds and the exact column
+    // matches a4's independent computation
+    val a4b = Registry.all.find(_.name == "a4b_approx_distinct").get.run(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getBoolean(2)))).toMap
     val exact = Registry.all.find(_.name == "a4_distinct_count").get.run(spark, sf)
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
+    assert(a4b.keySet == exact.keySet)
     exact.foreach { case (m, n) =>
-      assert(math.abs(approx(m) - n) <= math.max(2L, (n * 0.05).toLong),
-        s"month $m: approx ${approx(m)} vs exact $n")
+      val (nExact, ok) = a4b(m)
+      assert(nExact == n, s"month $m: a4b exact $nExact vs a4 $n")
+      assert(ok, s"month $m: HLL estimate outside 5% of $n")
     }
   }
 
   test("approx percentiles land within rank tolerance of the exact values") {
-    // accuracy 10000 → rank error <= n/10000; at this scale that means the
-    // approx answer must be one of the few values straddling the exact rank
+    // a17b emits the rank-band verdicts itself; assert they hold and the
+    // exact columns match a17's independent computation
     val exact = Registry.all.find(_.name == "a17_percentiles").get.run(spark, sf)
       .selectExpr("c_mktsegment", "p50_bal", "p90_bal")
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    val approx = Registry.all.find(_.name == "a17b_approx_percentiles").get.run(spark, sf)
-      .selectExpr("c_mktsegment", "p50_approx", "p90_approx")
-      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    assert(approx.keySet == exact.keySet)
+    val a17b = Registry.all.find(_.name == "a17b_approx_percentiles").get.run(spark, sf)
+      .selectExpr("c_mktsegment", "p50_exact", "p90_exact",
+        "p50_in_rank_band", "p90_in_rank_band")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(a17b.keySet == exact.keySet)
     exact.foreach { case (seg, (p50, p90)) =>
-      val (a50, a90) = approx(seg)
-      assert(math.abs(a50 - p50) <= math.abs(p50) * 0.02 + 50,
-        s"$seg p50: approx $a50 vs exact $p50")
-      assert(math.abs(a90 - p90) <= math.abs(p90) * 0.02 + 50,
-        s"$seg p90: approx $a90 vs exact $p90")
+      val (e50, e90, ok50, ok90) = a17b(seg)
+      assert(e50 == p50 && e90 == p90, s"$seg: exact columns diverge from a17")
+      assert(ok50 && ok90, s"$seg: sketch outside the ±5% rank band")
     }
   }
 
