@@ -22,11 +22,24 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** S2: full-table overwrite sink — the reference's whole-file S3 put
-    * (`upload_data.py:37-46`), as a proper partition-parallel writer. */
-  def write(df: DataFrame, path: String, format: String = "parquet"): Unit =
-    df.write.mode("overwrite").format(format)
-      .option("header", "true") // no-op for parquet, header for csv parity
-      .save(path)
+    * (`upload_data.py:37-46`), as a proper partition-parallel writer.
+    * `atomic = true` routes the overwrite through the [[TableSwap]]
+    * commit protocol: plain mode("overwrite") deletes the target before the
+    * new files land, so a crash mid-write leaves a partial directory that
+    * LOOKS like a complete table to the next reader. Any table that carries
+    * a `._GRAFT_TABLE` marker (i.e. participates in recover/compact) must
+    * be written with `atomic = true`. */
+  def write(df: DataFrame, path: String, format: String = "parquet",
+      atomic: Boolean = false): Unit = {
+    def save(p: String): Unit =
+      df.write.mode("overwrite").format(format)
+        .option("header", "true") // no-op for parquet, header for csv parity
+        .save(p)
+    if (atomic) {
+      TableSwap.recover(df.sparkSession, path)
+      TableSwap.commit(df.sparkSession, path)(save)
+    } else save(path)
+  }
 
   /** S3: snapshot sink — besides the live table, a dated immutable copy
     * (`pipeline_handler.py:343-354` writes `…_YYYY-MM-DD` on month start). */
@@ -73,9 +86,10 @@ object Tables {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prefix = base.getName + "_"
+    val dateShape = "\\d{4}-\\d{2}-\\d{2}".r
     val dates = fs.listStatus(base.getParent).map(_.getPath.getName)
       .collect { case n if n.startsWith(prefix) => n.stripPrefix(prefix) }
-      .filter(d => d.length == 10 && d <= asOfDate)
+      .filter(d => dateShape.matches(d) && d <= asOfDate)
     require(dates.nonEmpty, s"no snapshot of $basePath at or before $asOfDate")
     spark.read.parquet(s"${basePath}_${dates.max}")
   }

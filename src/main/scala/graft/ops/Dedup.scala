@@ -27,11 +27,15 @@ object Dedup {
     * same text arrives from several sources, keep the copy from the most
     * trusted one (curated > crawled), id as the tiebreak — the real
     * cross-source curation rule. One min over a (rank, id) struct: still a
-    * single map-side-combinable aggregation, identical shuffle shape. */
+    * single map-side-combinable aggregation, identical shuffle shape.
+    * A NULL rank (unparsable source) coalesces to Long.MaxValue =
+    * least-preferred: Spark's struct-min would sort NULL first while SQL
+    * ORDER BY defaults NULLS LAST, so the sentinel pins one cross-engine
+    * answer (oracle SQL applies the same COALESCE). */
   def exactDupGroupsBy(df: DataFrame, idCol: String, textCol: String,
       rankCol: Column): DataFrame =
     df.select(col(idCol), md5(Normalize.normText(col(textCol))).as("text_hash"),
-        rankCol.cast("long").as("__rank"))
+        coalesce(rankCol.cast("long"), lit(Long.MaxValue)).as("__rank"))
       .groupBy(col("text_hash"))
       .agg(min(struct(col("__rank"), col(idCol))).as("__best"),
         count(lit(1)).as("group_size"))
@@ -64,6 +68,12 @@ object Dedup {
     * is a parquet scan of the signature table — everything from `lshBands`
     * down is identical. Candidates are cross-side band collisions only
     * (delta × corpus, no intra-side pairs); exact Jaccard verifies.
+    * PRECONDITION: delta and corpus id spaces must be DISJOINT — the
+    * verify stage unions both sides' shingles keyed on idCol, so a shared
+    * id with different text would merge two documents' shingle sets and
+    * silently corrupt n_a/n_b/jaccard. Enforced below with an emptiness
+    * check over the (already-materialized) band tables' ids, which covers
+    * exactly the docs that can become candidates.
     * Returns (id_a = delta doc, id_b = corpus doc, n_bands, jaccard). */
   def incrementalNearDup(delta: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, k: Int, numHashes: Int, bandSize: Int): DataFrame = {
@@ -74,6 +84,12 @@ object Dedup {
       idCol, bandSize, numHashes)
     val bCorpus = lshBands(minhash(shCorpus, idCol, numHashes).localCheckpoint(true),
       idCol, bandSize, numHashes)
+    // disjoint-id guard: delta's distinct ids are batch-sized, and both
+    // band tables sit on eager checkpoints — one cheap id-only pass
+    val shared = bDelta.select(col(idCol)).distinct()
+      .join(bCorpus.select(col(idCol)).distinct(), Seq(idCol)).limit(1).count()
+    require(shared == 0L, s"incrementalNearDup: delta and corpus share " +
+      s"$idCol values — id spaces must be disjoint")
     val cands = bDelta.toDF("id_a", "band_a", "sig_a")
       .join(bCorpus.toDF("id_b", "band_b", "sig_b"),
         col("band_a") === col("band_b") && col("sig_a") === col("sig_b"))

@@ -100,7 +100,7 @@ object RefreshPipeline {
 
     // 3: key dedup keep-first (idempotent re-ingest).
     val deduped = dedupKeepFirst(spliced, "event_id", "ts", "user_id")
-    Tables.write(deduped, s"$whDir/events_current")
+    Tables.write(deduped, s"$whDir/events_current", atomic = true)
 
     // 4: flag sync at the refresh clock, merged over the daily run's flags.
     val asOf1 = 1705276800000000L // daily run clock (2024-01-15)
@@ -130,7 +130,7 @@ object RefreshPipeline {
     }
     val merged = mergeFlags(flagsAt(asOf1), flagsAt(asOf2), asOf2, ttl,
       persistent = graft.flags.FlagRules.persistentFlags)
-    Tables.write(merged, s"$whDir/customer_flags_current")
+    Tables.write(merged, s"$whDir/customer_flags_current", atomic = true)
 
     // 5: incremental document ingest — the fresh batch (doc_id % 5 = 0
     // stands in for today's pull) is matched against the indexed corpus and
@@ -139,12 +139,14 @@ object RefreshPipeline {
     val accepted = acceptNonDup(
       docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
       "doc_id", "text", threshold = 0.5)
-    Tables.write(accepted, s"$whDir/documents_ingested")
+    Tables.write(accepted, s"$whDir/documents_ingested", atomic = true)
 
     // 6: maintenance — repeated refreshes fragment the refreshed tables
     // into per-run small files; bin-pack them back to scan-efficient sizes
-    // under the atomic swap (readers of the PREVIOUS listing are the known
-    // non-ACID caveat, same as every overwrite in this pipeline).
+    // under the atomic swap. The rewrites above use `atomic = true` so every
+    // write to these marker-bearing tables goes through the same swap
+    // protocol compact() relies on — a plain overwrite crash would leave a
+    // partial dir recover() cannot distinguish from a complete table.
     val compacted = Seq("events_current", "customer_flags_current", "documents_ingested")
       .map { t =>
         val st = Tables.compact(spark, s"$whDir/$t")

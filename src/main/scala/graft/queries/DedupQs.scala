@@ -126,7 +126,8 @@ object DedupQs {
         expr("CAST(substring(source, 4) AS INT) % 4")),
       Some(s"""WITH h AS (
               |  SELECT doc_id, md5(${Normalize.normTextSql("text")}) AS text_hash,
-              |    CAST(substr(source, 4) AS INT) % 4 AS rank FROM documents)
+              |    COALESCE(CAST(substr(source, 4) AS INT) % 4,
+              |      9223372036854775807) AS rank FROM documents)
               |SELECT text_hash, doc_id AS keeper_id, group_size FROM (
               |  SELECT text_hash, doc_id,
               |    ROW_NUMBER() OVER (PARTITION BY text_hash ORDER BY rank, doc_id) AS rn,

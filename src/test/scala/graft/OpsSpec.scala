@@ -515,6 +515,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(2L -> 2L, 3L -> 2L, 9L -> 1L))
   }
 
+  test("Dedup.exactDupGroupsBy treats a NULL rank as least-preferred, not best") {
+    // Spark's raw struct-min sorts NULL first while SQL ORDER BY defaults
+    // NULLS LAST — the sentinel coalesce pins the SQL answer on both engines
+    val df = Seq(
+      (1L, "dup A", None), (2L, "dup A", Some(5L)), // ranked copy wins over null
+      (3L, "dup B", None), (4L, "dup B", None)      // all-null -> id tiebreak
+    ).toDF("id", "t", "rank")
+    val out = Dedup.exactDupGroupsBy(df, "id", "t", col("rank"))
+      .select("keeper_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L))
+  }
+
+  test("Dedup.incrementalNearDup refuses overlapping delta/corpus id spaces") {
+    // a shared id would merge two documents' shingle sets in the verify
+    // stage and silently corrupt jaccard — must hard-error instead
+    val delta = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Dedup.incrementalNearDup(delta, corpus, "doc_id", "text", 3,
+        numHashes = 8, bandSize = 2).collect())
+  }
+
   test("SimilaritySearch.diversitySample caps every cell at the quota, exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val kept = SimilaritySearch.diversitySample(emb, "vec_id", "embedding",

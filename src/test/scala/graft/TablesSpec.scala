@@ -38,6 +38,35 @@ class TablesSpec extends AnyFunSuite {
     assert(Tables.asOf(spark, s"$tmp/t", "2026-03-01").count() == 2) // inclusive
     assert(Tables.asOf(spark, s"$tmp/t", "2027-01-01").count() == 2) // newest
     intercept[IllegalArgumentException](Tables.asOf(spark, s"$tmp/t", "2025-12-31"))
+    // a non-snapshot sibling whose 10-char suffix is not a date must never
+    // be selected, even though it sorts above every real date
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/t_aaaaaaaaaa")))
+    assert(Tables.asOf(spark, s"$tmp/t", "2026-02-15").count() == 1)
+  }
+
+  test("atomic write routes through the swap: marker stamped, crash-consistent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_atomic").toString
+    val dir = s"$tmp/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Tables.write(v1, dir, atomic = true)
+    // first atomic write commits data AND the table marker
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir + "._GRAFT_TABLE")))
+    assert(spark.read.parquet(dir).count() == 50)
+    // overwrite through the same protocol; no tmp/old residue remains
+    val v2 = (1 to 20).map(i => (i.toLong, s"w$i")).toDF("k", "v")
+    Tables.write(v2, dir, atomic = true)
+    assert(spark.read.parquet(dir).count() == 20)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "._GRAFT_TMP")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "._GRAFT_OLD")))
+    // crash after tmp write but before swap: recover restores the NEW data
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "._GRAFT_TMP")))
+    Tables.write(v1, dir, atomic = true) // write() runs recover() first
+    assert(spark.read.parquet(dir).count() == 50)
   }
 
   test("compact bin-packs small files, preserves content, no-ops when already compact") {
