@@ -154,14 +154,30 @@ object DailyPipeline {
           s"$outDir/revenue_dashboard_snap", asOfDate = "2024-02-01")),
       // report marts (reference DailyPipeline steps the engine was missing):
       materialize("a11_latest_per_key", "latest_events"),
+      // the date-partitioned fact layout (SURVEY §7.4's 100 TB note): the
+      // events fact written hive-style under event_date=... so every
+      // clock-filtered mart below prunes to its trailing window at planning
+      // time instead of scanning the full history. At warehouse scale this
+      // is THE fact layout; the raw single-file parquet stands in for the
+      // source extract only.
+      Job("events_fact", Nil, s =>
+        Tables.write(
+          Tables.events(s, sfDir)
+            .withColumn("event_date", org.apache.spark.sql.functions.to_date(col("ts"))),
+          s"$outDir/events_fact", partitionCols = Seq("event_date"))),
       // leads mart (`build_leads_table.py:30`): identity + trailing-180d
       // timeline rollup per user, enriched with the MATERIALIZED
-      // latest_events (real lineage, like packed_corpus).
-      Job("leads_table", Seq("latest_events"), s => {
+      // latest_events (real lineage, like packed_corpus). Reads the
+      // partitioned fact with a date predicate that is a strict superset of
+      // the ts window — the scan prunes to the 180 trailing partitions, the
+      // exact ts bound then filters rows within them.
+      Job("leads_table", Seq("latest_events", "events_fact"), s => {
         import org.apache.spark.sql.functions._
         val asOfUs = 1706659200000000L // 2024-01-31T00:00Z, the flags clock
         val us = unix_micros(col("ts"))
-        val rollup = Tables.events(s, sfDir)
+        val rollup = s.read.parquet(s"$outDir/events_fact")
+          .filter(col("event_date") >= lit("2023-08-04") &&
+            col("event_date") < lit("2024-01-31")) // partition prune (superset)
           .filter(us < asOfUs && us >= asOfUs - 180L * 86400000000L)
           .groupBy(col("user_id")).agg(
             count(lit(1)).as("n_events_180d"),
@@ -188,11 +204,14 @@ object DailyPipeline {
       // new-members mart (`identify_new_members.py:52-127`): users whose most
       // recent membership start (signup) is inside the trailing 28 days,
       // with their activity totals ("checkins").
-      Job("new_members", Nil, s => {
+      Job("new_members", Seq("events_fact"), s => {
         import org.apache.spark.sql.functions._
         val asOfUs = 1706659200000000L
         val us = unix_micros(col("ts"))
-        val ev = Tables.events(s, sfDir).filter(us < asOfUs)
+        // event_date < asOf-date is a superset of ts < asOf: every pre-asOf
+        // partition survives, future-dated partitions never get opened
+        val ev = s.read.parquet(s"$outDir/events_fact")
+          .filter(col("event_date") < lit("2024-01-31")).filter(us < asOfUs)
         val starts = ev.filter(col("event_type") === "signup")
           .groupBy(col("user_id")).agg(max(unix_micros(col("ts"))).as("start_us"))
           .filter(col("start_us") >= asOfUs - 28L * 86400000000L)

@@ -37,7 +37,11 @@ class DagSpec extends AnyFunSuite {
     // materialized latest_events
     assert(Set("latest_events", "leads_table", "new_members", "contact_preferences")
       .subsetOf(names.toSet))
-    assert(jobs.find(_.name == "leads_table").get.deps == Seq("latest_events"))
+    // leads consumes the materialized latest_events AND the date-partitioned
+    // fact (its trailing-180d rollup reads prune on event_date)
+    assert(jobs.find(_.name == "leads_table").get.deps ==
+      Seq("latest_events", "events_fact"))
+    assert(jobs.find(_.name == "new_members").get.deps == Seq("events_fact"))
     // training-data marts: splits feed the training order (real lineage)
     assert(Set("corpus_splits", "training_order", "embedding_dedup_clusters",
       "incremental_dedup_report").subsetOf(names.toSet))

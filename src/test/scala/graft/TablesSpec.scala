@@ -113,6 +113,64 @@ class TablesSpec extends AnyFunSuite {
     intercept[RuntimeException](graft.core.TableSwap.recover(spark, dir))
   }
 
+  test("date-partitioned fact: clock predicate prunes partitions at plan time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val dir = s"$tmp/events_fact"
+    val src = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("event_date", to_date(col("ts")))
+    Tables.write(src, dir, partitionCols = Seq("event_date"))
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanExec => f }.get
+    val full = spark.read.parquet(dir)
+    full.collect() // filter-free plan: no exchange, so no AQE wrapper
+    // the trailing-week mart shape: a date predicate the planner can prune
+    // on, plus the exact ts bound evaluated inside surviving partitions
+    val pruned = spark.read.parquet(dir)
+      .filter(col("event_date") >= lit("2024-01-24") &&
+        col("event_date") < lit("2024-01-31"))
+      .filter(unix_micros(col("ts")) < 1706659200000000L)
+    val got = pruned.collect().length // executes THIS plan → metrics populate
+    // correctness: identical rows to the same filter over the raw table
+    assert(got == src.filter(col("event_date") >= lit("2024-01-24") &&
+      col("event_date") < lit("2024-01-31")).count())
+    // the scan carries PartitionFilters on event_date and opened only the
+    // 7 surviving date directories (30 exist) — pruning is at the listing,
+    // not a post-scan row filter
+    val ps = scanOf(pruned)
+    assert(ps.metadata("PartitionFilters").contains("event_date"),
+      ps.metadata("PartitionFilters"))
+    val prunedFiles = ps.metrics("numFiles").value
+    val fullFiles = scanOf(full).metrics("numFiles").value
+    assert(prunedFiles < fullFiles,
+      s"pruned scan opened $prunedFiles of $fullFiles files")
+    assert(prunedFiles * 3 <= fullFiles, // 7 of 30 date dirs survive
+      s"pruned scan opened $prunedFiles of $fullFiles files")
+  }
+
+  test("clock-filtered marts read the partitioned fact with PartitionFilters") {
+    // the leads/new-members mart shape from DailyPipeline: their event_date
+    // predicates must reach the scan as partition filters, not row filters
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mart").toString
+    val dir = s"$tmp/events_fact"
+    Tables.write(
+      Tables.events(spark, "/root/testdata/sf0.001")
+        .withColumn("event_date", to_date(col("ts"))),
+      dir, partitionCols = Seq("event_date"))
+    val asOfUs = 1706659200000000L
+    val us = unix_micros(col("ts"))
+    val mart = spark.read.parquet(dir)
+      .filter(col("event_date") < lit("2024-01-31")).filter(us < asOfUs)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    // the agg plan is AQE-wrapped — read the formatted explain instead of
+    // walking the adaptive plan's unexecuted leaves
+    val plan = mart.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.split("PartitionFilters")(1).contains("event_date"), plan)
+  }
+
   test("pair_combinations generator equals the self-join formulation") {
     val df = Seq((1L, Seq(3L, 1L, 2L)), (2L, Seq(7L)), (3L, Seq.empty[Long]))
       .toDF("k", "xs").withColumn("xs", array_sort(col("xs")))
