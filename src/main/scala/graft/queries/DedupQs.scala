@@ -108,6 +108,140 @@ object DedupQs {
     Dedup.jaccardFor(cands, shRaw, "doc_id")
   }
 
+
+  /** The c2/c3 curation gate stack as ONE plan: language → quality (t2) →
+    * repetition head-concentration (t12) → unigram-surprisal LM band (t15)
+    * → exact-dup keeper (d1) → simhash64 near-dup drop (d5) → [c3 only:
+    * d9 containment drop] → leakage-safe content-fingerprint split (t13) →
+    * deterministic-shuffle GLOBAL token budget over the train split (t16).
+    * Each gate is corpus-derived but applied per-row via semi-joins on the
+    * narrow doc_id key — the wide text column never re-shuffles. Val/test
+    * docs bypass the budget (cum_tokens NULL): the budget shapes what we
+    * TRAIN on, the eval sets stay complete. */
+  private def curationStack(s: org.apache.spark.sql.SparkSession, d: String,
+      containment: Boolean): org.apache.spark.sql.DataFrame = {
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(s, d)
+    // ONE corpus explode for all three word-side consumers: the shared
+    // (doc, word, count) spine feeds the repetition gate, the surprisal
+    // gate, AND the simhash votes (each otherwise re-explodes the text).
+    val dw = Dedup.wordCounts(docs, "doc_id", "text").localCheckpoint(true)
+    val keepRep = TextAnalysis.repetitionStatsFromCounts(dw, docs, "doc_id", "text")
+      .filter(!col("repetitive")).select("doc_id")
+    val keepSurp = TextAnalysis.unigramSurprisalFromCounts(dw, "doc_id")
+      .filter(!col("unusual")).select("doc_id")
+    val keepers = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"))
+    val nearDrop = Dedup.simhash64NearDupFromCounts(dw, "doc_id", 3)
+      .select(col("id_b").as("doc_id")).distinct()
+    val base = docs
+      .filter(col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(keepRep, Seq("doc_id"), "left_semi")
+      .join(keepSurp, Seq("doc_id"), "left_semi")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+    // the d9 gate: drop the CONTAINED side of each >= 0.8-containment pair
+    // (the quote, not the quoting doc); mutual containment (near-identical)
+    // keeps the min id, consistent with the exact-dup keeper rule
+    val gatedPre = if (!containment) base else {
+      val contDrop = Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
+          maxDf = 4, floor = 0.8)
+        .select(when(col("containment_a") >= 0.8 && col("containment_b") >= 0.8,
+            greatest(col("id_a"), col("id_b")))
+          .when(col("containment_a") >= 0.8, col("id_a"))
+          .otherwise(col("id_b")).as("doc_id")).distinct()
+      base.join(contDrop, Seq("doc_id"), "left_anti")
+    }
+    // t13's content-fingerprint split, inlined from the same public
+    // threshold constants so the gated frame is scanned once instead of
+    // re-joined onto itself
+    val h = TextAnalysis.hashUnit(TextAnalysis.fingerprint(col("text")), "split")
+    val gated = gatedPre
+      .withColumn("split",
+        when(h < TextAnalysis.SplitTrainUpper, "train")
+          .when(h < TextAnalysis.SplitValUpper, "val")
+          .otherwise("test"))
+      // narrow eager checkpoint (the d6 pattern): the train/eval union
+      // below consumes the gated frame TWICE — without materialization
+      // each branch replays the whole gate stack (simhash LSH + two
+      // corpus explodes), doubling the heaviest work at any scale. Only
+      // (doc_id, source, split, n_tokens) is kept; text never re-ships.
+      .withColumn("n_tokens", TextAnalysis.wsTokens(col("text")))
+      .select(col("doc_id"), col("source"), col("split"), col("n_tokens"))
+      .localCheckpoint(true)
+    val train = TextAnalysis.globalTokenBudget(
+      gated.filter(col("split") === "train"),
+      "doc_id", col("n_tokens"), budget = 15000L, salt = "budget")
+      .select(col("doc_id"), col("source"), col("split"),
+        col("n_tokens"), col("cum_tokens"))
+    val evalSets = gated.filter(col("split") =!= "train")
+      .withColumn("cum_tokens", lit(null).cast("long"))
+    train.unionByName(evalSets)
+  }
+
+  /** DuckDB oracle for [[curationStack]] — same gates, same thresholds;
+    * the containment CTEs mirror d9's rare-shingle blocking verbatim. */
+  private def curationOracleSql(containment: Boolean): String = {
+    import graft.ops.TextAnalysis
+    val contCtes = if (!containment) "" else
+      """,
+        |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 4),
+        |rs AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
+        |ccands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM rs a JOIN rs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        |cinter AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        |  FROM ccands c
+        |  JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT id_a, id_b,
+        |    round(COALESCE(n_inter, 0) / CAST(sa.n_sh AS DOUBLE), 6) AS ca,
+        |    round(COALESCE(n_inter, 0) / CAST(sb.n_sh AS DOUBLE), 6) AS cb
+        |  FROM ccands
+        |  LEFT JOIN cinter USING (id_a, id_b)
+        |  JOIN csizes sa ON sa.doc_id = id_a
+        |  JOIN csizes sb ON sb.doc_id = id_b),
+        |cont_drop AS (
+        |  SELECT DISTINCT CASE
+        |    WHEN ca >= 0.8 AND cb >= 0.8 THEN greatest(id_a, id_b)
+        |    WHEN ca >= 0.8 THEN id_a ELSE id_b END AS doc_id
+        |  FROM cont WHERE ca >= 0.8 OR cb >= 0.8)""".stripMargin
+    val contFilter = if (containment)
+      "\n    AND doc_id NOT IN (SELECT doc_id FROM cont_drop)" else ""
+    val shWith = if (containment) s"$shinglesCte,\n" else ""
+    s"""WITH $shWith$simhash64CtesSql,
+       |rep AS (${TextAnalysis.repetitionStatsSql("doc_id", "text", "documents")}),
+       |surp AS (${TextAnalysis.unigramSurprisalSql("doc_id", "text", "documents")}),
+       |keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(${Normalize.normTextSql("text")})),
+       |near_drop AS (SELECT DISTINCT id_b AS doc_id FROM ham WHERE hamming <= 3)$contCtes,
+       |gated AS (
+       |  SELECT doc_id, source, ${TextAnalysis.wsTokensSql("text")} AS n_tokens,
+       |    ${TextAnalysis.splitAssignSql("text")} AS split,
+       |    ${TextAnalysis.hashUnitSql("doc_id", "budget")} AS h
+       |  FROM documents
+       |  WHERE lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8
+       |    AND doc_id IN (SELECT doc_id FROM keepers)
+       |    AND doc_id IN (SELECT doc_id FROM rep WHERE NOT repetitive)
+       |    AND doc_id IN (SELECT doc_id FROM surp WHERE NOT unusual)
+       |    AND doc_id NOT IN (SELECT doc_id FROM near_drop)$contFilter),
+       |train AS (
+       |  SELECT doc_id, source, split, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM gated WHERE split = 'train')
+       |SELECT doc_id, source, split, n_tokens, cum_tokens
+       |FROM train WHERE cum_tokens <= 15000
+       |UNION ALL
+       |SELECT doc_id, source, split, n_tokens, CAST(NULL AS BIGINT) AS cum_tokens
+       |FROM gated WHERE split <> 'train'""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
 
     // D1: exact dedup via normalized-text hash groups.
@@ -382,84 +516,18 @@ object DedupQs {
     // the wide text column never re-shuffles. Val/test docs bypass the
     // budget (cum_tokens NULL): the budget shapes what we TRAIN on, the
     // eval sets stay complete.
-    Q("c2_curation_v2",
-      (s, d) => {
-        import graft.ops.TextAnalysis
-        val docs = Tables.documents(s, d)
-        // ONE corpus explode for all three word-side consumers: the shared
-        // (doc, word, count) spine feeds the repetition gate, the surprisal
-        // gate, AND the simhash votes (each otherwise re-explodes the text).
-        val dw = Dedup.wordCounts(docs, "doc_id", "text").localCheckpoint(true)
-        val keepRep = TextAnalysis.repetitionStatsFromCounts(dw, docs, "doc_id", "text")
-          .filter(!col("repetitive")).select("doc_id")
-        val keepSurp = TextAnalysis.unigramSurprisalFromCounts(dw, "doc_id")
-          .filter(!col("unusual")).select("doc_id")
-        val keepers = Dedup.exactDupGroups(docs, "doc_id", "text")
-          .select(col("keeper_id").as("doc_id"))
-        val nearDrop = Dedup.simhash64NearDupFromCounts(dw, "doc_id", 3)
-          .select(col("id_b").as("doc_id")).distinct()
-        // t13's content-fingerprint split, inlined from the same public
-        // threshold constants so the gated frame is scanned once instead of
-        // re-joined onto itself
-        val h = TextAnalysis.hashUnit(TextAnalysis.fingerprint(col("text")), "split")
-        val gated = docs
-          .filter(col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8)
-          .join(keepers, Seq("doc_id"), "left_semi")
-          .join(keepRep, Seq("doc_id"), "left_semi")
-          .join(keepSurp, Seq("doc_id"), "left_semi")
-          .join(nearDrop, Seq("doc_id"), "left_anti")
-          .withColumn("split",
-            when(h < TextAnalysis.SplitTrainUpper, "train")
-              .when(h < TextAnalysis.SplitValUpper, "val")
-              .otherwise("test"))
-          // narrow eager checkpoint (the d6 pattern): the train/eval union
-          // below consumes the gated frame TWICE — without materialization
-          // each branch replays the whole gate stack (simhash LSH + two
-          // corpus explodes), doubling the heaviest work at any scale. Only
-          // (doc_id, source, split, n_tokens) is kept; text never re-ships.
-          .withColumn("n_tokens", TextAnalysis.wsTokens(col("text")))
-          .select(col("doc_id"), col("source"), col("split"), col("n_tokens"))
-          .localCheckpoint(true)
-        val train = TextAnalysis.globalTokenBudget(
-          gated.filter(col("split") === "train"),
-          "doc_id", col("n_tokens"), budget = 15000L, salt = "budget")
-          .select(col("doc_id"), col("source"), col("split"),
-            col("n_tokens"), col("cum_tokens"))
-        val evalSets = gated.filter(col("split") =!= "train")
-          .withColumn("cum_tokens", lit(null).cast("long"))
-        train.unionByName(evalSets)
-      },
-      Some {
-        import graft.ops.TextAnalysis
-        s"""WITH $simhash64CtesSql,
-           |rep AS (${TextAnalysis.repetitionStatsSql("doc_id", "text", "documents")}),
-           |surp AS (${TextAnalysis.unigramSurprisalSql("doc_id", "text", "documents")}),
-           |keepers AS (
-           |  SELECT MIN(doc_id) AS doc_id FROM documents
-           |  GROUP BY md5(${Normalize.normTextSql("text")})),
-           |near_drop AS (SELECT DISTINCT id_b AS doc_id FROM ham WHERE hamming <= 3),
-           |gated AS (
-           |  SELECT doc_id, source, ${TextAnalysis.wsTokensSql("text")} AS n_tokens,
-           |    ${TextAnalysis.splitAssignSql("text")} AS split,
-           |    ${TextAnalysis.hashUnitSql("doc_id", "budget")} AS h
-           |  FROM documents
-           |  WHERE lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8
-           |    AND doc_id IN (SELECT doc_id FROM keepers)
-           |    AND doc_id IN (SELECT doc_id FROM rep WHERE NOT repetitive)
-           |    AND doc_id IN (SELECT doc_id FROM surp WHERE NOT unusual)
-           |    AND doc_id NOT IN (SELECT doc_id FROM near_drop)),
-           |train AS (
-           |  SELECT doc_id, source, split, n_tokens,
-           |    CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
-           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-           |  FROM gated WHERE split = 'train')
-           |SELECT doc_id, source, split, n_tokens, cum_tokens
-           |FROM train WHERE cum_tokens <= 15000
-           |UNION ALL
-           |SELECT doc_id, source, split, n_tokens, CAST(NULL AS BIGINT) AS cum_tokens
-           |FROM gated WHERE split <> 'train'""".stripMargin
-      },
-      bench = true),
+    Q("c2_curation_v2", (s, d) => curationStack(s, d, containment = false),
+      Some(curationOracleSql(containment = false)), bench = true),
+
+    // C3: curation v3 — c2's stack PLUS the d9 containment gate: a doc
+    // whose shingles are >= 80% contained in another (quoted passages,
+    // boilerplate wrappers) is the dominant residual dup class in web
+    // corpora that symmetric near-dup (Jaccard) structurally misses — a
+    // quote inside a 10x-longer doc sits at ~9% Jaccard but 100%
+    // containment. Rare-shingle blocking keeps candidate volume df-capped
+    // at any corpus size (the d9 scale argument).
+    Q("c3_curation_containment", (s, d) => curationStack(s, d, containment = true),
+      Some(curationOracleSql(containment = true)), bench = true),
 
     // D4: n-gram Jaccard near-dup, blocked by source (all within-block pairs,
     // exact — the non-LSH comparison point).
