@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, PartitioningCollection}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.LongType
 
 /** Native as-of join (SURVEY.md §2.3 J5, §4.2's whole-operator rung:
@@ -28,8 +28,13 @@ import org.apache.spark.sql.types.LongType
   * side), then streams: a per-partition merge keeps ONE buffered best-match
   * row per key, so the cost is O(|L| + |R|) with no intermediate pairs.
   *
-  * Keys, times, and the tiebreak must be LongType and non-null (the API
-  * wrapper casts and filters) — the engine's time axis is epoch micros.
+  * Keys, times, and the tiebreak are LongType (the API wrapper casts) —
+  * the engine's time axis is epoch micros. Right rows with null
+  * key/time/tiebreak are dropped by the wrapper (they can never match);
+  * LEFT rows with null key/time flow into the exec, which emits them
+  * null-extended (outer) or drops them (inner) — in-operator handling,
+  * because a wrapper-side filter + union re-attach replays the whole left
+  * subtree once per chained as-of level (cv1's chain: 32 scans vs 5).
   */
 final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
@@ -95,6 +100,17 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var haveBest = false
       lIter.flatMap { lRow =>
         val lk = lKeyGen(lRow)
+        // null key/time can never match: outer keeps the row null-extended,
+        // inner drops it. Handled HERE rather than by a pre-filter + union
+        // re-attach in the API wrapper: that union's second branch replays
+        // the whole left subtree, and under chained as-ofs (cv1: three) the
+        // replays compound — 32 parquet scans in the static plan vs 5.
+        // Nulls sort first (NULLS FIRST ordering), ahead of every real key,
+        // and skip the right-cursor advance, so merge state is untouched.
+        if (lk.isNullAt(0) || lk.isNullAt(1)) {
+          if (keepUnmatched) Iterator.single(resultProj(joined(lRow, nullRight)))
+          else Iterator.empty
+        } else {
         val k = lk.getLong(0)
         val t = lk.getLong(1)
         // consume right rows that are now or forever behind this left cursor:
@@ -126,6 +142,7 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         if (matched != null) Iterator.single(resultProj(joined(lRow, matched)))
         else if (keepUnmatched) Iterator.single(resultProj(joined(lRow, nullRight)))
         else Iterator.empty
+        }
       }
     }
   }
@@ -171,8 +188,12 @@ object AsOfJoinPlan {
     val spark: SparkSession = leftDf.sparkSession
     def cast(df: DataFrame, cols: Seq[String]): DataFrame =
       cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(LongType)))
-    val lCast = cast(leftDf, Seq(leftKey, leftTime))
-    val l = lCast.na.drop(Seq(leftKey, leftTime))
+    // left-side null key/time rows flow through to the exec, which emits
+    // them null-extended (outer) or drops them (inner) — no pre-filter, and
+    // crucially no union re-attach whose second branch would replay the
+    // whole left subtree once per chained as-of level. Right-side nulls
+    // can never match OR be kept, so the cheap na.drop filter stays.
+    val l = cast(leftDf, Seq(leftKey, leftTime))
     val r = cast(rightDf, Seq(rightKey, rightTime, rightTiebreak))
       .na.drop(Seq(rightKey, rightTime, rightTiebreak))
     val lPlan = l.queryExecution.analyzed
@@ -180,18 +201,9 @@ object AsOfJoinPlan {
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
-    val joined = GraftBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
+    GraftBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftKey), attr(lPlan, leftTime),
       attr(rPlan, rightKey), attr(rPlan, rightTime), attr(rPlan, rightTiebreak),
       forward, outer))
-    if (!outer) joined
-    else {
-      // a left row with a null key/time can never match, but the left-outer
-      // contract still keeps it — re-attach those rows null-extended (the
-      // merge operator itself only sees non-null keys/times)
-      val invalid = lCast.filter(col(leftKey).isNull || col(leftTime).isNull)
-      val rightNulls = r.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name))
-      joined.unionByName(invalid.select(lCast.columns.map(col) ++ rightNulls: _*))
-    }
   }
 }
