@@ -339,6 +339,103 @@ object TextAnalysis {
        |  (round(raw, 6) > $SurprisalMaxBits OR round(raw, 6) < $SurprisalMinBits) AS unusual
        |FROM m""".stripMargin
 
+  /** Bigram conditional surprisal: mean -log2 p(w2 | w1) per document,
+    * p(w2 | w1) = c(w1 w2) / c(w1 ·) over the corpus bigram table — the
+    * next model-quality rung above [[unigramSurprisal]]'s bag-of-words
+    * (a doc of real words in scrambled order scores normal under the
+    * unigram model; the conditional model catches it, the KenLM-gate idea
+    * from CCNet at n=2). Docs with < 2 words have no bigrams and drop out.
+    *
+    * Shape: ONE explode to (doc, w1, w2) map-side-combined into per-doc
+    * bigram counts; the corpus bigram table and the left-context totals
+    * are two aggregations OVER that same materialized spine (never a
+    * second corpus pass); the scorer joins back on the fixed-width bigram
+    * key. Per-addend DECIMAL quantization (the t15 discipline) keeps the
+    * mean independent of partial-aggregation order; the DOUBLE division
+    * happens once at the end. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val db = df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol), expr(
+        """explode(transform(sequence(0, size(__w) - 2),
+          |  i -> struct(__w[i] AS w1, __w[i + 1] AS w2)))""".stripMargin).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("db_cnt"))
+      .localCheckpoint(true) // three consumers: corpus counts, contexts, scorer
+    val corpus = db.groupBy(col("w1"), col("w2")).agg(sum(col("db_cnt")).as("c12"))
+    val contexts = corpus.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    db.join(corpus, Seq("w1", "w2")).join(contexts, Seq("w1"))
+      .withColumn("__bits",
+        -log(2.0, col("c12").cast("double") / col("c1").cast("double")))
+      .groupBy(col(idCol))
+      .agg(sum(col("db_cnt")).as("n_bigrams"),
+        round(sum(col("__bits").cast(DecimalType(18, 4)) * col("db_cnt")).cast("double") /
+          sum(col("db_cnt")).cast("double"), 6).as("bits_per_bigram"))
+  }
+
+  def bigramSurprisalSql(idExpr: String, textExpr: String, table: String): String =
+    s"""WITH bg AS (
+       |  SELECT $idExpr AS id, unnest(list_transform(
+       |    range(greatest(len(string_split($textExpr, ' ')) - 1, 0)),
+       |    i -> {'w1': string_split($textExpr, ' ')[i + 1],
+       |          'w2': string_split($textExpr, ' ')[i + 2]})) AS bgs
+       |  FROM $table),
+       |db AS (
+       |  SELECT id, bgs.w1 AS w1, bgs.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS db_cnt
+       |  FROM bg GROUP BY 1, 2, 3),
+       |corpus AS (SELECT w1, w2, CAST(SUM(db_cnt) AS BIGINT) AS c12 FROM db GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM corpus GROUP BY 1),
+       |b AS (
+       |  SELECT db.id, db_cnt,
+       |    -ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) / ln(2.0) AS bits
+       |  FROM db JOIN corpus USING (w1, w2) JOIN ctx USING (w1))
+       |SELECT id AS $idExpr, CAST(SUM(db_cnt) AS BIGINT) AS n_bigrams,
+       |  round(CAST(SUM(CAST(bits AS DECIMAL(18,4)) * db_cnt) AS DOUBLE) /
+       |    CAST(SUM(db_cnt) AS DOUBLE), 6) AS bits_per_bigram
+       |FROM b GROUP BY 1""".stripMargin
+
+  /** RAG-style passage chunking: explode each document into fixed-width
+    * token windows with overlap (`stride` < `width`), emitting
+    * (id, window_no, n_tokens, passage). Contract: window i covers tokens
+    * [i·stride, i·stride + width); windows start while they still add NEW
+    * tokens, so coverage is total, the final window may be short (>= 1
+    * token), and a doc shorter than `width` yields exactly one window.
+    * Unlike [[dedupPassages]] (disjoint width-aligned blocks, a DEDUP
+    * keying scheme), these windows overlap — the retrieval-index shape,
+    * where a fact straddling a block boundary must still land inside some
+    * window.
+    *
+    * Shape: pure project + Generate off the tokenized column — ZERO
+    * shuffles at any corpus size; the explode fan-out is bounded by
+    * ceil(n_tokens / stride) per doc. */
+  def passageWindows(df: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= width, s"need 1 <= stride <= width")
+    df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), size(col("__w")).as("__n"), col("__w"))
+      .select(col(idCol), expr(
+        s"""explode(transform(
+           |  sequence(0, (greatest(__n - $width, 0) + $stride - 1) div $stride),
+           |  i -> struct(CAST(i AS BIGINT) AS window_no,
+           |    CAST(least($width, __n - i * $stride) AS BIGINT) AS n_tokens,
+           |    array_join(slice(__w, i * $stride + 1, $width), ' ') AS passage)))"""
+          .stripMargin).as("win"))
+      .select(col(idCol), col("win.window_no").as("window_no"),
+        col("win.n_tokens").as("n_tokens"), col("win.passage").as("passage"))
+  }
+
+  def passageWindowsSql(idExpr: String, textExpr: String, table: String,
+      width: Int, stride: Int): String =
+    s"""SELECT $idExpr, CAST(i AS BIGINT) AS window_no,
+       |  CAST(least($width, len(w) - i * $stride) AS BIGINT) AS n_tokens,
+       |  array_to_string(w[i * $stride + 1 : i * $stride + $width], ' ') AS passage
+       |FROM (
+       |  SELECT $idExpr, string_split($textExpr, ' ') AS w,
+       |    unnest(range(
+       |      (greatest(len(string_split($textExpr, ' ')) - $width, 0) + $stride - 1)
+       |        // $stride + 1)) AS i
+       |  FROM $table)""".stripMargin
+
   /** Gopher-style repetition metrics (Rae et al. '21, §A1.1): how much of a
     * document the single most frequent word / bigram accounts for, plus the
     * distinct-word ratio. Complements [[dupNgramStats]] (which measures the

@@ -339,6 +339,25 @@ object TextQs {
       Some(s"""SELECT doc_id, source,
               |  ${TextAnalysis.fingerprintSql("text")} AS fp,
               |  ${TextAnalysis.splitAssignSql("text")} AS split
-              |FROM documents""".stripMargin))
+              |FROM documents""".stripMargin)),
+
+    // T18: bigram CONDITIONAL surprisal — mean -log2 p(w2|w1) per doc under
+    // the corpus bigram model (the CCNet KenLM-gate idea at n=2). Catches
+    // what t15's bag-of-words model can't: a scrambled-order doc scores
+    // normal on unigrams but improbable conditionally. One explode; the
+    // corpus model is two aggregations over the same materialized spine.
+    Q("t18_bigram_surprisal",
+      (s, d) => TextAnalysis.bigramSurprisal(Tables.documents(s, d), "doc_id", "text"),
+      Some(TextAnalysis.bigramSurprisalSql("doc_id", "text", "documents"))),
+
+    // T19: RAG-style passage chunking — overlapping fixed-width token
+    // windows (width 32, stride 16), total coverage, final window short but
+    // never empty. The retrieval-index shape (a fact straddling a block
+    // boundary still lands inside some window), vs t10's disjoint blocks
+    // which exist only as dedup keys. Pure Generate: zero shuffles.
+    Q("t19_passage_windows",
+      (s, d) => TextAnalysis.passageWindows(Tables.documents(s, d), "doc_id", "text",
+        width = 32, stride = 16),
+      Some(TextAnalysis.passageWindowsSql("doc_id", "text", "documents", 32, 16)))
   )
 }

@@ -427,6 +427,44 @@ class OpsSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("TextAnalysis.passageWindows: total coverage, exact overlap, short docs") {
+    import graft.ops.TextAnalysis
+    val words49 = (1 to 49).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words49), (2L, "just three words"), (3L, "")).toDF("id", "t")
+    val out = TextAnalysis.passageWindows(df, "id", "t", width = 32, stride = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1)
+    // 49 tokens, width 32, stride 16 -> 3 windows: [0,32) [16,48) [32,49)
+    val w1 = byDoc(1L).sortBy(_._2)
+    assert(w1.map(w => (w._2, w._3)).toSeq == Seq((0L, 32L), (1L, 32L), (2L, 17L)))
+    assert(w1(1)._4.split(" ").head == "w17") // window 1 starts at token 17
+    assert(w1(2)._4.split(" ").last == "w49") // final token covered
+    // overlap: the second half of window 0 IS the first half of window 1
+    assert(w1(0)._4.split(" ").drop(16).toSeq == w1(1)._4.split(" ").take(16).toSeq)
+    // shorter than width -> exactly one full-doc window; empty text -> one
+    // 1-token window of "" (split of "" is [""], same contract both engines)
+    assert(byDoc(2L).toSeq == Seq((2L, 0L, 3L, "just three words")))
+    assert(byDoc(3L).toSeq == Seq((3L, 0L, 1L, "")))
+  }
+
+  test("TextAnalysis.bigramSurprisal scores the corpus-conditional model") {
+    import graft.ops.TextAnalysis
+    // corpus: after "a", "b" occurs 3x and "c" 1x -> p(b|a)=0.75, p(c|a)=0.25
+    val df = Seq((1L, "a b a b"), (2L, "a b a c")).toDF("id", "t")
+    val out = TextAnalysis.bigramSurprisal(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc1 bigrams: (a,b)x2, (b,a)x1 -> bits: 2*-log2(.75) + 1*-log2(1.0)
+    val b75 = -math.log(0.75) / math.log(2.0)
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - (2 * b75) / 3.0) < 1e-4)
+    // doc2: (a,b)x1, (b,a)x1, (a,c)x1 -> (b75 + 0 + 2.0) / 3
+    assert(out(2L)._1 == 3L)
+    assert(math.abs(out(2L)._2 - (b75 + 2.0) / 3.0) < 1e-4)
+    // a one-word doc has no bigrams and drops out entirely
+    assert(!TextAnalysis.bigramSurprisal(
+      Seq((9L, "solo")).toDF("id", "t"), "id", "t").collect().exists(_ => true))
+  }
+
   test("TextAnalysis.dedupPassages drops corpus-wide boilerplate, keeps order") {
     // width=2 passages; "x y" appears in 3 docs -> boilerplate at minDf=3
     val df = Seq(
