@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE vocabulary learning (Sennrich '16, within-word merges) —
+  * tokenizer induction as a warehouse job.
+  *
+  * The algorithm is inherently iterative (each merge changes the
+  * symbolization the next round counts), but each ROUND is pure relational
+  * algebra over the VOCABULARY, not the corpus:
+  *
+  *  - state = (word, cnt, pos, sym) rows — vocabulary-sized (Heaps' law:
+  *    distinct words ≪ corpus tokens); the corpus is touched exactly once,
+  *    to build word counts. At 100 TB the state is a few-GB frame.
+  *  - counting (Sennrich's get_stats): every adjacent occurrence, weighted
+  *    by word count — one lead() window + one map-side-combinable groupBy.
+  *  - selection: global argmax with (count DESC, left, right) tie-break —
+  *    deterministic across engines and partitionings; a 1-row limit.
+  *  - application: greedy left-to-right merge has a CLOSED FORM, no
+  *    recursion — for left ≠ right the pattern can never overlap itself,
+  *    so every match merges; for left == right, greedy merges exactly the
+  *    EVEN offsets within each maximal equal-symbol run (gaps-and-islands
+  *    window). A merged row consumes its successor (lag filter), positions
+  *    re-sequence, and the round is done: three windows per round, all
+  *    partitioned by word — never a global sort.
+  *
+  * The same formulation is emitted verbatim as (non-recursive) DuckDB SQL
+  * by [[bpeMergesSql]] — K rounds of CTEs re-derive the merge table
+  * independently, so the oracle checks the full learning loop, not just
+  * one step.
+  */
+object Bpe {
+
+  /** Per-word character symbolization: (word, cnt, pos, sym), pos dense
+    * from 0. substring-based (not split-by-empty-regex), the form with
+    * identical semantics in DuckDB. */
+  private def initSymbols(vocab: DataFrame): DataFrame =
+    vocab.select(col("word"), col("cnt"), expr(
+      """posexplode(transform(sequence(1, length(word)),
+        |  i -> substring(word, i, 1)))""".stripMargin).as(Seq("pos", "sym")))
+
+  /** One greedy application of merge (a, b) -> ab over the symbol rows.
+    * Returns re-sequenced (word, cnt, pos, sym). */
+  private def applyMerge(sym: DataFrame, a: String, b: String): DataFrame = {
+    val byPos = Window.partitionBy(col("word")).orderBy(col("pos"))
+    val runW = Window.partitionBy(col("word"), col("sym")).orderBy(col("pos"))
+    val marked = sym
+      .withColumn("nxt", lead(col("sym"), 1).over(byPos))
+      // gaps-and-islands: rows of one equal-symbol run share (pos - rn)
+      .withColumn("grp", col("pos") - row_number().over(runW))
+    val runStart = Window.partitionBy(col("word"), col("sym"), col("grp"))
+    val withCand = marked
+      .withColumn("run_start", min(col("pos")).over(runStart))
+      .withColumn("cand", col("sym") === a && col("nxt") === b &&
+        (lit(a != b) || (col("pos") - col("run_start")) % 2 === 0))
+      .withColumn("consumed", coalesce(lag(col("cand"), 1).over(byPos), lit(false)))
+    withCand.filter(!col("consumed"))
+      .select(col("word"), col("cnt"),
+        (row_number().over(byPos) - 1).as("pos"),
+        when(col("cand"), lit(a + b)).otherwise(col("sym")).as("sym"))
+  }
+
+  /** Learn `merges` BPE merges from the corpus; returns the merge table
+    * (merge_rank from 1, left, right, merged, pair_count). Ends early if
+    * no adjacent pair remains. */
+  def learnMerges(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var sym = initSymbols(vocab).localCheckpoint(true)
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    val byPos = Window.partitionBy(col("word")).orderBy(col("pos"))
+    var k = 1
+    var exhausted = false
+    while (k <= merges && !exhausted) {
+      val best = sym
+        .withColumn("nxt", lead(col("sym"), 1).over(byPos))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt")).agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("sym").asc, col("nxt").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((k.toLong, a, b, a + b, pc))
+        sym = applyMerge(sym, a, b).localCheckpoint(true)
+        k += 1
+      }
+    }
+    out.result().toDF("merge_rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** DuckDB oracle: re-derives the same K merges with K rounds of
+    * non-recursive CTEs (the closed-form application above, spelled in
+    * SQL). `textExpr`/`table` name the corpus. */
+  def bpeMergesSql(textExpr: String, table: String, merges: Int): String = {
+    val init =
+      s"""s0 AS (
+         |  SELECT word, cnt, u.pos, u.sym FROM (
+         |    SELECT word, cnt, unnest(list_transform(range(length(word)),
+         |      i -> {'pos': i, 'sym': substr(word, CAST(i AS BIGINT) + 1, 1)})) AS u
+         |    FROM (
+         |      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |        SELECT unnest(string_split($textExpr, ' ')) AS word FROM $table)
+         |      WHERE word <> '' GROUP BY 1)))""".stripMargin
+    val rounds = (1 to merges).map { k =>
+      val p = k - 1
+      s"""b$k AS (
+         |  SELECT sym AS l, nxt AS r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+         |    SELECT sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt, cnt
+         |    FROM s$p)
+         |  WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY pc DESC, l, r LIMIT 1),
+         |s$k AS (
+         |  SELECT word, cnt,
+         |    row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN cand THEN l || r ELSE sym END AS sym
+         |  FROM (
+         |    SELECT word, cnt, pos, sym, cand, l, r,
+         |      coalesce(lag(cand) OVER (PARTITION BY word ORDER BY pos), false)
+         |        AS consumed
+         |    FROM (
+         |      SELECT word, cnt, pos, sym, l, r,
+         |        (sym = l AND nxt = r AND (l <> r OR
+         |          (pos - min(pos) OVER (PARTITION BY word, sym, grp)) % 2 = 0))
+         |          AS cand
+         |      FROM (
+         |        SELECT s.word, s.cnt, s.pos, s.sym, b$k.l, b$k.r,
+         |          lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt,
+         |          s.pos - row_number() OVER (PARTITION BY s.word, s.sym
+         |            ORDER BY s.pos) AS grp
+         |        FROM s$p s CROSS JOIN b$k)))
+         |  WHERE NOT consumed)""".stripMargin
+    }
+    val finalSel = (1 to merges).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS merge_rank, l AS "left", r AS "right", """ +
+        s"l || r AS merged, pc AS pair_count FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"WITH $init,\n${rounds.mkString(",\n")}\n$finalSel"
+  }
+}

@@ -358,6 +358,19 @@ object TextQs {
     Q("t19_passage_windows",
       (s, d) => TextAnalysis.passageWindows(Tables.documents(s, d), "doc_id", "text",
         width = 32, stride = 16),
-      Some(TextAnalysis.passageWindowsSql("doc_id", "text", "documents", 32, 16)))
+      Some(TextAnalysis.passageWindowsSql("doc_id", "text", "documents", 32, 16)),
+      bench = false),
+
+    // T20: distributed BPE vocabulary learning (Sennrich '16) — tokenizer
+    // induction as a warehouse job. State is VOCABULARY-sized (the corpus
+    // is read once for word counts); each round is one lead-window count +
+    // a deterministic 1-row argmax + the closed-form greedy merge (no
+    // recursion: an unequal pair can't overlap itself, an equal pair
+    // merges the even offsets of each run). The oracle re-derives all 8
+    // merges with 8 rounds of non-recursive CTEs — it checks the LOOP,
+    // not one step.
+    Q("t20_bpe_merges",
+      (s, d) => graft.ops.Bpe.learnMerges(Tables.documents(s, d), "text", merges = 8),
+      Some(graft.ops.Bpe.bpeMergesSql("text", "documents", merges = 8)))
   )
 }

@@ -427,6 +427,49 @@ class OpsSpec extends AnyFunSuite {
     assert(re == got)
   }
 
+  test("Bpe.learnMerges equals a sequential reference BPE, incl. equal-run greedy") {
+    // independent reference: Sennrich '16 get_stats + greedy merge_vocab,
+    // written as the textbook sequential loop
+    def refBpe(words: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+      var vocab = words.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      for (_ <- 1 to k) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        if (counts.nonEmpty) {
+          val ((a, b), pc) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+          out += ((a, b, pc))
+          vocab = vocab.map { case (syms, c) =>
+            val nb = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                nb += (a + b); i += 2
+              } else { nb += syms(i); i += 1 }
+            }
+            (nb.result(), c)
+          }
+        }
+      }
+      out.toSeq
+    }
+    // aaaa/aaa exercise the equal-pair greedy path (runs merge at even
+    // offsets); low/lower/lowest force multi-round merged-symbol reuse
+    val texts = Seq("low lower lowest low", "new newer newest",
+      "aaaa aaa aa low", "banana bandana newer")
+    val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val expected = refBpe(words, 6)
+    val got = graft.ops.Bpe.learnMerges(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+        "text", merges = 6)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("TextAnalysis.passageWindows: total coverage, exact overlap, short docs") {
     import graft.ops.TextAnalysis
     val words49 = (1 to 49).map(i => s"w$i").mkString(" ")
