@@ -123,6 +123,27 @@ object DailyPipeline {
       // the corpus data card: per-source release stats (volume, language
       // purity, quality, dup rate) — shipped with every corpus build.
       materialize("ep4_corpus_datacard", "corpus_datacard"),
+      // tokenizer induction as warehouse state (the ann-index precedent:
+      // build-once/consume-many, rebuilt on corpus cadence) — BPE merges
+      // learned from the CURATED corpus, not the raw table: the tokenizer
+      // should never see what the gates dropped.
+      Job("bpe_merge_table", Seq("curated_corpus"), s => {
+        val cur = s.read.parquet(s"$outDir/curated_corpus").select(col("doc_id"))
+        Tables.write(
+          graft.ops.Bpe.learnMerges(
+            Tables.documents(s, sfDir).join(cur, "doc_id"), "text", merges = 8),
+          s"$outDir/bpe_merge_table")
+      }),
+      // retrieval index: overlapping passage windows over the curated
+      // corpus (t19's chunking contract) — the RAG-side consumable.
+      Job("passage_index", Seq("curated_corpus"), s => {
+        val cur = s.read.parquet(s"$outDir/curated_corpus").select(col("doc_id"))
+        Tables.write(
+          graft.ops.TextAnalysis.passageWindows(
+            Tables.documents(s, sfDir).join(cur, "doc_id"), "doc_id", "text",
+            width = 32, stride = 16),
+          s"$outDir/passage_index")
+      }),
       // ANN index BUILD as warehouse state — the build-once/query-many
       // split the similarity ops are designed around: k-means cell
       // assignments + centroids (IVF probe tables) and per-block PQ codes +

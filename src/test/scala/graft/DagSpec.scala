@@ -47,6 +47,10 @@ class DagSpec extends AnyFunSuite {
       "incremental_dedup_report").subsetOf(names.toSet))
     assert(jobs.find(_.name == "corpus_splits").get.deps == Seq("curated_corpus"))
     assert(jobs.find(_.name == "training_order").get.deps == Seq("corpus_splits"))
+    // tokenizer + retrieval index are built FROM the curated corpus (the
+    // gates run before induction/indexing)
+    assert(jobs.find(_.name == "bpe_merge_table").get.deps == Seq("curated_corpus"))
+    assert(jobs.find(_.name == "passage_index").get.deps == Seq("curated_corpus"))
     // acyclic: Kahn's peeling must consume every job
     var remaining = jobs.map(j => j.name -> j.deps.toSet).toMap
     while (remaining.nonEmpty && remaining.exists(_._2.isEmpty)) {
