@@ -140,17 +140,25 @@ object DedupQs {
       .join(keepRep, Seq("doc_id"), "left_semi")
       .join(keepSurp, Seq("doc_id"), "left_semi")
       .join(nearDrop, Seq("doc_id"), "left_anti")
-    // the d9 gate: drop the CONTAINED side of each >= 0.8-containment pair
-    // (the quote, not the quoting doc); mutual containment (near-identical)
-    // keeps the min id, consistent with the exact-dup keeper rule
+    // the d9 gate, over SURVIVORS of the earlier gates — not the raw
+    // corpus: a doc already dropped for quality must not take a good doc
+    // down with it (full-corpus containment would), and shingling only the
+    // gated slice is proportionally cheaper at any scale. The keep-set
+    // checkpoints NARROW (ids only) so the gate stack runs once; survivors
+    // re-derive from the cheap columnar scan, never by replaying gates.
+    // Drop policy: the CONTAINED side goes (the quote, not the quoting
+    // doc); mutual containment keeps the min id, consistent with the
+    // exact-dup keeper rule.
     val gatedPre = if (!containment) base else {
-      val contDrop = Dedup.containmentPairs(docs, "doc_id", "text", k = 3,
+      val keepIds = base.select(col("doc_id")).localCheckpoint(true)
+      val survivors = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      val contDrop = Dedup.containmentPairs(survivors, "doc_id", "text", k = 3,
           maxDf = 4, floor = 0.8)
         .select(when(col("containment_a") >= 0.8 && col("containment_b") >= 0.8,
             greatest(col("id_a"), col("id_b")))
           .when(col("containment_a") >= 0.8, col("id_a"))
           .otherwise(col("id_b")).as("doc_id")).distinct()
-      base.join(contDrop, Seq("doc_id"), "left_anti")
+      survivors.join(contDrop, Seq("doc_id"), "left_anti")
     }
     // t13's content-fingerprint split, inlined from the same public
     // threshold constants so the gated frame is scanned once instead of
@@ -183,53 +191,66 @@ object DedupQs {
     * the containment CTEs mirror d9's rare-shingle blocking verbatim. */
   private def curationOracleSql(containment: Boolean): String = {
     import graft.ops.TextAnalysis
-    val contCtes = if (!containment) "" else
-      """,
-        |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 4),
-        |rs AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
-        |ccands AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM rs a JOIN rs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-        |csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-        |cinter AS (
-        |  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
-        |  FROM ccands c
-        |  JOIN sh a ON a.doc_id = c.id_a
-        |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-        |  GROUP BY 1, 2),
-        |cont AS (
-        |  SELECT id_a, id_b,
-        |    round(COALESCE(n_inter, 0) / CAST(sa.n_sh AS DOUBLE), 6) AS ca,
-        |    round(COALESCE(n_inter, 0) / CAST(sb.n_sh AS DOUBLE), 6) AS cb
-        |  FROM ccands
-        |  LEFT JOIN cinter USING (id_a, id_b)
-        |  JOIN csizes sa ON sa.doc_id = id_a
-        |  JOIN csizes sb ON sb.doc_id = id_b),
-        |cont_drop AS (
-        |  SELECT DISTINCT CASE
-        |    WHEN ca >= 0.8 AND cb >= 0.8 THEN greatest(id_a, id_b)
-        |    WHEN ca >= 0.8 THEN id_a ELSE id_b END AS doc_id
-        |  FROM cont WHERE ca >= 0.8 OR cb >= 0.8)""".stripMargin
-    val contFilter = if (containment)
-      "\n    AND doc_id NOT IN (SELECT doc_id FROM cont_drop)" else ""
-    val shWith = if (containment) s"$shinglesCte,\n" else ""
-    s"""WITH $shWith$simhash64CtesSql,
+    val gateWhere =
+      s"""WHERE lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8
+         |    AND doc_id IN (SELECT doc_id FROM keepers)
+         |    AND doc_id IN (SELECT doc_id FROM rep WHERE NOT repetitive)
+         |    AND doc_id IN (SELECT doc_id FROM surp WHERE NOT unusual)
+         |    AND doc_id NOT IN (SELECT doc_id FROM near_drop)""".stripMargin
+    val gateSelect =
+      s"""SELECT doc_id, source, ${TextAnalysis.wsTokensSql("text")} AS n_tokens,
+         |    ${TextAnalysis.splitAssignSql("text")} AS split,
+         |    ${TextAnalysis.hashUnitSql("doc_id", "budget")} AS h
+         |  FROM documents
+         |  $gateWhere""".stripMargin
+    // containment runs over SURVIVORS of the other gates (pregate), so a
+    // quality-dropped doc can't take a good doc down with it; rarity (df)
+    // is measured on the surviving corpus too, mirroring the Spark side
+    val gatedCte = if (!containment) s"gated AS (\n  $gateSelect)" else
+      s"""pregate AS (
+         |  $gateSelect),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(greatest(len(string_split(text, ' ')) - 2, 0)),
+         |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS shingle
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+         |    AND doc_id IN (SELECT doc_id FROM pregate)),
+         |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 4),
+         |rs AS (SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)),
+         |ccands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM rs a JOIN rs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |cinter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+         |  FROM ccands c
+         |  JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |cont AS (
+         |  SELECT id_a, id_b,
+         |    round(COALESCE(n_inter, 0) / CAST(sa.n_sh AS DOUBLE), 6) AS ca,
+         |    round(COALESCE(n_inter, 0) / CAST(sb.n_sh AS DOUBLE), 6) AS cb
+         |  FROM ccands
+         |  LEFT JOIN cinter USING (id_a, id_b)
+         |  JOIN csizes sa ON sa.doc_id = id_a
+         |  JOIN csizes sb ON sb.doc_id = id_b),
+         |cont_drop AS (
+         |  SELECT DISTINCT CASE
+         |    WHEN ca >= 0.8 AND cb >= 0.8 THEN greatest(id_a, id_b)
+         |    WHEN ca >= 0.8 THEN id_a ELSE id_b END AS doc_id
+         |  FROM cont WHERE ca >= 0.8 OR cb >= 0.8),
+         |gated AS (
+         |  SELECT * FROM pregate
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cont_drop))""".stripMargin
+    s"""WITH $simhash64CtesSql,
        |rep AS (${TextAnalysis.repetitionStatsSql("doc_id", "text", "documents")}),
        |surp AS (${TextAnalysis.unigramSurprisalSql("doc_id", "text", "documents")}),
        |keepers AS (
        |  SELECT MIN(doc_id) AS doc_id FROM documents
        |  GROUP BY md5(${Normalize.normTextSql("text")})),
-       |near_drop AS (SELECT DISTINCT id_b AS doc_id FROM ham WHERE hamming <= 3)$contCtes,
-       |gated AS (
-       |  SELECT doc_id, source, ${TextAnalysis.wsTokensSql("text")} AS n_tokens,
-       |    ${TextAnalysis.splitAssignSql("text")} AS split,
-       |    ${TextAnalysis.hashUnitSql("doc_id", "budget")} AS h
-       |  FROM documents
-       |  WHERE lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8
-       |    AND doc_id IN (SELECT doc_id FROM keepers)
-       |    AND doc_id IN (SELECT doc_id FROM rep WHERE NOT repetitive)
-       |    AND doc_id IN (SELECT doc_id FROM surp WHERE NOT unusual)
-       |    AND doc_id NOT IN (SELECT doc_id FROM near_drop)$contFilter),
+       |near_drop AS (SELECT DISTINCT id_b AS doc_id FROM ham WHERE hamming <= 3),
+       |$gatedCte,
        |train AS (
        |  SELECT doc_id, source, split, n_tokens,
        |    CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
