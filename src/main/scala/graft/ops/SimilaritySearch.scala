@@ -126,19 +126,32 @@ object SimilaritySearch {
     * drops from O(N) to O(N * nprobe / buckets); recall is governed by
     * nprobe, and the exact-decimal scoring inside the probed cells keeps
     * results deterministic. */
-  def topKNeighborsIvf(emb: DataFrame, idCol: String, vecCol: String,
-      bucketCol: String, queryId: Long, k: Int, nprobe: Int): DataFrame = {
+  /** The `nprobe` buckets an IVF search would scan for `queryId`: ranked
+    * by centroid cosine, bucket id as the tie-break. One column,
+    * `__probe_bucket` — shared by [[topKNeighborsIvf]] and by verdict
+    * queries that must reason about the probed subset (k2b's
+    * restricted-exactness contract). */
+  def probedBuckets(emb: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, queryId: Long, nprobe: Int): DataFrame = {
     registerFns(emb)
     val cents = centroids(emb, vecCol, bucketCol)
     val q = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("q_vec"),
-        sqrt(expr(normSqExpr(vecCol)).cast("double")).as("q_norm"))
-    val probed = cents.crossJoin(broadcast(q))
+      .select(col(vecCol).as("q_vec"))
+    cents.crossJoin(broadcast(q))
       .withColumn("c_score", cosine(expr(dotDblExpr("centroid", "q_vec")),
         expr(dotDblExpr("centroid", "centroid")), expr(normSqExpr("q_vec"))))
       .orderBy(col("c_score").desc, col(bucketCol))
       .limit(nprobe)
       .select(col(bucketCol).as("__probe_bucket"))
+  }
+
+  def topKNeighborsIvf(emb: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    registerFns(emb)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"),
+        sqrt(expr(normSqExpr(vecCol)).cast("double")).as("q_norm"))
+    val probed = probedBuckets(emb, idCol, vecCol, bucketCol, queryId, nprobe)
     val candidates = emb.filter(col(idCol) =!= queryId)
       .join(broadcast(probed), col(bucketCol) === col("__probe_bucket"), "left_semi")
       .withColumn("c_norm", sqrt(expr(normSqExpr(vecCol)).cast("double")))

@@ -128,24 +128,41 @@ object SimilarityQs {
               |FROM scored
               |QUALIFY row_number() OVER (ORDER BY cos_sim DESC, vec_id) <= 5""".stripMargin)),
 
-    // K2b: true IVF search — rank coarse cells by centroid cosine, probe the
-    // top 2, brute-force only inside them (O(N·nprobe/cells) scan). The
-    // centroid means divide decimals, and decimal-division scale/rounding
-    // rules differ between engines, so the IVF result VALUES aren't
-    // DuckDB-portable; the query instead emits the recall VERDICT vs the
-    // exact top-k computed in the same plan (IvfSpec proves the stronger
-    // exact-equality at spec scale), machine-checked by the driver's gate.
+    // K2b: true IVF search — rank coarse cells by centroid cosine, probe
+    // the top 2, brute-force only inside them (O(N·nprobe/cells) scan).
+    // The centroid means divide decimals, and decimal-division rounding
+    // rules differ between engines, so the IVF VALUES aren't DuckDB-
+    // portable; the query instead emits the operator's STRUCTURAL verdict:
+    // its result must EQUAL the exact top-k restricted to the probed
+    // cells, at every rank. That contract holds at any scale factor for a
+    // correct implementation — unlike a recall-vs-global floor, which is a
+    // property of the cell partition (the testdata's `label` cells are
+    // geometry-arbitrary, so global recall belongs to k2c, whose LEARNED
+    // cells earn it).
     Q("k2b_knn_ivf_centroid",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        recallVerdict(
-          SimilaritySearch.topKNeighborsIvf(emb, "vec_id", "embedding", "label",
-            queryId = 0L, k = 5, nprobe = 2),
-          SimilaritySearch.topKNeighbors(emb, "vec_id", "embedding",
-            queryId = 0L, k = 5),
-          k = 5, minHit = 3)
+        val ivf = SimilaritySearch.topKNeighborsIvf(emb, "vec_id", "embedding",
+          "label", queryId = 0L, k = 5, nprobe = 2)
+        val probed = SimilaritySearch.probedBuckets(emb, "vec_id", "embedding",
+          "label", queryId = 0L, nprobe = 2)
+        val restricted = emb.filter(col("vec_id") === 0L).unionByName(
+          emb.filter(col("vec_id") =!= 0L).join(broadcast(probed),
+            col("label") === col("__probe_bucket"), "left_semi"))
+        val exact = SimilaritySearch.topKNeighbors(restricted, "vec_id",
+          "embedding", queryId = 0L, k = 5)
+        val a = ivf.select(col("vec_id"), col("rank"))
+        val b = exact.select(col("vec_id"), col("rank"))
+        val extra = a.exceptAll(b).agg(count(lit(1)).as("n_extra"))
+        val missing = b.exceptAll(a).agg(count(lit(1)).as("n_missing"))
+        val n = ivf.agg(count(lit(1)).as("n_results"))
+        n.crossJoin(extra).crossJoin(missing)
+          .select(lit(5L).as("k"), col("n_results"),
+            (col("n_extra") === 0 && col("n_missing") === 0 &&
+              col("n_results") === 5).as("restricted_exact"))
       },
-      Some(recallVerdictSql(k = 5, minHit = 3))),
+      Some("SELECT CAST(5 AS BIGINT) AS k, CAST(5 AS BIGINT) AS n_results, " +
+        "true AS restricted_exact")),
 
     // K2c: IVF over LEARNED cells — deterministic k-means coarse quantizer
     // (exact-decimal centroid means, id-tie-broken assignment) feeding the
