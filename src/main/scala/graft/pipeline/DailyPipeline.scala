@@ -40,6 +40,10 @@ object DailyPipeline {
       materialize("a13_risk_buckets", "at_risk_members", Seq("customer_master")),
       materialize("u1b_flag_lifecycle", "customer_flags_lifecycle", Seq("customer_flags")),
       materialize("u2_identity_components", "identity_map"),
+      // high-priority follow-up list (`build_purchased_not_checkedin.py`):
+      // customers who purchased but never produced a visit event — the j10
+      // semi+anti composite IS the mart (one definition, no drift)
+      materialize("j10_semi_anti", "purchased_not_checkedin"),
       materialize("d1_exact_dedup", "document_dedup_groups"),
       materialize("o3_dedup_keepfirst", "transactions_deduped", Seq("combined_transactions")),
       // training-data marts (BASELINE north star): sessionized user journeys,
