@@ -62,12 +62,12 @@ object Bpe {
         when(col("cand"), lit(a + b)).otherwise(col("sym")).as("sym"))
   }
 
-  /** Learn `merges` BPE merges from the corpus; returns the merge table
-    * (merge_rank from 1, left, right, merged, pair_count). Ends early if
-    * no adjacent pair remains. */
-  def learnMerges(df: DataFrame, textCol: String, merges: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** The learning loop: returns the merge rows and the FINAL symbol state
+    * (word, cnt, pos, sym) — i.e. every distinct word already encoded
+    * under the learned merge table. Ends early if no adjacent pair
+    * remains. */
+  private def run(df: DataFrame, textCol: String, merges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val vocab = df.select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -91,13 +91,80 @@ object Bpe {
         k += 1
       }
     }
-    out.result().toDF("merge_rank", "left", "right", "merged", "pair_count")
+    (out.result(), sym)
+  }
+
+  /** Learn `merges` BPE merges from the corpus; returns the merge table
+    * (merge_rank from 1, left, right, merged, pair_count). */
+  def learnMerges(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    run(df, textCol, merges)._1
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Encode the corpus under the learned merge table — at VOCABULARY
+    * granularity: the loop's final symbol state already holds every
+    * distinct word's token decomposition, so encoding a doc is a join of
+    * its word spine against a (word, n_tok) side that is vocabulary-sized
+    * (Heaps' law: a few GB at 100 TB corpus scale — AQE broadcasts it
+    * while it fits and falls back to a shuffled join when it doesn't; no
+    * per-doc re-tokenization ever happens). Returns per-doc
+    * (id, n_words, n_chars, n_bpe_tokens) — all exact BIGINTs. */
+  def encodeStats(df: DataFrame, idCol: String, textCol: String,
+      merges: Int): DataFrame = {
+    val (_, finalSym) = run(df, textCol, merges)
+    val wordTokens = finalSym.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_tok"), sum(length(col("sym"))).as("n_ch"))
+    val docWords = df.select(col(idCol),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+    docWords.join(wordTokens, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_ch")).as("n_chars"),
+        sum(col("n_tok")).as("n_bpe_tokens"))
   }
 
   /** DuckDB oracle: re-derives the same K merges with K rounds of
     * non-recursive CTEs (the closed-form application above, spelled in
     * SQL). `textExpr`/`table` name the corpus. */
   def bpeMergesSql(textExpr: String, table: String, merges: Int): String = {
+    val (ctes, _) = bpeCtes(textExpr, table, merges)
+    val finalSel = (1 to merges).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS merge_rank, l AS "left", r AS "right", """ +
+        s"l || r AS merged, pc AS pair_count FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$finalSel"
+  }
+
+  /** DuckDB oracle for [[encodeStats]]: the same K learning rounds, then
+    * the final symbol state aggregated to (word, n_tok, n_ch) and joined
+    * back onto the per-doc word spine. */
+  def bpeEncodeSql(idCol: String, textExpr: String, table: String,
+      merges: Int): String = {
+    val (ctes, sFinal) = bpeCtes(textExpr, table, merges)
+    s"""WITH $ctes,
+       |wtok AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |    CAST(SUM(length(sym)) AS BIGINT) AS n_ch
+       |  FROM $sFinal GROUP BY 1),
+       |docw AS (
+       |  SELECT $idCol, word FROM (
+       |    SELECT $idCol, unnest(string_split($textExpr, ' ')) AS word
+       |    FROM $table)
+       |  WHERE word <> '')
+       |SELECT $idCol, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+       |FROM docw JOIN wtok USING (word)
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** The shared learning-loop CTE chain; returns (cte string, name of the
+    * final symbol-state CTE). */
+  private def bpeCtes(textExpr: String, table: String,
+      merges: Int): (String, String) = {
     val init =
       s"""s0 AS (
          |  SELECT word, cnt, u.pos, u.sym FROM (
@@ -136,10 +203,6 @@ object Bpe {
          |        FROM s$p s CROSS JOIN b$k)))
          |  WHERE NOT consumed)""".stripMargin
     }
-    val finalSel = (1 to merges).map(k =>
-      s"""SELECT CAST($k AS BIGINT) AS merge_rank, l AS "left", r AS "right", """ +
-        s"l || r AS merged, pc AS pair_count FROM b$k")
-      .mkString("\nUNION ALL\n")
-    s"WITH $init,\n${rounds.mkString(",\n")}\n$finalSel"
+    (s"$init,\n${rounds.mkString(",\n")}", s"s$merges")
   }
 }

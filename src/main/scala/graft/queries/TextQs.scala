@@ -371,6 +371,20 @@ object TextQs {
     // not one step.
     Q("t20_bpe_merges",
       (s, d) => graft.ops.Bpe.learnMerges(Tables.documents(s, d), "text", merges = 8),
-      Some(graft.ops.Bpe.bpeMergesSql("text", "documents", merges = 8)))
+      Some(graft.ops.Bpe.bpeMergesSql("text", "documents", merges = 8))),
+
+    // T21: BPE ENCODING under the t20 merge table — the other half of the
+    // tokenizer lifecycle (learn → encode). Vocabulary-granularity: the
+    // loop's final symbol state already IS every distinct word's token
+    // decomposition, so per-doc token counts are one join of the doc word
+    // spine against a vocab-sized (word, n_tok) side — no per-doc
+    // re-tokenization, AQE picks broadcast vs shuffle by actual vocab
+    // size. n_chars re-derived from symbol lengths proves the encoding
+    // partitions each word exactly (no char lost or duplicated). The
+    // oracle replays the full 8-round loop, then the same join.
+    Q("t21_bpe_encode",
+      (s, d) => graft.ops.Bpe.encodeStats(Tables.documents(s, d), "doc_id", "text",
+        merges = 8),
+      Some(graft.ops.Bpe.bpeEncodeSql("doc_id", "text", "documents", merges = 8)))
   )
 }

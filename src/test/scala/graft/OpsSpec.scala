@@ -470,6 +470,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("Bpe.encodeStats matches sequential greedy encoding and partitions every word") {
+    val texts = Seq("low lower lowest low", "new newer newest",
+      "aaaa aaa aa low", "banana bandana newer")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val merges = graft.ops.Bpe.learnMerges(df, "text", merges = 6)
+      .orderBy("merge_rank").collect().map(r => (r.getString(1), r.getString(2)))
+    // sequential reference: apply each learned merge greedily, in rank order
+    def encode(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector
+      for ((a, b) <- merges) {
+        val nb = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            nb += (a + b); i += 2
+          } else { nb += syms(i); i += 1 }
+        }
+        syms = nb.result()
+      }
+      syms
+    }
+    val got = graft.ops.Bpe.encodeStats(df, "id", "text", merges = 6)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    for ((t, i) <- texts.zipWithIndex) {
+      val ws = t.split(" ").filter(_.nonEmpty).toSeq
+      val toks = ws.map(encode)
+      // tokens of each word re-concatenate to the word — no char lost/duped
+      assert(toks.zip(ws).forall { case (ts, w) => ts.mkString == w })
+      assert(got(i.toLong) == ((ws.size.toLong, ws.map(_.length).sum.toLong,
+        toks.map(_.size.toLong).sum)))
+    }
+  }
+
   test("TextAnalysis.passageWindows: total coverage, exact overlap, short docs") {
     import graft.ops.TextAnalysis
     val words49 = (1 to 49).map(i => s"w$i").mkString(" ")
