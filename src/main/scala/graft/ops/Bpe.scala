@@ -112,8 +112,31 @@ object Bpe {
     * per-doc re-tokenization ever happens). Returns per-doc
     * (id, n_words, n_chars, n_bpe_tokens) — all exact BIGINTs. */
   def encodeStats(df: DataFrame, idCol: String, textCol: String,
-      merges: Int): DataFrame = {
-    val (_, finalSym) = run(df, textCol, merges)
+      merges: Int): DataFrame =
+    statsFromSym(df, idCol, textCol, run(df, textCol, merges)._2)
+
+  /** Encode under a STORED merge table (the warehouse lifecycle: the
+    * tokenizer is learned once on its own cadence, then applied to any
+    * corpus — including docs the learning corpus never saw). The table is
+    * merge-rank-ordered and vocabulary-small (KBs even at production merge
+    * counts), so collecting it to the driver is free; each merge is then
+    * one closed-form window pass over the vocab symbolization. */
+  def encodeStatsWith(df: DataFrame, idCol: String, textCol: String,
+      mergeTable: DataFrame): DataFrame = {
+    val ms = mergeTable.orderBy(col("merge_rank")).collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    val vocab = df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var sym = initSymbols(vocab).localCheckpoint(true)
+    for ((a, b) <- ms) sym = applyMerge(sym, a, b).localCheckpoint(true)
+    statsFromSym(df, idCol, textCol, sym)
+  }
+
+  /** Shared tail: final symbol state → (word, n_tok, n_ch) → joined back
+    * onto the per-doc word spine. */
+  private def statsFromSym(df: DataFrame, idCol: String, textCol: String,
+      finalSym: DataFrame): DataFrame = {
     val wordTokens = finalSym.groupBy(col("word"))
       .agg(count(lit(1)).as("n_tok"), sum(length(col("sym"))).as("n_ch"))
     val docWords = df.select(col(idCol),

@@ -138,6 +138,17 @@ object DailyPipeline {
             Tables.documents(s, sfDir).join(cur, "doc_id"), "text", merges = 8),
           s"$outDir/bpe_merge_table")
       }),
+      // the other half of the tokenizer lifecycle: per-doc token counts
+      // under the STORED merge table (not re-learned — the tokenizer is
+      // state, encoding is a consumer), over the same curated slice.
+      Job("corpus_token_counts", Seq("curated_corpus", "bpe_merge_table"), s => {
+        val cur = s.read.parquet(s"$outDir/curated_corpus").select(col("doc_id"))
+        Tables.write(
+          graft.ops.Bpe.encodeStatsWith(
+            Tables.documents(s, sfDir).join(cur, "doc_id"), "doc_id", "text",
+            s.read.parquet(s"$outDir/bpe_merge_table")),
+          s"$outDir/corpus_token_counts")
+      }),
       // retrieval index: overlapping passage windows over the curated
       // corpus (t19's chunking contract) — the RAG-side consumable.
       Job("passage_index", Seq("curated_corpus"), s => {

@@ -51,6 +51,9 @@ class DagSpec extends AnyFunSuite {
     // gates run before induction/indexing)
     assert(jobs.find(_.name == "bpe_merge_table").get.deps == Seq("curated_corpus"))
     assert(jobs.find(_.name == "passage_index").get.deps == Seq("curated_corpus"))
+    // encoding consumes the STORED tokenizer, not a re-learned one
+    assert(jobs.find(_.name == "corpus_token_counts").get.deps ==
+      Seq("curated_corpus", "bpe_merge_table"))
     // acyclic: Kahn's peeling must consume every job
     var remaining = jobs.map(j => j.name -> j.deps.toSet).toMap
     while (remaining.nonEmpty && remaining.exists(_._2.isEmpty)) {

@@ -501,6 +501,19 @@ class OpsSpec extends AnyFunSuite {
       assert(got(i.toLong) == ((ws.size.toLong, ws.map(_.length).sum.toLong,
         toks.map(_.size.toLong).sum)))
     }
+    // the stored-merge-table path (warehouse lifecycle) agrees with the
+    // joint learn+encode path — including on a corpus with unseen words
+    // (merges that never fire must be no-ops)
+    val mt = graft.ops.Bpe.learnMerges(df, "text", merges = 6)
+    val viaTable = graft.ops.Bpe.encodeStatsWith(df, "id", "text", mt)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(viaTable == got)
+    val unseen = Seq((9L, "zq low zq")).toDF("id", "text")
+    val u = graft.ops.Bpe.encodeStatsWith(unseen, "id", "text", mt)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    // "zq" stays 2 chars/2 tokens per occurrence; "low" merges as learned
+    assert(u == ((3L, 7L, 4L + encode("low").size)))
   }
 
   test("TextAnalysis.passageWindows: total coverage, exact overlap, short docs") {
