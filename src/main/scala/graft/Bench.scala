@@ -21,8 +21,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val qs = if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) Registry.all
-             else Registry.all.filter(_.bench)
+    val base = if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) Registry.all
+               else Registry.all.filter(_.bench)
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 — targeted probe (same contract as
+    // Verify's SPARK_GRAFT_ONLY); names not in the registry are ignored.
+    val qs = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val want = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        Registry.all.filter(q => want(q.name))
+      case None => base
+    }
 
     // Warm the JVM/codegen paths once so the first timed query isn't charged
     // for classloading (headline queries should measure the plan, not sbt).
