@@ -301,7 +301,7 @@ object TextAnalysis {
   def unigramSurprisalFromCounts(dw: DataFrame, idCol: String): DataFrame = {
     val vocab = dw.groupBy(col("word")).agg(sum(col("dw_cnt")).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
-    dw.join(vocab, "word")
+    val scored = dw.join(vocab, "word")
       .crossJoin(broadcast(total)) // 1-row grand total — whitelisted broadcast
       .withColumn("__bits",
         -log(2.0, col("cnt").cast("double") / col("total").cast("double")))
@@ -312,13 +312,38 @@ object TextAnalysis {
         // decimal DIVISION scale/rounding is engine-specific (see k2b)
         round(sum(col("__bits").cast(DecimalType(18, 4)) * col("dw_cnt")).cast("double") /
           sum(col("dw_cnt")).cast("double"), 6).as("bits_per_word"))
-      .withColumn("unusual", col("bits_per_word") > SurprisalMaxBits ||
-        col("bits_per_word") < SurprisalMinBits)
+    // SELF-CALIBRATING band: unusual = outside the corpus' own exact
+    // [p5, p95] of bits_per_word. An absolute band goes stale under any
+    // distribution shift — the round-5 sf1 probe showed a fixed band
+    // emptying the whole curated corpus when the vocabulary grew 10×.
+    // Exact quantiles without per-group buffering: a HISTOGRAM of the
+    // rounded values (duplicates collapse), cumulated with the two-level
+    // prefix-sum discipline — coarse value bands floor(b*10) give a base
+    // frame hard-bounded at ~640 rows (bits_per_word < 64 for any corpus
+    // under 2^64 tokens), the in-band window partitions by band. The
+    // percentile ranks use pure integer ceil so both engines pick the
+    // identical element of the identical value set.
+    val hist = scored.groupBy(col("bits_per_word")).agg(count(lit(1)).as("__hc"))
+      .withColumn("__band", floor(col("bits_per_word") * 10).cast("long"))
+    val bandW = Window.orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandTot = hist.groupBy(col("__band")).agg(sum(col("__hc")).as("__bt"))
+      .withColumn("__bprev", coalesce(sum(col("__bt")).over(bandW), lit(0L)))
+      .select(col("__band"), col("__bprev"))
+    val inBand = Window.partitionBy(col("__band")).orderBy(col("bits_per_word"))
+    val cum = hist.join(bandTot, "__band")
+      .withColumn("__cum", col("__bprev") + sum(col("__hc")).over(inBand))
+    val ranks = scored.agg(count(lit(1)).as("__n"))
+      .select(expr("(__n * 5 + 99) div 100").as("__rlo"),
+        expr("(__n * 95 + 99) div 100").as("__rhi"))
+    val thr = cum.crossJoin(broadcast(ranks)) // 1-row rank pair broadcast
+      .agg(min(when(col("__cum") >= col("__rlo"), col("bits_per_word"))).as("__lo"),
+        min(when(col("__cum") >= col("__rhi"), col("bits_per_word"))).as("__hi"))
+    scored.crossJoin(broadcast(thr)) // 1-row threshold broadcast
+      .withColumn("unusual",
+        col("bits_per_word") < col("__lo") || col("bits_per_word") > col("__hi"))
+      .drop("__lo", "__hi")
   }
-
-  /** Surprisal gate bounds (calibrated to the synthetic corpus' p5/p95). */
-  val SurprisalMinBits = 4.897
-  val SurprisalMaxBits = 4.94
 
   def unigramSurprisalSql(idExpr: String, textExpr: String, table: String): String =
     s"""WITH w AS (
@@ -334,10 +359,17 @@ object TextAnalysis {
        |  SELECT id, CAST(SUM(dw_cnt) AS BIGINT) AS n_words,
        |    CAST(SUM(CAST(bits AS DECIMAL(18,4)) * dw_cnt) AS DOUBLE) /
        |      CAST(SUM(dw_cnt) AS DOUBLE) AS raw
-       |  FROM b GROUP BY 1)
-       |SELECT id AS $idExpr, n_words, round(raw, 6) AS bits_per_word,
-       |  (round(raw, 6) > $SurprisalMaxBits OR round(raw, 6) < $SurprisalMinBits) AS unusual
-       |FROM m""".stripMargin
+       |  FROM b GROUP BY 1),
+       |sc AS (SELECT id, n_words, round(raw, 6) AS bpw FROM m),
+       |hist AS (SELECT bpw, CAST(COUNT(*) AS BIGINT) AS hc FROM sc GROUP BY 1),
+       |cum AS (SELECT bpw, SUM(hc) OVER (ORDER BY bpw) AS c FROM hist),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+       |thr AS (SELECT
+       |  (SELECT MIN(bpw) FROM cum, nn WHERE c >= (n * 5 + 99) // 100) AS lo,
+       |  (SELECT MIN(bpw) FROM cum, nn WHERE c >= (n * 95 + 99) // 100) AS hi)
+       |SELECT id AS $idExpr, n_words, bpw AS bits_per_word,
+       |  (bpw < lo OR bpw > hi) AS unusual
+       |FROM sc CROSS JOIN thr""".stripMargin
 
   /** Bigram conditional surprisal: mean -log2 p(w2 | w1) per document,
     * p(w2 | w1) = c(w1 w2) / c(w1 ·) over the corpus bigram table — the
