@@ -312,6 +312,14 @@ object TextAnalysis {
         // decimal DIVISION scale/rounding is engine-specific (see k2b)
         round(sum(col("__bits").cast(DecimalType(18, 4)) * col("dw_cnt")).cast("double") /
           sum(col("dw_cnt")).cast("double"), 6).as("bits_per_word"))
+      // narrow eager checkpoint (the d6/c2 pattern): the band machinery
+      // below consumes this frame four ways (histogram → in-band cum,
+      // band totals, rank count, final flag join) — without it each
+      // branch replays the vocab join + doc aggregation, a full
+      // doc-stream shuffle per consumer at scale (audited: 124-node
+      // static plan with 5 scored replays before, 3 columns × |docs|
+      // after)
+      .localCheckpoint(true)
     // SELF-CALIBRATING band: unusual = outside the corpus' own exact
     // [p5, p95] of bits_per_word. An absolute band goes stale under any
     // distribution shift — the round-5 sf1 probe showed a fixed band

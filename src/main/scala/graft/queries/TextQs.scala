@@ -313,7 +313,8 @@ object TextQs {
     // table; decimal-quantized addends make the mean order-independent.
     Q("t15_unigram_surprisal",
       (s, d) => TextAnalysis.unigramSurprisal(Tables.documents(s, d), "doc_id", "text"),
-      Some(TextAnalysis.unigramSurprisalSql("doc_id", "text", "documents"))),
+      Some(TextAnalysis.unigramSurprisalSql("doc_id", "text", "documents")),
+      bench = true),
 
     // T17: temperature-scaled mixture (α = 0.5) — down-samples big strata
     // toward the flat mixture; the keep-rate per stratum collapses to
