@@ -119,26 +119,102 @@ object Bpe {
     * tokenizer is learned once on its own cadence, then applied to any
     * corpus — including docs the learning corpus never saw). The table is
     * merge-rank-ordered and vocabulary-small (KBs even at production merge
-    * counts), so collecting it to the driver is free; each merge is then
-    * one closed-form window pass over the vocab symbolization. */
+    * counts), so collecting and broadcasting it is free; each distinct
+    * word then encodes INDEPENDENTLY in one distributed pass (the
+    * deliberately-procedural-region license: a per-word in-memory greedy
+    * loop, not K Spark jobs — at production merge counts, K≈30k–100k, a
+    * per-merge relational pass would be 100k+ sequential stages). Job
+    * count is O(1) in the merge-table size; [[encodeWord]] carries the
+    * rank-order-equivalence argument. */
   def encodeStatsWith(df: DataFrame, idCol: String, textCol: String,
       mergeTable: DataFrame): DataFrame = {
-    val ms = mergeTable.orderBy(col("merge_rank")).collect()
-      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
-    val vocab = df.select(explode(split(col(textCol), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    var sym = initSymbols(vocab).localCheckpoint(true)
-    for ((a, b) <- ms) sym = applyMerge(sym, a, b).localCheckpoint(true)
-    statsFromSym(df, idCol, textCol, sym)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Long] = mergeTable
+      .select(col("left"), col("right"), col("merge_rank").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    // vocabulary-sized frame (Heaps' law); the procedural seat below is a
+    // narrow map over it, not over the corpus
+    val wordTokens = df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val rk = bc.value
+        it.map { w =>
+          val syms = encodeWord(w, rk)
+          (w, syms.length.toLong, syms.iterator.map(_.length.toLong).sum)
+        }
+      }.toDF("word", "n_tok", "n_ch")
+    statsFromWordTokens(df, idCol, textCol, wordTokens)
+  }
+
+  /** Greedy BPE encode of ONE word under the broadcast merge ranks — the
+    * exact rank-order application semantics ("for each merge in rank
+    * order, one greedy left-to-right pass"), computed without touching
+    * ranks that can't fire:
+    *
+    * repeatedly pick the LOWEST-ranked pair ≥ a moving cursor that is
+    * present in the word, apply its greedy pass, advance the cursor past
+    * it. Equivalence (any table, by induction): if both procedures share a
+    * state after applying ranks r1<…<rj, the sequential loop's next
+    * firing rank is the smallest r > rj whose pair occurs in that state —
+    * ranks in between never fire, so the state rank-order sees at r IS the
+    * shared state — and that is precisely this loop's next pick. The
+    * cursor also guards the adversarial direction: a pair whose rank is
+    * BELOW an already-applied rank (possible only in hand-built tables;
+    * learning always yields created-symbol rules with higher ranks) must
+    * NOT fire, because the sequential loop already passed it.
+    *
+    * O(len²) per word, independent of table size K. */
+  private[graft] def encodeWord(word: String,
+      rank: Map[(String, String), Long]): Array[String] = {
+    var syms: Array[String] =
+      Array.tabulate(word.length)(i => word.substring(i, i + 1))
+    var cursor = Long.MinValue
+    var done = syms.length < 2
+    while (!done) {
+      var best = Long.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Long.MaxValue)
+        if (r >= cursor && r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        val a = syms(bi)
+        val b = syms(bi + 1)
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        cursor = best + 1
+        done = syms.length < 2
+      }
+    }
+    syms
   }
 
   /** Shared tail: final symbol state → (word, n_tok, n_ch) → joined back
     * onto the per-doc word spine. */
   private def statsFromSym(df: DataFrame, idCol: String, textCol: String,
-      finalSym: DataFrame): DataFrame = {
-    val wordTokens = finalSym.groupBy(col("word"))
-      .agg(count(lit(1)).as("n_tok"), sum(length(col("sym"))).as("n_ch"))
+      finalSym: DataFrame): DataFrame =
+    statsFromWordTokens(df, idCol, textCol,
+      finalSym.groupBy(col("word"))
+        .agg(count(lit(1)).as("n_tok"), sum(length(col("sym"))).as("n_ch")))
+
+  /** Join the vocab-sized (word, n_tok, n_ch) side back onto the per-doc
+    * word spine — AQE broadcasts it while it fits, shuffle-joins when it
+    * doesn't. */
+  private def statsFromWordTokens(df: DataFrame, idCol: String,
+      textCol: String, wordTokens: DataFrame): DataFrame = {
     val docWords = df.select(col(idCol),
         explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
@@ -215,15 +291,19 @@ object Bpe {
          |        AS consumed
          |    FROM (
          |      SELECT word, cnt, pos, sym, l, r,
-         |        (sym = l AND nxt = r AND (l <> r OR
-         |          (pos - min(pos) OVER (PARTITION BY word, sym, grp)) % 2 = 0))
-         |          AS cand
+         |        COALESCE(sym = l AND nxt = r AND (l <> r OR
+         |          (pos - min(pos) OVER (PARTITION BY word, sym, grp)) % 2 = 0),
+         |          false) AS cand
          |      FROM (
+         |        -- LEFT JOIN ON true, not CROSS JOIN: when the learning
+         |        -- loop exhausts before round k, b$k is empty and every
+         |        -- row must pass through unchanged (l/r NULL -> cand
+         |        -- false), matching the Scala loop's early stop
          |        SELECT s.word, s.cnt, s.pos, s.sym, b$k.l, b$k.r,
          |          lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt,
          |          s.pos - row_number() OVER (PARTITION BY s.word, s.sym
          |            ORDER BY s.pos) AS grp
-         |        FROM s$p s CROSS JOIN b$k)))
+         |        FROM s$p s LEFT JOIN b$k ON true)))
          |  WHERE NOT consumed)""".stripMargin
     }
     (s"$init,\n${rounds.mkString(",\n")}", s"s$merges")

@@ -516,6 +516,64 @@ class OpsSpec extends AnyFunSuite {
     assert(u == ((3L, 7L, 4L + encode("low").size)))
   }
 
+  test("Bpe.encodeWord is exact rank-order application, incl. adversarial tables") {
+    // well-formed table: (l,o)->lo rank1, (lo,w)->low rank2
+    val wf = Map(("l", "o") -> 1L, ("lo", "w") -> 2L)
+    assert(graft.ops.Bpe.encodeWord("lowlow", wf).toSeq == Seq("low", "low"))
+    // equal-pair greedy: aa merges the EVEN offsets of each run
+    assert(graft.ops.Bpe.encodeWord("aaaaa", Map(("a", "a") -> 1L)).toSeq ==
+      Seq("aa", "aa", "a"))
+    // ADVERSARIAL: rank 1 ("ab","c") names a symbol only CREATED by rank 2
+    // ("a","b"). Rank-order semantics: at rank 1 "ab" is not a symbol (no-op);
+    // rank 2 merges a+b; rank 1 must NOT fire afterwards — the loop already
+    // passed it. A cursor-less min-rank encoder would wrongly produce ["abc"].
+    val adv = Map(("ab", "c") -> 1L, ("a", "b") -> 2L)
+    assert(graft.ops.Bpe.encodeWord("abc", adv).toSeq == Seq("ab", "c"))
+  }
+
+  test("Bpe.encodeStatsWith job count is O(1) in the merge-table size") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val texts = Seq("low lower lowest low", "new newer newest",
+      "aaaa aaa aa low", "banana bandana newer")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val mt = graft.ops.Bpe.learnMerges(df, "text", merges = 6).localCheckpoint(true)
+    // pad with ~200 inert ranks (symbols that never occur) — same encoding
+    val filler = (100 to 300).map { k =>
+      (k.toLong, k.toString, k.toString, k.toString * 2, 1L)
+    }.toDF("merge_rank", "left", "right", "merged", "pair_count")
+    val big = mt.unionByName(filler).localCheckpoint(true)
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // listener bus is async: poll until the count is stable
+        var last = -1
+        var spins = 0
+        while (n.get != last && spins < 50) {
+          last = n.get; spins += 1; Thread.sleep(100)
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get
+    }
+    val smallJobs = countJobs(
+      graft.ops.Bpe.encodeStatsWith(df, "id", "text", mt).collect())
+    val bigJobs = countJobs(
+      graft.ops.Bpe.encodeStatsWith(df, "id", "text", big).collect())
+    // the old per-merge relational loop ran one localCheckpoint JOB per merge
+    // (~200 extra here); the one-pass form is flat in K
+    assert(bigJobs <= smallJobs + 1, s"jobs grew with K: $smallJobs -> $bigJobs")
+    // and the inert ranks change nothing semantically
+    val a = graft.ops.Bpe.encodeStatsWith(df, "id", "text", mt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = graft.ops.Bpe.encodeStatsWith(df, "id", "text", big)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b)
+  }
+
   test("TextAnalysis.passageWindows: total coverage, exact overlap, short docs") {
     import graft.ops.TextAnalysis
     val words49 = (1 to 49).map(i => s"w$i").mkString(" ")
