@@ -340,20 +340,21 @@ object Aggregates {
               |${Categorize.bucketLadderSql("CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE)", strengthBounds, "5")} AS strength
               |FROM events GROUP BY 1, 2""".stripMargin)),
 
-    // A17: exact discrete percentiles per segment. percentile_disc picks the
-    // first DATA value whose cume_dist reaches the fraction (SQL standard,
-    // identical in Spark and DuckDB) — no interpolation arithmetic, so the
-    // doubles hash-match exactly. Distributed shape: hash-partition by group,
-    // sort within group — never a global sort.
+    // A17: exact discrete percentiles per segment — the same first-data-
+    // value-at-ceil(p·n) semantics percentile_disc implements (SQL standard,
+    // identical in Spark and DuckDB; no interpolation arithmetic, so the
+    // doubles hash-match exactly), computed by Percentiles.disc: histogram +
+    // two-level prefix sum + integer-ceil rank pick. percentile_disc itself
+    // buffers every group value in one aggregator — exact but an OOM cliff
+    // at 100 TB; the rank-pick keeps state distinct-value-sized and every
+    // window partitioned. OpsSpec pins equality against percentile_disc.
     Q("a17_percentiles",
-      (s, d) => Tables.customer(s, d)
-        .groupBy(col("c_mktsegment"))
-        .agg(
-          count(lit(1)).as("n"),
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal)").as("p25_bal"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").as("p50_bal"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal)").as("p90_bal"),
-          min(col("c_acctbal")).as("min_bal"), max(col("c_acctbal")).as("max_bal")),
+      (s, d) => graft.ops.Percentiles.disc(
+          Tables.customer(s, d), Seq("c_mktsegment"), "c_acctbal",
+          Seq(("p25_bal", 25, 100), ("p50_bal", 50, 100), ("p90_bal", 90, 100)))
+        .select(col("c_mktsegment"), col("n"),
+          col("p25_bal"), col("p50_bal"), col("p90_bal"),
+          col("min_val").as("min_bal"), col("max_val").as("max_bal")),
       Some("""SELECT c_mktsegment, COUNT(*) AS n,
              |  percentile_disc(0.25) WITHIN GROUP (ORDER BY c_acctbal) AS p25_bal,
              |  percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS p50_bal,

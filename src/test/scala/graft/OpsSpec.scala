@@ -516,6 +516,41 @@ class OpsSpec extends AnyFunSuite {
     assert(u == ((3L, 7L, 4L + encode("low").size)))
   }
 
+  test("Percentiles.disc equals percentile_disc exactly, partitioning-independent") {
+    val rnd = new scala.util.Random(11)
+    // heavy duplication (50 distinct values) — the histogram must collapse
+    // them and still land on the same element percentile_disc picks
+    val rows = (1 to 500).map(i => (s"g${i % 4}", (rnd.nextInt(50) - 10).toDouble)) ++
+      Seq(("solo", 7.0)) // n=1 group: every rank picks the only value
+    val df = rows.toDF("g", "v")
+      .unionByName(Seq(("g0", Option.empty[Double])).toDF("g", "v")) // null excluded
+    val fr = Seq(("p25", 25, 100), ("p50", 50, 100), ("p90", 90, 100), ("p100", 1, 1))
+    val ref = df.groupBy(col("g")).agg(
+        count(col("v")).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)").as("p90"),
+        expr("percentile_disc(1.0) WITHIN GROUP (ORDER BY v)").as("p100"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Percentiles.disc(d, Seq("g"), "v", fr)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    val got = run(df)
+    assert(got == ref)
+    assert(run(df.repartition(13)) == got)
+    // a coarser band is semantics-preserving (only tunes the base frame)
+    val coarse = Percentiles.disc(df, Seq("g"), "v", fr,
+        band = v => floor(v / 7).cast("long"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(coarse == ref)
+  }
+
   test("Bpe.encodeWord is exact rank-order application, incl. adversarial tables") {
     // well-formed table: (l,o)->lo rank1, (lo,w)->low rank2
     val wf = Map(("l", "o") -> 1L, ("lo", "w") -> 2L)
