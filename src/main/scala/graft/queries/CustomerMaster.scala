@@ -79,10 +79,15 @@ object CustomerMaster {
           col("email").as("parent_email"))
 
         // --- membership + spend: one aggregate over orders ----------------
+        // mk sort key: the date is rendered EXPLICITLY (date_format) — %s
+        // on a TimestampType would format the internal epoch-micros long,
+        // whose lexicographic order only coincides with the oracle's ISO
+        // string while every date stays 15 digits wide
         val om = Tables.orders(s, d)
           .withColumn("mk", format_string("%d|%s|%010d",
             when(col("o_orderstatus") === "O", 1).otherwise(0),
-            col("o_orderdate"), col("o_orderkey")))
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+            col("o_orderkey")))
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n_orders"),
             Q.dsum(col("o_totalprice")).as("total_spend"),
@@ -209,10 +214,12 @@ object CustomerMaster {
            |    bool_or(o_orderstatus = 'O') AS has_active,
            |    arg_max(o_orderpriority, printf('%d|%s|%010d',
            |      CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END,
-           |      o_orderdate, o_orderkey)) AS membership_name,
+           |      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), o_orderkey))
+           |      AS membership_name,
            |    arg_max(o_orderdate, printf('%d|%s|%010d',
            |      CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END,
-           |      o_orderdate, o_orderkey)) AS membership_start_date
+           |      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), o_orderkey))
+           |      AS membership_start_date
            |  FROM orders GROUP BY o_custkey),
            |ev AS (
            |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS total_visits,

@@ -281,7 +281,10 @@ object DedupQs {
         expr("CAST(substring(source, 4) AS INT) % 4")),
       Some(s"""WITH h AS (
               |  SELECT doc_id, md5(${Normalize.normTextSql("text")}) AS text_hash,
-              |    COALESCE(CAST(substr(source, 4) AS INT) % 4,
+              |    -- TRY_CAST, not CAST: DuckDB CAST throws on a non-numeric
+              |    -- tail where Spark CAST yields NULL — the sentinel must be
+              |    -- reachable on both engines
+              |    COALESCE(TRY_CAST(substr(source, 4) AS INT) % 4,
               |      9223372036854775807) AS rank FROM documents)
               |SELECT text_hash, doc_id AS keeper_id, group_size FROM (
               |  SELECT text_hash, doc_id,
