@@ -33,6 +33,11 @@ object DailyPipeline {
       // the conversion funnel pair (`build_conversion_rate_analysis.py`):
       // per-visit enrichment, then the cohort rollup chained from it
       materialize("cv1_enriched_visits", "day_pass_visits_enriched"),
+      // A/B experiment readout: entries come from flag runs, so the mart
+      // sits downstream of the materialized flag table (the reference
+      // logs entries from the same runs that write flags)
+      materialize("ab1_experiment_results", "experiment_results",
+        Seq("customer_flags")),
       materialize("cv2_conversion_cohorts", "conversion_funnel",
         Seq("day_pass_visits_enriched")),
       materialize("j4_interval_active", "daily_active_timeline"),

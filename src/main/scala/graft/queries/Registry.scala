@@ -22,7 +22,8 @@ object Registry {
     Dashboard.qs,
     CustomerMaster.qs,
     ConversionFunnel.qs,
-    FamilyEdges.qs)
+    FamilyEdges.qs,
+    Experiments.qs)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten

@@ -54,6 +54,9 @@ class DagSpec extends AnyFunSuite {
     // encoding consumes the STORED tokenizer, not a re-learned one
     assert(jobs.find(_.name == "corpus_token_counts").get.deps ==
       Seq("curated_corpus", "bpe_merge_table"))
+    // the experiment readout is downstream of the flag run that logs entries
+    assert(jobs.find(_.name == "experiment_results").get.deps ==
+      Seq("customer_flags"))
     // acyclic: Kahn's peeling must consume every job
     var remaining = jobs.map(j => j.name -> j.deps.toSet).toMap
     while (remaining.nonEmpty && remaining.exists(_._2.isEmpty)) {
