@@ -38,6 +38,10 @@ object DailyPipeline {
       // logs entries from the same runs that write flags)
       materialize("ab1_experiment_results", "experiment_results",
         Seq("customer_flags")),
+      // the CRM review queue: health questions over the master + family
+      // evidence, so it runs after both are materialized
+      materialize("dq1_data_questions", "data_questions",
+        Seq("customer_master", "family_edges")),
       materialize("cv2_conversion_cohorts", "conversion_funnel",
         Seq("day_pass_visits_enriched")),
       materialize("j4_interval_active", "daily_active_timeline"),

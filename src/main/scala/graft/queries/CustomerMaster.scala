@@ -47,9 +47,9 @@ object CustomerMaster {
 
   private val DayUs = 86400000000L
 
-  val qs: Seq[Q] = Seq(
-    Q("cm1_customer_master",
-      (s, d) => {
+  /** The wide-master frame, reusable by downstream composites (dq1). */
+  private[queries] def master(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
         // --- base + synthetic identity ------------------------------------
         val emailKey = col("c_custkey") -
           when(col("c_custkey") % 13 === 12, 1L).otherwise(0L)
@@ -182,9 +182,11 @@ object CustomerMaster {
           col("klaviyo_flows_entered"),
           col("active_flags"),
           coalesce(col("flag_count"), lit(0L)).as("flag_count"))
-      },
-      Some {
-        val ek = "(c_custkey - CASE WHEN c_custkey % 13 = 12 THEN 1 ELSE 0 END)"
+  }
+
+  /** Oracle-side wide master (a full SELECT), reusable as a CTE body. */
+  private[queries] lazy val masterSql: String = {
+    val ek = "(c_custkey - CASE WHEN c_custkey % 13 = 12 THEN 1 ELSE 0 END)"
         s"""WITH base AS (
            |  SELECT c_custkey, c_name, c_mktsegment, c_nationkey, c_acctbal,
            |    CASE WHEN c_custkey % 7 <> 3 THEN
@@ -295,7 +297,10 @@ object CustomerMaster {
            |LEFT JOIN om ON b.c_custkey = om.o_custkey
            |LEFT JOIN ev ON b.c_custkey = ev.user_id
            |LEFT JOIN fl ON b.c_custkey = fl.user_id""".stripMargin
-      },
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q("cm1_customer_master", (s, d) => master(s, d), Some(masterSql),
       bench = true)
   )
 }

@@ -39,19 +39,84 @@ import org.apache.spark.sql.functions._
   */
 object FamilyEdges {
 
+  private def edge(parent: org.apache.spark.sql.Column,
+      child: org.apache.spark.sql.Column, conf: String, src: String) =
+    Seq(parent.cast("long").as("parent_customer_id"),
+      child.cast("long").as("child_customer_id"),
+      lit("parent_child").as("relationship_type"),
+      lit(conf).as("confidence"), lit(src).as("source"))
+
+  /** Reservation-slot owner edges (medium) — derived from the orders
+    * ledger alone (custkey parity is arithmetic on o_custkey). Reusable:
+    * dq1 counts these as behavioral parent candidates. */
+  private[queries] def reservationEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables.orders(s, d)
+    val slotOwners = o.filter(col("o_custkey") % 10 < 8)
+      .groupBy(col("o_orderdate").as("r_date"), col("o_orderpriority").as("r_prio"))
+      .agg(min(col("o_custkey")).as("r_owner"))
+    o.filter(col("o_custkey") % 10 >= 8)
+      .join(slotOwners, col("o_orderdate") === col("r_date") &&
+        col("o_orderpriority") === col("r_prio"))
+      .select(edge(col("r_owner"), col("o_custkey"),
+        "medium", "reservation_booking"): _*)
+      .distinct()
+  }
+
+  /** Shared-checkin proximity edges (low): minor/adult event pairs within
+    * 5 min via the bucketed proximity join, exactly-one-adult guard. */
+  private[queries] def checkinEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val pairs = TimeJoins.proximityPairs(
+        Tables.events(s, d).withColumn("us", Q.usecs(col("ts"))),
+        Seq.empty, "us", "user_id", 300L * 1000000L)
+      .select(col("id_a"), col("id_b"))
+      .filter((col("id_a") % 10 >= 8) =!= (col("id_b") % 10 >= 8))
+      .select(
+        when(col("id_a") % 10 < 8, col("id_a")).otherwise(col("id_b")).as("adult"),
+        when(col("id_a") % 10 >= 8, col("id_a")).otherwise(col("id_b")).as("minor"))
+      .distinct()
+    pairs.withColumn("n_adults",
+        count(lit(1)).over(Window.partitionBy(col("minor"))))
+      .filter(col("n_adults") === 1)
+      .select(edge(col("adult"), col("minor"), "low", "shared_checkin"): _*)
+  }
+
+  /** Oracle-side CTE chain for [[reservationEdges]] ++ [[checkinEdges]]
+    * (defines slot_owners, res, prox_pairs, prox). */
+  private[queries] val behavioralSqlCtes: String =
+    """slot_owners AS (
+      |  SELECT o_orderdate AS r_date, o_orderpriority AS r_prio,
+      |         MIN(o_custkey) AS r_owner
+      |  FROM orders WHERE o_custkey % 10 < 8 GROUP BY 1, 2),
+      |res AS (
+      |  SELECT DISTINCT so.r_owner AS parent_customer_id,
+      |         o.o_custkey AS child_customer_id,
+      |         'medium' AS confidence, 'reservation_booking' AS source
+      |  FROM orders o JOIN slot_owners so
+      |    ON o.o_orderdate = so.r_date AND o.o_orderpriority = so.r_prio
+      |  WHERE o.o_custkey % 10 >= 8),
+      |prox_pairs AS (
+      |  SELECT DISTINCT
+      |    CASE WHEN a.user_id % 10 < 8 THEN a.user_id ELSE b.user_id END AS adult,
+      |    CASE WHEN a.user_id % 10 >= 8 THEN a.user_id ELSE b.user_id END AS minor
+      |  FROM events a JOIN events b
+      |    ON a.user_id < b.user_id
+      |   AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+      |  WHERE (a.user_id % 10 >= 8) <> (b.user_id % 10 >= 8)),
+      |prox AS (
+      |  SELECT adult AS parent_customer_id, minor AS child_customer_id,
+      |         'low' AS confidence, 'shared_checkin' AS source
+      |  FROM (SELECT *, COUNT(*) OVER (PARTITION BY minor) AS n_adults
+      |        FROM prox_pairs)
+      |  WHERE n_adults = 1)""".stripMargin
+
   val qs: Seq[Q] = Seq(
     Q("fam1_family_edges",
       (s, d) => {
         val cust = Tables.customer(s, d)
         val minors = cust.filter(col("c_custkey") % 10 >= 8)
         val adults = cust.filter(col("c_custkey") % 10 < 8)
-
-        def edge(parent: org.apache.spark.sql.Column,
-            child: org.apache.spark.sql.Column, conf: String, src: String) =
-          Seq(parent.cast("long").as("parent_customer_id"),
-            child.cast("long").as("child_customer_id"),
-            lit("parent_child").as("relationship_type"),
-            lit(conf).as("confidence"), lit(src).as("source"))
 
         // 1. relations dim (high)
         val relations = FlagPasses.familyMap(
@@ -68,34 +133,9 @@ object FamilyEdges {
           .select(edge(col("owner_key"), col("c_custkey"),
             "medium", "membership_group"): _*)
 
-        // 3. reservation-slot owner (medium) — derived from the orders
-        // ledger alone (custkey parity is arithmetic on o_custkey)
-        val o = Tables.orders(s, d)
-        val slotOwners = o.filter(col("o_custkey") % 10 < 8)
-          .groupBy(col("o_orderdate").as("r_date"), col("o_orderpriority").as("r_prio"))
-          .agg(min(col("o_custkey")).as("r_owner"))
-        val reservations = o.filter(col("o_custkey") % 10 >= 8)
-          .join(slotOwners, col("o_orderdate") === col("r_date") &&
-            col("o_orderpriority") === col("r_prio"))
-          .select(edge(col("r_owner"), col("o_custkey"),
-            "medium", "reservation_booking"): _*)
-          .distinct()
-
-        // 4. shared-checkin proximity (low): minor/adult event pairs within
-        // 5 min via the bucketed proximity join, exactly-one-adult guard
-        val pairs = TimeJoins.proximityPairs(
-            Tables.events(s, d).withColumn("us", Q.usecs(col("ts"))),
-            Seq.empty, "us", "user_id", 300L * 1000000L)
-          .select(col("id_a"), col("id_b"))
-          .filter((col("id_a") % 10 >= 8) =!= (col("id_b") % 10 >= 8))
-          .select(
-            when(col("id_a") % 10 < 8, col("id_a")).otherwise(col("id_b")).as("adult"),
-            when(col("id_a") % 10 >= 8, col("id_a")).otherwise(col("id_b")).as("minor"))
-          .distinct()
-        val oneAdult = pairs.withColumn("n_adults",
-            count(lit(1)).over(Window.partitionBy(col("minor"))))
-          .filter(col("n_adults") === 1)
-          .select(edge(col("adult"), col("minor"), "low", "shared_checkin"): _*)
+        // 3. + 4. the behavioral sources (shared with dq1)
+        val reservations = reservationEdges(s, d)
+        val oneAdult = checkinEdges(s, d)
 
         val all = relations.unionByName(groups)
           .unionByName(reservations).unionByName(oneAdult)
@@ -105,7 +145,7 @@ object FamilyEdges {
           .orderBy(rank.desc, col("source"))
         all.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
       },
-      Some("""WITH relations AS (
+      Some(s"""WITH relations AS (
              |  SELECT c_custkey - c_custkey % 10 AS parent_customer_id,
              |         c_custkey AS child_customer_id,
              |         'high' AS confidence, 'relations_api' AS source
@@ -123,31 +163,7 @@ object FamilyEdges {
              |  FROM customer m JOIN owners o
              |    ON m.c_nationkey = o.g_nat AND m.c_mktsegment = o.g_seg
              |  WHERE m.c_custkey % 10 >= 8),
-             |slot_owners AS (
-             |  SELECT o_orderdate AS r_date, o_orderpriority AS r_prio,
-             |         MIN(o_custkey) AS r_owner
-             |  FROM orders WHERE o_custkey % 10 < 8 GROUP BY 1, 2),
-             |res AS (
-             |  SELECT DISTINCT so.r_owner AS parent_customer_id,
-             |         o.o_custkey AS child_customer_id,
-             |         'medium' AS confidence, 'reservation_booking' AS source
-             |  FROM orders o JOIN slot_owners so
-             |    ON o.o_orderdate = so.r_date AND o.o_orderpriority = so.r_prio
-             |  WHERE o.o_custkey % 10 >= 8),
-             |prox_pairs AS (
-             |  SELECT DISTINCT
-             |    CASE WHEN a.user_id % 10 < 8 THEN a.user_id ELSE b.user_id END AS adult,
-             |    CASE WHEN a.user_id % 10 >= 8 THEN a.user_id ELSE b.user_id END AS minor
-             |  FROM events a JOIN events b
-             |    ON a.user_id < b.user_id
-             |   AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
-             |  WHERE (a.user_id % 10 >= 8) <> (b.user_id % 10 >= 8)),
-             |prox AS (
-             |  SELECT adult AS parent_customer_id, minor AS child_customer_id,
-             |         'low' AS confidence, 'shared_checkin' AS source
-             |  FROM (SELECT *, COUNT(*) OVER (PARTITION BY minor) AS n_adults
-             |        FROM prox_pairs)
-             |  WHERE n_adults = 1),
+             |$behavioralSqlCtes,
              |unioned AS (
              |  SELECT * FROM relations UNION ALL SELECT * FROM grp
              |  UNION ALL SELECT * FROM res UNION ALL SELECT * FROM prox)

@@ -23,7 +23,8 @@ object Registry {
     CustomerMaster.qs,
     ConversionFunnel.qs,
     FamilyEdges.qs,
-    Experiments.qs)
+    Experiments.qs,
+    DataQuestions.qs)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten

@@ -57,6 +57,9 @@ class DagSpec extends AnyFunSuite {
     // the experiment readout is downstream of the flag run that logs entries
     assert(jobs.find(_.name == "experiment_results").get.deps ==
       Seq("customer_flags"))
+    // the CRM question queue reads the materialized master + family evidence
+    assert(jobs.find(_.name == "data_questions").get.deps ==
+      Seq("customer_master", "family_edges"))
     // acyclic: Kahn's peeling must consume every job
     var remaining = jobs.map(j => j.name -> j.deps.toSet).toMap
     while (remaining.nonEmpty && remaining.exists(_._2.isEmpty)) {
