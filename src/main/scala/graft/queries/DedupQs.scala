@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object DedupQs {
 
   // Shared oracle CTEs: distinct 3-gram shingles per doc.
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     """sh AS (
       |  SELECT DISTINCT doc_id, unnest(list_transform(
       |    range(greatest(len(string_split(text, ' ')) - 2, 0)),

@@ -215,6 +215,63 @@ object StreamQs {
            |  ${TextAnalysis.splitAssignSql("text")} AS split
            |FROM documents
            |WHERE lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8""".stripMargin
-      })
+      }),
+
+    // ST7: streaming NEAR-dup ingest — st6 gates on exact fingerprints only;
+    // this runs the whole corpus through `Streams.nearDupIngest`, the
+    // foreachBatch seat of d8's delta-vs-index minhash gate: each micro-batch
+    // shingles ITSELF, joins its LSH bands against the persisted corpus
+    // signature table, verifies candidates at exact Jaccard, and commits
+    // accepted+rejected rows (with their signatures) in one atomic swap.
+    // The corpus replay arrives in doc_id order, so the arrival-order gate
+    // ("near-dups any previously-arrived doc") is exactly "near-dups a
+    // smaller-id doc" — the set batch SQL names below. Restart/replay
+    // resumability is pinned by StreamsSpec.
+    Q("st7_stream_neardup_ingest",
+      (s, d) => {
+        val ss = streamSession(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_st7_").toString
+        Streams.nearDupIngest(
+            Streams.documentStream(ss, asStreamDir(s"$d/documents.parquet")),
+            s"$base/state", s"$base/ckpt", threshold = 0.5)
+          .awaitTermination()
+        ss.read.parquet(s"$base/state").select(col("doc_id"), col("accepted"))
+      },
+      Some(s"""WITH ${DedupQs.shinglesCte},
+              |lanes AS (
+              |  SELECT doc_id,
+              |    ('0x' || substr(h, 1, 8))::BIGINT AS x1,
+              |    ('0x' || substr(h, 9, 8))::BIGINT AS x2
+              |  FROM (SELECT doc_id, md5(shingle) AS h FROM sh)),
+              |mh AS (
+              |  SELECT doc_id,
+              |${graft.ops.Dedup.minhashMinsSql(8)}
+              |  FROM lanes GROUP BY doc_id),
+              |bands AS (
+              |${(0 until 4).map(b =>
+                   s"  SELECT doc_id, $b AS band, CAST(mh_${2 * b} AS VARCHAR) || '|' || CAST(mh_${2 * b + 1} AS VARCHAR) AS sig FROM mh")
+                   .mkString("\n  UNION ALL\n")}),
+              |cands AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.sig = b.sig AND b.doc_id < a.doc_id
+              |  GROUP BY 1, 2),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+              |  FROM cands c
+              |  JOIN sh a ON a.doc_id = c.id_a
+              |  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              |  GROUP BY 1, 2),
+              |rej AS (
+              |  SELECT DISTINCT c.id_a AS doc_id
+              |  FROM cands c
+              |  LEFT JOIN inter USING (id_a, id_b)
+              |  JOIN sizes sa ON sa.doc_id = c.id_a
+              |  JOIN sizes sb ON sb.doc_id = c.id_b
+              |  WHERE round(COALESCE(n_inter, 0)
+              |    / CAST(sa.n_sh + sb.n_sh - COALESCE(n_inter, 0) AS DOUBLE), 6) >= 0.5)
+              |SELECT d.doc_id, r.doc_id IS NULL AS accepted
+              |FROM documents d LEFT JOIN rej r ON d.doc_id = r.doc_id""".stripMargin))
   )
 }

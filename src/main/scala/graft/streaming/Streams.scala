@@ -91,6 +91,105 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Merge one micro-batch of documents into the near-dup ingest state at
+    * `stateDir` — the streaming seat of `Dedup.incrementalNearDup` (d8): a
+    * batch pays for ITS OWN shingling plus a banded join against the
+    * persisted corpus signatures, never a corpus re-shingle.
+    *
+    * State is ONE atomic table (doc_id, text, accepted, bands) where `bands`
+    * is the doc's LSH band signatures as an array — signatures ride WITH the
+    * row so a single `TableSwap` commit keeps docs and index consistent
+    * across crashes (two tables would need a cross-table transaction).
+    * EVERY seen doc persists, accepted or not: the gate compares a new doc
+    * against all previously-arrived content, so a doc that near-dups a
+    * REJECTED doc is still a duplicate of that content's cluster.
+    *
+    * Gate rule (arrival-order form of d2's keep-first): a doc is rejected
+    * iff some band-collision candidate among (all previously-arrived docs ∪
+    * smaller-id docs of its own batch) verifies at exact Jaccard >=
+    * `threshold`. When docs arrive in doc_id order — one whole-corpus
+    * replay, or id-ordered files — this is exactly "near-dups a smaller-id
+    * doc", which batch SQL can name (the st7 oracle).
+    *
+    * Replay-idempotent: already-seen doc_ids are anti-joined away first, so
+    * a micro-batch replayed after a crash (foreachBatch's at-least-once)
+    * converges to the same table. The read-union-overwrite commit is the
+    * format-agnostic merge (same trade as [[mergeUpsert]]); on an ACID table
+    * format the same call site becomes an append + MERGE. */
+  def nearDupIngestBatch(batchRaw: DataFrame, stateDir: String,
+      threshold: Double, k: Int = 3, numHashes: Int = 8, bandSize: Int = 2): Unit = {
+    import graft.ops.Dedup
+    val spark = batchRaw.sparkSession
+    graft.core.TableSwap.recover(spark, stateDir)
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen = if (fs.exists(path)) Some(spark.read.parquet(stateDir)) else None
+
+    val fresh = seen.fold(
+        batchRaw.select(col("doc_id"), col("text")).dropDuplicates("doc_id")) { sn =>
+      batchRaw.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+        .join(sn.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    }.localCheckpoint(true)
+    if (fresh.isEmpty) return
+
+    val freshBands = Dedup.lshBands(
+      Dedup.minhash(Dedup.shingles(fresh, "doc_id", "text", k, dedup = false),
+        "doc_id", numHashes), "doc_id", bandSize, numHashes).localCheckpoint(true)
+    val seenBands = seen.map(_.select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig")))
+
+    // candidate pairs: new doc (id_a) × earlier doc (id_b) — earlier = any
+    // previously-arrived doc, or a smaller-id doc of this same batch
+    val aSide = freshBands.toDF("id_a", "band_a", "sig_a")
+    val bFresh = freshBands.toDF("id_b", "band_b", "sig_b")
+      .withColumn("__arrived", lit(false))
+    val bSide = seenBands.fold(bFresh)(sb =>
+      sb.toDF("id_b", "band_b", "sig_b").withColumn("__arrived", lit(true))
+        .unionByName(bFresh))
+    val cands = aSide.join(bSide,
+        col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
+          (col("__arrived") || col("id_b") < col("id_a")))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_bands"))
+      .localCheckpoint(true)
+
+    // exact-Jaccard verify over CANDIDATE docs only: semi-filter the doc
+    // tables to candidate ids BEFORE the shingle explode (the d8 contract —
+    // a batch never re-pays corpus-wide shingling)
+    val candIds = cands.select(col("id_a").as("__cid"))
+      .unionByName(cands.select(col("id_b").as("__cid"))).distinct()
+    val allDocs = seen.fold(fresh)(sn =>
+      sn.select(col("doc_id"), col("text")).unionByName(fresh))
+    val candDocs = allDocs.join(candIds, allDocs("doc_id") === col("__cid"), "left_semi")
+    val rejected = Dedup.jaccardFor(cands,
+        Dedup.shingles(candDocs, "doc_id", "text", k, dedup = false), "doc_id")
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("doc_id")).distinct()
+
+    val freshRows = fresh
+      .join(rejected.withColumn("__rej", lit(true)), Seq("doc_id"), "left")
+      .withColumn("accepted", col("__rej").isNull).drop("__rej")
+      .join(freshBands.groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("band"), col("sig"))).as("bands")),
+        Seq("doc_id"), "left")
+      .withColumn("bands", coalesce(col("bands"),
+        expr("CAST(array() AS ARRAY<STRUCT<band: INT, sig: STRING>>)")))
+    val merged = seen.fold(freshRows)(_.unionByName(freshRows)).localCheckpoint(true)
+    graft.core.TableSwap.commit(spark, stateDir)(merged.write.parquet(_))
+  }
+
+  /** Continuous near-dup ingest: every micro-batch of the document stream is
+    * gated through [[nearDupIngestBatch]] under a checkpoint, so restarts
+    * resume from the last committed batch and replays converge. */
+  def nearDupIngest(stream: DataFrame, stateDir: String, ckptDir: String,
+      threshold: Double, k: Int = 3, numHashes: Int = 8,
+      bandSize: Int = 2): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch((batch: Dataset[Row], _: Long) =>
+        nearDupIngestBatch(batch.toDF(), stateDir, threshold, k, numHashes, bandSize))
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Gap-based session windows per user: `session_window` keeps a window
     * open while events keep arriving within `gap` of the last one, merging
     * across micro-batches — the streaming form of `ops.Windows.sessionize`

@@ -43,8 +43,10 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def table(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
+    // cast before getLong: key columns are int64 today, but an int32
+    // regeneration would otherwise throw ClassCastException here
     def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
+      df.agg(max(col(key)).cast("long")).head.getLong(0) + 1L
     def replicate(df: DataFrame, n: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until n).map(r => f(df, r)).reduce(_ unionByName _)
     def write(df: DataFrame, n: String): Unit =
@@ -77,11 +79,22 @@ object ScaleUp {
         .withColumn("l_suppkey", col("l_suppkey") + lit(r * kSupp))), "lineitem")
 
     // events: ts stays in TimestampType after the nanos conversion — the
-    // probe events table reads back without the nanos flag
+    // probe events table reads back without the nanos flag.
+    // Each replica shifts by the full source time span + 1 day, so the
+    // event window EXTENDS with the factor (a real corpus accumulates
+    // history) instead of densifying a fixed window — per-time-bucket
+    // occupancy stays constant and proximity-join candidate volume scales
+    // linearly. Per-user deltas are shift-invariant, so within-replica
+    // session/funnel/cooldown structure is byte-identical to the source.
     val ev = graft.core.Tables.events(spark, src)
+    val spanRow = ev.agg(
+      (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("span")).head
+    val shiftUs = spanRow.getLong(0) + 86400L * 1000000L
     write(replicate(ev, factor)((df, r) =>
       df.withColumn("event_id", col("event_id") + lit(r * kEv))
-        .withColumn("user_id", col("user_id") + lit(r * kCust))), "events")
+        .withColumn("user_id", col("user_id") + lit(r * kCust))
+        .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + lit(r * shiftUs)))),
+      "events")
 
     // documents: per-replica word bijection (suffix letter on words >= 5
     // chars); replica 0 untouched

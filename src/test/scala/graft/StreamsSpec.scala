@@ -255,4 +255,59 @@ class StreamsSpec extends AnyFunSuite {
     assert(latest.count() == want.count())
     assert(joined.count() == 0)
   }
+
+  test("nearDupIngest resumes across restarts and matches the batch gate") {
+    import java.nio.file.Files
+    import graft.ops.Dedup
+    val in = Files.createTempDirectory("graft_nd_in")
+    val state = Files.createTempDirectory("graft_nd_state").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_nd_ckpt").toString
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source", "n_chars").localCheckpoint(true)
+    val mid = 250L
+    def arrive(tag: String, part: org.apache.spark.sql.DataFrame): Unit = {
+      val sub = in.resolve(tag)
+      part.coalesce(1).write.parquet(sub.toString)
+      Files.list(sub).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, in.resolve(tag + "_" + p.getFileName.toString))
+      }
+    }
+    def runOnce(): Unit =
+      Streams.nearDupIngest(Streams.documentStream(spark, in.toString),
+        state, ckpt, threshold = 0.5).awaitTermination()
+
+    // wave 1: first half by doc_id; wave 2 arrives after a restart — id-
+    // ordered arrival, so the gate must equal the batch smaller-id pair rule
+    arrive("a", docs.filter(col("doc_id") < mid))
+    runOnce()
+    val n1 = spark.read.parquet(state).count()
+    assert(n1 > 0 && n1 < docs.count(), "first wave only")
+    arrive("b", docs.filter(col("doc_id") >= mid))
+    runOnce()
+    val got = spark.read.parquet(state)
+    assert(got.count() == docs.count(), "every doc seen exactly once")
+    val gotAccepted = got.filter(col("accepted")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+    // batch reference: doc rejected iff some lshCandidates pair with a
+    // smaller-id doc verifies at exact Jaccard >= 0.5
+    val bands = Dedup.lshBands(Dedup.minhash(
+      Dedup.shingles(docs, "doc_id", "text", 3, dedup = false), "doc_id", 8),
+      "doc_id", 2, 8)
+    val rejected = Dedup.jaccardFor(Dedup.lshCandidates(bands, "doc_id"),
+        Dedup.shingles(docs, "doc_id", "text", 3), "doc_id")
+      .filter(col("jaccard") >= 0.5)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val wantAccepted = docs.select("doc_id").collect().map(_.getLong(0)).toSet -- rejected
+    assert(gotAccepted == wantAccepted)
+
+    // replay idempotence: re-merging an already-seen batch is a no-op (the
+    // foreachBatch at-least-once contract after a crash mid-commit)
+    Streams.nearDupIngestBatch(docs.filter(col("doc_id") < mid), state, 0.5)
+    val replayed = spark.read.parquet(state)
+    assert(replayed.count() == docs.count())
+    assert(replayed.filter(col("accepted")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == wantAccepted)
+  }
 }
