@@ -116,11 +116,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects unless
+  /** `events.ts` has shipped in two parquet generations. The original files
+    * store TIMESTAMP(NANOS), which Spark 4 rejects unless
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set by every session builder
-    * in this repo) — that reads it as epoch-nanos LongType. Convert to a
+    * in this repo) — that reads it as epoch-nanos LongType, converted here to
     * microsecond TimestampType by integral division, the exact truncation
-    * DuckDB applies when it reads the same file as TIMESTAMP. */
+    * DuckDB applies when it reads the same file as TIMESTAMP. Regenerated
+    * files store TIMESTAMP(MICROS, isAdjustedToUTC=false); every session also
+    * sets `spark.sql.parquet.inferTimestampNTZ.enabled=false` so those read
+    * as plain (UTC-session) TimestampType with the same epoch-micros values
+    * DuckDB sees — not TIMESTAMP_NTZ, which half the time-axis functions
+    * (`unix_micros` etc.) reject. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")
     if (raw.schema("ts").dataType == LongType)

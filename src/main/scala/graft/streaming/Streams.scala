@@ -18,18 +18,33 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Parquet schema of the events table as written by the generator (ts is
+  /** Parquet schema of the events table in its original generation (ts is
     * nanos-as-long under `spark.sql.legacy.parquet.nanosAsLong`). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Regenerated-file schema: ts is TIMESTAMP(MICROS) (read as UTC-session
+    * TimestampType — `inferTimestampNTZ` disabled everywhere). */
+  val eventsMicrosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   /** File-based event stream over a directory of parquet files, normalized to
-    * a microsecond `ts` timestamp. */
+    * a microsecond `ts` timestamp. Streaming sources need a declared schema;
+    * sniff the footer with a driver-side batch read so both file generations
+    * work (see [[graft.core.Tables.events]] for the two-generation story —
+    * declaring the wrong one silently yields NULL event time, which a
+    * watermark never advances past: append-mode output stays empty forever).
+    */
   def eventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsRawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (spark.read.parquet(dir).schema("ts").dataType == LongType)
+      spark.readStream.schema(eventsRawSchema).parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream.schema(eventsMicrosSchema).parquet(dir)
 
   /** Streaming read of the documents table (curation front door). */
   def documentStream(spark: SparkSession, dir: String): DataFrame =

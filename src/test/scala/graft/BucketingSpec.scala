@@ -19,6 +19,7 @@ class BucketingSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
