@@ -689,4 +689,107 @@ object TextAnalysis {
       .withColumn("contam_ratio",
         round(col("n_contam").cast("double") / col("n_shingles"), 6))
   }
+
+  /** [[contamination]] with a Bloom-filter semi-join reduction — the shape
+    * that survives a benchmark set too large to broadcast as strings.
+    *
+    * [[contamination]] ships every distinct benchmark shingle STRING to
+    * every executor; at ~30 bytes a shingle that broadcast grows linearly
+    * with the benchmark suite. Here the benchmark side collapses to a
+    * Bloom filter (`~10 bits/item` at fpp 0.01 — 3 orders of magnitude
+    * smaller), built with Spark's public sketch API
+    * (`DataFrameStat.bloomFilter`, the same `util.sketch.BloomFilter` the
+    * optimizer's runtime-filter injection uses). Train shingles probe the
+    * broadcast filter map-side; only the surviving sliver (true overlap +
+    * fpp of the corpus) reaches the exact verify join, which removes false
+    * positives. Since a Bloom filter has NO false negatives, the result is
+    * byte-identical to [[contamination]] — same oracle, hash-gated.
+    *
+    * The probe is a Scala UDF: sketch membership has no public codegen'd
+    * function (`might_contain` is optimizer-internal), and the UDF sits
+    * behind the Generate in a stage that is shingle-explode-bound, not
+    * probe-bound. Per-doc totals aggregate map-side in the same pass shape
+    * as the exact variant; the corpus text never re-ships. */
+  def contaminationBloom(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int, fpp: Double = 0.01): DataFrame = {
+    val benchSh = Dedup.shingles(bench, idCol, textCol, k)
+      .select(col("shingle")).distinct().localCheckpoint(true)
+    val expected = math.max(benchSh.count(), 1L)
+    val bf = benchSh.stat.bloomFilter("shingle", expected, fpp)
+    val bfBc = train.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfBc.value.mightContainString(s))
+    val trainSh = Dedup.shingles(train, idCol, textCol, k)
+    val totals = trainSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.filter(mightContain(col("shingle")))
+      .join(benchSh, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contam"))
+    totals.join(hits, Seq(idCol), "left")
+      .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
+      .withColumn("contam_ratio",
+        round(col("n_contam").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** Corpus-duplicated substring runs (the exact-substring-dedup signal of
+    * Lee et al. '21, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 — re-expressed relationally: k-gram anchors
+    * + interval union instead of a suffix array, which has no natural
+    * distributed form).
+    *
+    * A token position is "duplicated" when its k-gram occurs >= 2 times
+    * corpus-WIDE (within-doc repeats count — a doc quoting itself is still
+    * duplicated text). Per doc, the covered intervals `[pos, pos+k-1]` of
+    * duplicated positions merge into maximal spans (classic interval-union
+    * via a running-max window), giving exact duplicated-token coverage —
+    * NOT `sum(runs) * k`, which over-counts overlaps.
+    *
+    * Returns one row per input doc: (idCol, n_tokens, n_dup_grams,
+    * n_dup_spans, longest_dup_span, dup_token_frac, dup_heavy). Docs with
+    * < k tokens or no duplicated grams report zeros.
+    *
+    * Scale shape: one corpus shingle explode; the frequency count shuffles
+    * the narrow md5 key (map-side combinable); duplicated positions
+    * semi-join on the same key; the window runs per-doc (partitioned, no
+    * global order). The df >= 2 anchor set is the only corpus-global state
+    * and it shrinks with dedup quality. */
+  def dupSubstringRuns(df: DataFrame, idCol: String, textCol: String,
+      k: Int, heavyFrac: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol), split(col(textCol), " ").as("__words"))
+      .filter(size(col("__words")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, size(__words) - $k),
+           |  i -> array_join(slice(__words, i + 1, $k), ' '))""".stripMargin))
+        .as(Seq("__pos", "__gram")))
+      .select(col(idCol), col("__pos").cast("long").as("__pos"),
+        md5(col("__gram")).as("__k"))
+    val dupKeys = sh.groupBy(col("__k")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2).select(col("__k"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val spans = sh.join(dupKeys, Seq("__k"), "left_semi")
+      .withColumn("__end", col("__pos") + lit(k - 1).cast("long"))
+      .withColumn("__pmax", max(col("__end"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__pos") > col("__pmax") + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("__seg", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val segs = spans.groupBy(col(idCol), col("__seg"))
+      .agg(min(col("__pos")).as("__s"), max(col("__end")).as("__e"),
+        count(lit(1)).as("__grams"))
+      .withColumn("__cover", col("__e") - col("__s") + 1L)
+    val perDoc = segs.groupBy(col(idCol)).agg(
+      sum(col("__grams")).as("n_dup_grams"),
+      count(lit(1)).as("n_dup_spans"),
+      max(col("__cover")).as("longest_dup_span"),
+      sum(col("__cover")).as("__covered"))
+    df.select(col(idCol), wsTokens(col(textCol)).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("longest_dup_span"), lit(0L)).as("longest_dup_span"),
+        round(coalesce(col("__covered"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_token_frac"))
+      .withColumn("dup_heavy", col("dup_token_frac") >= heavyFrac)
+  }
 }

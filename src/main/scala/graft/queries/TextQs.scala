@@ -22,6 +22,28 @@ object TextQs {
        |  cum_before % 2048 + n_tokens > 2048 AS straddles
        |FROM c""".stripMargin
 
+  // Shared by t6 and t6b: the bloom path is exact (no false negatives +
+  // verify join), so both decontamination plans share one oracle verbatim.
+  private val decontaminateOracle: String =
+    """WITH bsh AS (
+      |  SELECT DISTINCT unnest(list_transform(
+      |    range(greatest(len(string_split(text, ' ')) - 4, 0)),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' '))) AS shingle
+      |  FROM documents WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 5),
+      |tsh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(greatest(len(string_split(text, ' ')) - 4, 0)),
+      |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' '))) AS shingle
+      |  FROM documents WHERE doc_id % 97 <> 0 AND len(string_split(text, ' ')) >= 5),
+      |ns AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tsh GROUP BY 1),
+      |hits AS (SELECT doc_id, COUNT(*) AS n_contam
+      |         FROM tsh JOIN bsh USING (shingle) GROUP BY 1)
+      |SELECT ns.doc_id, n_shingles,
+      |  COALESCE(n_contam, 0) AS n_contam,
+      |  round(CAST(COALESCE(n_contam, 0) AS DOUBLE) / n_shingles, 6) AS contam_ratio,
+      |  COALESCE(n_contam, 0) > 0 AS flagged
+      |FROM ns LEFT JOIN hits USING (doc_id)""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // T1: n-gram/stopword language-ID heuristic vs the labeled lang column.
@@ -233,6 +255,54 @@ object TextQs {
              |GROUP BY doc_id""".stripMargin),
       bench = true),
 
+    // T22: corpus-duplicated substring runs (Lee et al. '21 exact-substring
+    // dedup signal, k-gram anchors + interval union instead of a suffix
+    // array). Cross-doc complement of t7's within-doc dup fraction: a
+    // position is duplicated when its 8-gram occurs >= 2 times corpus-wide;
+    // covered intervals merge per doc into maximal spans.
+    Q("t22_dup_substring_runs",
+      (s, d) => TextAnalysis.dupSubstringRuns(
+        Tables.documents(s, d), "doc_id", "text", k = 8),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(range(len(w) - 7)) AS pos,
+             |    unnest(list_transform(range(len(w) - 7),
+             |      i -> array_to_string(w[i+1:i+8], ' '))) AS gram
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |  WHERE len(w) >= 8),
+             |freq AS (SELECT gram FROM sh GROUP BY 1 HAVING COUNT(*) >= 2),
+             |sp AS (
+             |  SELECT doc_id, pos, pos + 7 AS e,
+             |    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |  FROM sh JOIN freq USING (gram)),
+             |seg AS (
+             |  SELECT doc_id, pos, e,
+             |    SUM(CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+             |  FROM sp),
+             |segs AS (
+             |  SELECT doc_id, seg_id, MIN(pos) AS s, MAX(e) AS e,
+             |    COUNT(*) AS grams
+             |  FROM seg GROUP BY 1, 2),
+             |per AS (
+             |  SELECT doc_id, CAST(SUM(grams) AS BIGINT) AS n_dup_grams,
+             |    CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+             |    CAST(MAX(e - s + 1) AS BIGINT) AS longest_dup_span,
+             |    SUM(e - s + 1) AS covered
+             |  FROM segs GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             |  COALESCE(n_dup_grams, 0) AS n_dup_grams,
+             |  COALESCE(n_dup_spans, 0) AS n_dup_spans,
+             |  COALESCE(longest_dup_span, 0) AS longest_dup_span,
+             |  round(CAST(COALESCE(covered, 0) AS DOUBLE)
+             |    / len(string_split(d.text, ' ')), 6) AS dup_token_frac,
+             |  round(CAST(COALESCE(covered, 0) AS DOUBLE)
+             |    / len(string_split(d.text, ' ')), 6) >= 0.5 AS dup_heavy
+             |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin),
+      bench = true),
+
     // T6: benchmark decontamination — per training doc, the share of its
     // distinct 5-gram shingles that appear anywhere in the held-out
     // benchmark slice (here: doc_id % 97 == 0). One shingle equi-join,
@@ -245,24 +315,23 @@ object TextQs {
             docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 5)
           .withColumn("flagged", col("n_contam") > 0)
       },
-      Some("""WITH bsh AS (
-             |  SELECT DISTINCT unnest(list_transform(
-             |    range(greatest(len(string_split(text, ' ')) - 4, 0)),
-             |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' '))) AS shingle
-             |  FROM documents WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 5),
-             |tsh AS (
-             |  SELECT DISTINCT doc_id, unnest(list_transform(
-             |    range(greatest(len(string_split(text, ' ')) - 4, 0)),
-             |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' '))) AS shingle
-             |  FROM documents WHERE doc_id % 97 <> 0 AND len(string_split(text, ' ')) >= 5),
-             |ns AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tsh GROUP BY 1),
-             |hits AS (SELECT doc_id, COUNT(*) AS n_contam
-             |         FROM tsh JOIN bsh USING (shingle) GROUP BY 1)
-             |SELECT ns.doc_id, n_shingles,
-             |  COALESCE(n_contam, 0) AS n_contam,
-             |  round(CAST(COALESCE(n_contam, 0) AS DOUBLE) / n_shingles, 6) AS contam_ratio,
-             |  COALESCE(n_contam, 0) > 0 AS flagged
-             |FROM ns LEFT JOIN hits USING (doc_id)""".stripMargin)),
+      Some(decontaminateOracle)),
+
+    // T6b: the same decontamination through the Bloom-filter semi-join
+    // reduction — the benchmark side ships as a ~10-bits/shingle sketch
+    // instead of a string broadcast, train shingles probe it map-side, and
+    // only bloom survivors reach the exact verify join. No false
+    // negatives, so the output (and oracle) is byte-identical to t6; the
+    // bloom false-positive sliver is removed by the verify join.
+    Q("t6b_decontaminate_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.contaminationBloom(
+            docs.filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 5)
+          .withColumn("flagged", col("n_contam") > 0)
+      },
+      Some(decontaminateOracle)),
 
     // T12: Gopher-style repetition gate — head-concentration metrics
     // (top-word / top-bigram fraction, distinct-word ratio) complementing

@@ -252,6 +252,45 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 0L, 0.0)))
   }
 
+  test("TextAnalysis.contaminationBloom equals contamination, even at fpp 0.5") {
+    val rnd = new scala.util.Random(7)
+    def doc(i: Int) = (i.toLong,
+      (1 to 20).map(_ => s"w${rnd.nextInt(40)}").mkString(" "))
+    val train = (1 to 30).map(doc).toDF("doc_id", "text")
+    val bench = (100 to 104).map(doc).toDF("doc_id", "text")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val exact = canon(TextAnalysis.contamination(train, bench, "doc_id", "text", 3))
+    // fpp 0.5 floods the bloom with false positives; the verify join must
+    // still make the output byte-identical to the exact path
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = canon(TextAnalysis.contaminationBloom(
+        train, bench, "doc_id", "text", 3, fpp = fpp))
+      assert(got == exact, s"fpp=$fpp")
+    }
+  }
+
+  test("TextAnalysis.dupSubstringRuns merges overlapping runs exactly") {
+    val df = Seq(
+      (1L, "a b c d e f g"),          // dup grams at pos 0,1 -> one span [0,3]
+      (2L, "x a b c d y z"),          // dup grams at pos 1,2 -> one span [1,4]
+      (3L, "p q"),                    // < k tokens: zero row
+      (5L, "a b c q r s t a b c")     // self-repeat: spans [0,2] and [7,9]
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSubstringRuns(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getBoolean(6)))).toMap
+    // doc1: "a b c","b c d" duplicated (shared with doc2/doc5) -> intervals
+    // [0,2],[1,3] merge to cover 4 of 7 tokens
+    assert(got(1L) == ((7L, 2L, 1L, 4L, 0.571429, true)))
+    assert(got(2L) == ((7L, 2L, 1L, 4L, 0.571429, true)))
+    assert(got(3L) == ((2L, 0L, 0L, 0L, 0.0, false)))
+    // doc5: "a b c" twice within the doc -> two separated spans of 3
+    assert(got(5L) == ((10L, 2L, 2L, 3L, 0.6, true)))
+  }
+
   test("TextAnalysis.dupNgramStats measures repetition exactly") {
     val df = Seq(
       (1L, "a b a b a b"),   // 3-grams: aba, bab, aba, bab -> 4 total, 2 distinct
