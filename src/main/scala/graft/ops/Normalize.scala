@@ -29,6 +29,15 @@ object Normalize {
   def abGroupSql(e: String, groups: Int = 10): String =
     s"CAST(CAST(('0x' || substr(md5($e), 32, 1)) AS BIGINT) % $groups AS BIGINT)"
 
+  /** Stable hash bucket over `buckets` values — the first 8 md5 hex chars
+    * (32 bits, far above any practical bucket count) mod `buckets`.
+    * Engine-portable like [[abGroup]]: identical bytes→digest everywhere. */
+  def hashBucket(c: Column, buckets: Int): Column =
+    (conv(substring(md5(c), 1, 8), 16, 10).cast("long") % buckets).cast("long")
+
+  def hashBucketSql(e: String, buckets: Int): String =
+    s"CAST(CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT) % $buckets AS BIGINT)"
+
   /** Common TLD typo → correction, the reference's DOMAIN_TYPO_CORRECTIONS
     * (`customer_matching.py:131-160`). */
   val TldTypos: Seq[(String, String)] = Seq(

@@ -333,6 +333,41 @@ object TextQs {
       },
       Some(decontaminateOracle)),
 
+    // T23: DSIR importance scores (Xie et al. '23) — hashed-unigram
+    // log-likelihood ratio between the curated target slice (en + quality
+    // >= 0.8, the c2 gate pair) and the rest; per-doc count-weighted sum.
+    // The ratio table is exactly 1024 rows (broadcast); per-bucket ratios
+    // pin to DECIMAL(18,4) so the weighted sum is order-independent.
+    Q("t23_dsir_importance",
+      (s, d) => TextAnalysis.dsirScores(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8),
+      Some(s"""WITH w AS (
+              |  SELECT doc_id,
+              |    (lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8) AS t,
+              |    unnest(string_split(text, ' ')) AS word
+              |  FROM documents),
+              |db AS (
+              |  SELECT doc_id, t, ${graft.ops.Normalize.hashBucketSql("word", 1024)} AS b,
+              |    CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM w WHERE word <> '' GROUP BY 1, 2, 3),
+              |bc AS (
+              |  SELECT b, SUM(CASE WHEN t THEN cnt ELSE 0 END) AS ct,
+              |    SUM(CASE WHEN NOT t THEN cnt ELSE 0 END) AS cr
+              |  FROM db GROUP BY 1),
+              |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bc),
+              |lam AS (
+              |  SELECT b, CAST(round(
+              |    ln((ct + 1) / CAST(tt + 1024 AS DOUBLE)) -
+              |    ln((cr + 1) / CAST(tr + 1024 AS DOUBLE)), 4) AS DECIMAL(18,4)) AS lam
+              |  FROM bc CROSS JOIN tot)
+              |SELECT doc_id, bool_or(t) AS is_target,
+              |  CAST(SUM(cnt) AS BIGINT) AS n_words,
+              |  round(CAST(SUM(cnt * lam) AS DOUBLE), 6) AS dsir_score,
+              |  round(CAST(SUM(cnt * lam) AS DOUBLE), 6) > 0 AS target_like
+              |FROM db JOIN lam USING (b)
+              |GROUP BY 1""".stripMargin),
+      bench = true),
+
     // T12: Gopher-style repetition gate — head-concentration metrics
     // (top-word / top-bigram fraction, distinct-word ratio) complementing
     // t7's duplicated-tail fraction. Two map-side-combinable gram aggs,

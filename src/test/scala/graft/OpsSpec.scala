@@ -252,6 +252,41 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 0L, 0.0)))
   }
 
+  test("TextAnalysis.dsirScores matches a driver-side reference computation") {
+    val B = 64
+    val docs = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the dog ran fast", true),
+      (3L, "lorem ipsum dolor sit amet", false),
+      (4L, "cat dog lorem the", false))
+    val df = docs.map { case (i, t, _) => (i, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.dsirScores(df, "doc_id", "text", col("doc_id") <= 2, B)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // reference computation: buckets come from the same engine expression,
+    // the ratio/scoring math is recomputed independently with BigDecimal
+    val words = docs.flatMap { case (i, t, tgt) => t.split(" ").map(w => (i, tgt, w)) }
+    val bmap = words.map(_._3).distinct.toDF("w")
+      .select(col("w"), Normalize.hashBucket(col("w"), B).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ct = words.filter(_._2).groupBy(w => bmap(w._3)).view.mapValues(_.size).toMap
+    val cr = words.filterNot(_._2).groupBy(w => bmap(w._3)).view.mapValues(_.size).toMap
+    val (tt, tr) = (words.count(_._2), words.count(!_._2))
+    def lam(b: Long): BigDecimal = BigDecimal(
+      math.log((ct.getOrElse(b, 0) + 1).toDouble / (tt + B)) -
+      math.log((cr.getOrElse(b, 0) + 1).toDouble / (tr + B)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    for ((id, _, _) <- docs.map(d => (d._1, d._2, d._3)).distinct) {
+      val mine = words.filter(_._1 == id)
+      val score = mine.map(w => lam(bmap(w._3))).sum.toDouble
+      val (isT, nW, s, tl) = got(id)
+      assert(isT == docs.find(_._1 == id).get._3)
+      assert(nW == mine.size.toLong)
+      assert(s == score, s"doc $id")
+      assert(tl == (score > 0))
+    }
+  }
+
   test("TextAnalysis.contaminationBloom equals contamination, even at fpp 0.5") {
     val rnd = new scala.util.Random(7)
     def doc(i: Int) = (i.toLong,

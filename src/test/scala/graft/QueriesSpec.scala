@@ -93,7 +93,8 @@ class QueriesSpec extends AnyFunSuite {
     "c2_curation_v2",          // inherits t15's 1-row grand-total broadcast
     "t17_temperature_mix",     // 1-row source-min broadcast onto the rate table
     "k8_ann_recall",           // contains k1's exact brute-force baseline by definition
-    "t15_unigram_surprisal"    // 1-row corpus-total broadcast (same shape as a6)
+    "t15_unigram_surprisal",   // 1-row corpus-total broadcast (same shape as a6)
+    "t23_dsir_importance"      // 1-row corpus-total broadcast onto the B-row ratio table
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
