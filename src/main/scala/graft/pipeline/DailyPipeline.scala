@@ -80,6 +80,25 @@ object DailyPipeline {
             docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 5),
           s"$outDir/decontamination_report")
       }),
+      // corpus-health twin of the decontamination report: duplicated-
+      // substring coverage (Lee et al. '21 signal) over the raw corpus —
+      // upstream of curation so heavy cross-doc duplication is visible
+      // BEFORE the near-dup gates act on it
+      Job("dup_substring_report", Nil, s =>
+        Tables.write(
+          graft.ops.TextAnalysis.dupSubstringRuns(
+            Tables.documents(s, sfDir), "doc_id", "text", k = 8),
+          s"$outDir/dup_substring_report")),
+      // DSIR importance scores against the curated target distribution —
+      // the data-selection side-channel: which raw docs LOOK curated,
+      // regardless of whether the gates kept them
+      Job("dsir_scores", Nil, s =>
+        Tables.write(
+          graft.ops.TextAnalysis.dsirScores(
+            Tables.documents(s, sfDir), "doc_id", "text",
+            col("lang") === "en" &&
+              graft.ops.TextAnalysis.qualityScore("text") >= 0.8),
+          s"$outDir/dsir_scores")),
       // train/val/test assignment for the MATERIALIZED curated corpus —
       // keyed on the content fingerprint (exact dups can never straddle
       // train/eval), so the assignment survives reprocessing verbatim.
