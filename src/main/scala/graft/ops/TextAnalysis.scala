@@ -712,11 +712,28 @@ object TextAnalysis {
     * as the exact variant; the corpus text never re-ships. */
   def contaminationBloom(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, k: Int, fpp: Double = 0.01): DataFrame = {
+    val (benchSh, bfBc) = benchShingleBloom(bench, idCol, textCol, k, fpp)
+    contaminationVsBloom(train, benchSh, bfBc, idCol, textCol, k)
+  }
+
+  /** Build-once half of [[contaminationBloom]]: the benchmark's distinct
+    * shingles (eagerly materialized) plus their broadcast Bloom filter.
+    * Streaming ingest builds this once and applies it per micro-batch. */
+  def benchShingleBloom(bench: DataFrame, idCol: String, textCol: String,
+      k: Int, fpp: Double): (DataFrame,
+        org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) = {
     val benchSh = Dedup.shingles(bench, idCol, textCol, k)
       .select(col("shingle")).distinct().localCheckpoint(true)
     val expected = math.max(benchSh.count(), 1L)
     val bf = benchSh.stat.bloomFilter("shingle", expected, fpp)
-    val bfBc = train.sparkSession.sparkContext.broadcast(bf)
+    (benchSh, bench.sparkSession.sparkContext.broadcast(bf))
+  }
+
+  /** Apply half of [[contaminationBloom]]: probe `train` against a prebuilt
+    * benchmark bloom + exact verify set. */
+  def contaminationVsBloom(train: DataFrame, benchSh: DataFrame,
+      bfBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      idCol: String, textCol: String, k: Int): DataFrame = {
     val mightContain = udf((s: String) => s != null && bfBc.value.mightContainString(s))
     val trainSh = Dedup.shingles(train, idCol, textCol, k)
     val totals = trainSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))

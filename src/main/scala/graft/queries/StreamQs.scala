@@ -272,6 +272,29 @@ object StreamQs {
               |  WHERE round(COALESCE(n_inter, 0)
               |    / CAST(sa.n_sh + sb.n_sh - COALESCE(n_inter, 0) AS DOUBLE), 6) >= 0.5)
               |SELECT d.doc_id, r.doc_id IS NULL AS accepted
-              |FROM documents d LEFT JOIN rej r ON d.doc_id = r.doc_id""".stripMargin))
+              |FROM documents d LEFT JOIN rej r ON d.doc_id = r.doc_id""".stripMargin)),
+
+    // ST8: streaming benchmark decontamination — the t6/t6b gate as an
+    // ingest seat: the benchmark shingle set collapses once to a broadcast
+    // Bloom filter + exact verify frame, each arriving micro-batch probes
+    // it map-side and upserts its per-doc report keyed on doc_id. Per-doc
+    // results are batching- and arrival-order-independent, so the state
+    // table equals the batch result exactly — the same oracle as t6/t6b.
+    Q("st8_stream_decontaminate",
+      (s, d) => {
+        val ss = streamSession(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_st8_").toString
+        val docs = graft.core.Tables.documents(ss, d)
+        Streams.decontaminateIngest(
+            Streams.documentStream(ss, asStreamDir(s"$d/documents.parquet"))
+              .filter(col("doc_id") % 97 =!= 0),
+            docs.filter(col("doc_id") % 97 === 0),
+            s"$base/state", s"$base/ckpt")
+          .awaitTermination()
+        ss.read.parquet(s"$base/state")
+          .select(col("doc_id"), col("n_shingles"), col("n_contam"),
+            col("contam_ratio"), col("flagged"))
+      },
+      Some(TextQs.decontaminateOracle))
   )
 }

@@ -22,9 +22,10 @@ object TextQs {
        |  cum_before % 2048 + n_tokens > 2048 AS straddles
        |FROM c""".stripMargin
 
-  // Shared by t6 and t6b: the bloom path is exact (no false negatives +
-  // verify join), so both decontamination plans share one oracle verbatim.
-  private val decontaminateOracle: String =
+  // Shared by t6, t6b, and st8: the bloom path is exact (no false
+  // negatives + verify join) and the streaming upsert is per-doc
+  // deterministic, so all three decontamination plans share one oracle.
+  private[queries] val decontaminateOracle: String =
     """WITH bsh AS (
       |  SELECT DISTINCT unnest(list_transform(
       |    range(greatest(len(string_split(text, ' ')) - 4, 0)),

@@ -205,6 +205,37 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Continuous benchmark decontamination on ingest: the benchmark shingle
+    * set collapses ONCE to (distinct-shingle frame, broadcast Bloom filter)
+    * — `TextAnalysis.benchShingleBloom` — and every micro-batch of arriving
+    * docs probes the bloom map-side, exact-verifies the survivors, and
+    * upserts its per-doc report (n_shingles, n_contam, contam_ratio,
+    * flagged) into `stateDir` keyed on the doc id.
+    *
+    * Per-doc results are independent of batching and arrival order, so the
+    * committed state converges to the batch `contamination` result exactly;
+    * [[mergeUpsert]]'s keyed keep-newest makes a replayed micro-batch after
+    * a crash a no-op (per-doc rows are deterministic). The benchmark side
+    * is paid once per STREAM, not once per batch — the build-once/apply-
+    * many split that matters when the trigger fires every few seconds. */
+  def decontaminateIngest(stream: DataFrame, bench: DataFrame,
+      stateDir: String, ckptDir: String, k: Int = 5,
+      fpp: Double = 0.01): StreamingQuery = {
+    import graft.ops.TextAnalysis
+    val (benchSh, bfBc) =
+      TextAnalysis.benchShingleBloom(bench, "doc_id", "text", k, fpp)
+    stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val report = TextAnalysis.contaminationVsBloom(
+            batch.toDF(), benchSh, bfBc, "doc_id", "text", k)
+          .withColumn("flagged", col("n_contam") > 0)
+        mergeUpsert(report, stateDir, "doc_id", "n_shingles", "n_contam")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Gap-based session windows per user: `session_window` keeps a window
     * open while events keep arriving within `gap` of the last one, merging
     * across micro-batches — the streaming form of `ops.Windows.sessionize`

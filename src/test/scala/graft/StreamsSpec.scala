@@ -256,6 +256,53 @@ class StreamsSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("decontaminateIngest resumes across restarts and equals the batch gate") {
+    import java.nio.file.Files
+    import graft.ops.TextAnalysis
+    val in = Files.createTempDirectory("graft_dc_in")
+    val state = Files.createTempDirectory("graft_dc_state").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_dc_ckpt").toString
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source", "n_chars").localCheckpoint(true)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    def arrive(tag: String, part: org.apache.spark.sql.DataFrame): Unit = {
+      val sub = in.resolve(tag)
+      part.coalesce(1).write.parquet(sub.toString)
+      Files.list(sub).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, in.resolve(tag + "_" + p.getFileName.toString))
+      }
+    }
+    def runOnce(): Unit =
+      Streams.decontaminateIngest(
+        Streams.documentStream(spark, in.toString)
+          .filter(col("doc_id") % 97 =!= 0),
+        bench, state, ckpt).awaitTermination()
+
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "n_shingles", "n_contam", "contam_ratio")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = canon(TextAnalysis.contamination(train, bench, "doc_id", "text", 5))
+
+    val mid = 250L
+    arrive("a", docs.filter(col("doc_id") < mid))
+    runOnce()
+    val n1 = spark.read.parquet(state).count()
+    assert(n1 > 0 && n1 < want.size, "first wave only")
+    arrive("b", docs.filter(col("doc_id") >= mid))
+    runOnce()
+    assert(canon(spark.read.parquet(state)) == want)
+
+    // replayed batch after a crash mid-commit: keyed upsert is a no-op
+    val report = TextAnalysis.contaminationBloom(
+        train.filter(col("doc_id") < mid), bench, "doc_id", "text", 5)
+      .withColumn("flagged", col("n_contam") > 0)
+    Streams.mergeUpsert(report, state, "doc_id", "n_shingles", "n_contam")
+    assert(canon(spark.read.parquet(state)) == want)
+  }
+
   test("nearDupIngest resumes across restarts and matches the batch gate") {
     import java.nio.file.Files
     import graft.ops.Dedup
