@@ -96,6 +96,45 @@ object SimilaritySearch {
       .select(col(idCol), col("l2_dist"), col("rank"))
   }
 
+  /** SQ8 scalar quantization (the faiss `ScalarQuantizer` QT_8bit pattern):
+    * per-vector symmetric int8 codes `q_i = round(x_i / s)`, `s = max|x| /
+    * 127`. Codes ship at 1 byte/dim instead of 4 — the index-memory story
+    * between raw floats and PQ's m bytes/vector — here held as
+    * `array<float>` of exact small integers so the same FloatDot codegen
+    * fold scores them. The approximate cosine is scale-FREE
+    * (`dot(qa,qb) / sqrt(dot(qa,qa) * dot(qb,qb))` — the per-vector scales
+    * cancel), and every dot is exact integer arithmetic in double (|q| <=
+    * 127, any practical dim stays far under 2^53), so unlike PQ's learned
+    * codebooks the whole path is engine-exact and fully oracle-replicable.
+    * Quantization itself is the one-time index build (interpreted max-abs
+    * lambda per vector); the query path touches only codes. */
+  def sq8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), col(vecCol),
+      (expr(s"aggregate($vecCol, 0D, (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
+        / 127.0).as("sq_scale"))
+      .withColumn("sq_code", expr(
+        s"""CASE WHEN sq_scale = 0D THEN transform($vecCol, x -> CAST(0 AS FLOAT))
+           |ELSE transform($vecCol,
+           |  x -> CAST(round(CAST(x AS DOUBLE) / sq_scale, 0) AS FLOAT)) END""".stripMargin))
+      .select(col(idCol), col("sq_scale"), col("sq_code"))
+
+  /** Brute-force top-k by SQ8 approximate cosine — [[topKNeighbors]] run
+    * entirely over quantized codes. Output: (idCol, sq8_cos, rank). */
+  def topKNeighborsSq8(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    registerFns(emb)
+    val codes = sq8Codes(emb, idCol, vecCol)
+    val q = codes.filter(col(idCol) === queryId)
+      .select(col("sq_code").as("q_code"),
+        sqrt(expr(normSqExpr("sq_code")).cast("double")).as("q_qnorm"))
+    val scored = codes.filter(col(idCol) =!= queryId).crossJoin(broadcast(q))
+      .withColumn("c_qnorm", sqrt(expr(normSqExpr("sq_code")).cast("double")))
+      .withColumn("cos_sim", round(
+        expr(dotExpr("sq_code", "q_code")).cast("double") /
+          (col("c_qnorm") * col("q_qnorm")), 6))
+    rankTopK(scored, idCol, k).withColumnRenamed("cos_sim", "sq8_cos")
+  }
+
   /** Deterministic top-k + 1-based rank. `orderBy.limit` is
     * TakeOrderedAndProject (per-partition k-row heaps, k-row merge) — the
     * global row_number window it replaces funneled the whole scored set into

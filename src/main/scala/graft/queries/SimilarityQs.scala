@@ -112,6 +112,39 @@ object SimilarityQs {
               |QUALIFY row_number() OVER (ORDER BY cos_sim DESC, vec_id) <= 10""".stripMargin),
       bench = true),
 
+    // K9: SQ8 scalar-quantized ANN (faiss QT_8bit pattern) — top-10 by
+    // approximate cosine over per-vector symmetric int8 codes. The scales
+    // cancel out of the cosine, every dot is exact integer arithmetic, so
+    // the whole path is oracle-REPLICATED (full hash gate), not verdict-
+    // gated like the learned-codebook paths: quantization is deterministic
+    // arithmetic both engines can run.
+    Q("k9_sq8_ann",
+      (s, d) => SimilaritySearch.topKNeighborsSq8(
+        Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 10),
+      Some(s"""WITH sc AS (
+              |  SELECT vec_id, embedding,
+              |    list_max(list_transform(embedding,
+              |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+              |  FROM embeddings),
+              |codes AS (
+              |  SELECT vec_id,
+              |    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+              |         ELSE list_transform(embedding,
+              |           x -> round(CAST(x AS DOUBLE) / s, 0)) END AS qv
+              |  FROM sc),
+              |q AS (SELECT qv AS q_qv FROM codes WHERE vec_id = 0),
+              |scored AS (
+              |  SELECT vec_id, round(
+              |    (SELECT SUM(qv[i + 1] * q_qv[i + 1]) FROM range($dim) t(i)) /
+              |    (sqrt((SELECT SUM(qv[i + 1] * qv[i + 1]) FROM range($dim) t(i))) *
+              |     sqrt((SELECT SUM(q_qv[i + 1] * q_qv[i + 1]) FROM range($dim) t(i)))),
+              |    6) AS sq8_cos
+              |  FROM codes, q WHERE vec_id <> 0)
+              |SELECT vec_id, sq8_cos,
+              |  CAST(row_number() OVER (ORDER BY sq8_cos DESC, vec_id) AS BIGINT) AS rank
+              |FROM scored
+              |QUALIFY row_number() OVER (ORDER BY sq8_cos DESC, vec_id) <= 10""".stripMargin)),
+
     // K2: partition-pruned ANN — search only the query's coarse bucket
     // (label = stand-in IVF cell). The scan shrinks by the bucket count; on a
     // cluster the bucket is the partition-pruning key.

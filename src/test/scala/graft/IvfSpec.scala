@@ -36,6 +36,37 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf.map(x => labels(x._1)).distinct.length <= 3)
   }
 
+  test("sq8Codes: integral codes bounded by 127, reconstruction within s/2") {
+    val codes = SimilaritySearch.sq8Codes(emb, "vec_id", "embedding")
+      .join(emb, "vec_id").collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val s = r.getAs[Double]("sq_scale")
+      val q = r.getAs[scala.collection.Seq[Float]]("sq_code")
+      val x = r.getAs[scala.collection.Seq[Float]]("embedding")
+      assert(q.forall(v => v == math.rint(v) && math.abs(v) <= 127.0f))
+      // symmetric quantizer contract: |x - s*q| <= s/2 per element
+      q.zip(x).foreach { case (qi, xi) =>
+        assert(math.abs(xi.toDouble - s * qi) <= s / 2 + 1e-12)
+      }
+    }
+  }
+
+  test("topKNeighborsSq8 ranks by quantized cosine, close to exact top-k") {
+    val exact = SimilaritySearch.topKNeighbors(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val sq8 = SimilaritySearch.topKNeighborsSq8(emb, "vec_id", "embedding", 0L, 10)
+      .orderBy("rank").collect()
+    assert(sq8.length == 10)
+    // scores are valid cosines and non-increasing in rank
+    val scores = sq8.map(_.getDouble(1))
+    assert(scores.forall(s => s >= -1.000001 && s <= 1.000001))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // int8 quantization of 64-dim vectors preserves most of the top-k
+    assert(sq8.map(_.getLong(0)).count(exact) >= 6,
+      s"sq8 overlap with exact top-10 too low: ${sq8.map(_.getLong(0)).toSeq}")
+  }
+
   test("kmeansAssign: total cover, k cells, partitioning-independent") {
     val a1 = SimilaritySearch.kmeansAssign(emb, "vec_id", "embedding", k = 5, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

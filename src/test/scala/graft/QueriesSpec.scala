@@ -94,7 +94,8 @@ class QueriesSpec extends AnyFunSuite {
     "t17_temperature_mix",     // 1-row source-min broadcast onto the rate table
     "k8_ann_recall",           // contains k1's exact brute-force baseline by definition
     "t15_unigram_surprisal",   // 1-row corpus-total broadcast (same shape as a6)
-    "t23_dsir_importance"      // 1-row corpus-total broadcast onto the B-row ratio table
+    "t23_dsir_importance",     // 1-row corpus-total broadcast onto the B-row ratio table
+    "k9_sq8_ann"               // exact brute-force over codes: 1-row query broadcast (k1 shape)
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
