@@ -247,6 +247,37 @@ object WindowQs {
              |SELECT day, new_users, new_purchasers,
              |  CAST(SUM(new_users) OVER w AS BIGINT) AS cum_users,
              |  CAST(SUM(new_purchasers) OVER w AS BIGINT) AS cum_purchasers
-             |FROM j WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)""".stripMargin))
+             |FROM j WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)""".stripMargin)),
+
+    // W12: event transition matrix — per-user next-event Markov counts
+    // (the user-journey readout over the event ledger: what follows what,
+    // and with what probability). One per-user lag window (hash-
+    // partitioned on user_id), then a type-pair aggregation; the share
+    // window is bounded by the event-type vocabulary, not the data.
+    Q("w12_event_transitions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(Q.usecs(col("ts")), col("event_id"))
+        val pairs = Tables.events(s, d)
+          .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("cur_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val byCur = Window.partitionBy(col("cur_type"))
+        pairs.withColumn("p",
+          round(col("n").cast("double") / sum(col("n")).over(byCur), 6))
+      },
+      Some("""WITH nx AS (
+             |  SELECT event_type AS cur_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS next_type
+             |  FROM events),
+             |pairs AS (
+             |  SELECT cur_type, next_type, COUNT(*) AS n FROM nx
+             |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT cur_type, next_type, n,
+             |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur_type), 6) AS p
+             |FROM pairs""".stripMargin))
   )
 }
