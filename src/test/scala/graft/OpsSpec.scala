@@ -326,6 +326,46 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L) == ((10L, 2L, 2L, 3L, 0.6, true)))
   }
 
+  test("TextAnalysis.dupSubstringRuns equals a naive reference on random corpora") {
+    val k = 3
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+      val docs = (1 to 30).map(i =>
+        (i.toLong, Seq.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      // independent naive reference: occurrence-counted grams, interval merge
+      val grams = docs.flatMap { case (id, t) =>
+        val w = t.split(" ")
+        if (w.length < k) Seq.empty
+        else (0 to w.length - k).map(i => (id, i, w.slice(i, i + k).mkString(" ")))
+      }
+      val freq = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val want = docs.map { case (id, t) =>
+        val w = t.split(" ")
+        val dupPos =
+          if (w.length < k) Seq.empty[Int]
+          else (0 to w.length - k).filter(i => freq(w.slice(i, i + k).mkString(" ")) >= 2)
+        var spans = List.empty[(Int, Int)]
+        dupPos.foreach { p =>
+          val e = p + k - 1
+          spans = spans match {
+            case (s0, e0) :: rest if p <= e0 + 1 => (s0, math.max(e0, e)) :: rest
+            case other => (p, e) :: other
+          }
+        }
+        val covered = spans.map { case (s, e) => e - s + 1 }.sum
+        val longest = spans.map { case (s, e) => e - s + 1 }.foldLeft(0)(math.max)
+        id -> ((w.length.toLong, dupPos.size.toLong, spans.size.toLong, longest.toLong,
+          BigDecimal(covered.toDouble / w.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toMap
+      val got = TextAnalysis.dupSubstringRuns(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("TextAnalysis.dupNgramStats measures repetition exactly") {
     val df = Seq(
       (1L, "a b a b a b"),   // 3-grams: aba, bab, aba, bab -> 4 total, 2 distinct
