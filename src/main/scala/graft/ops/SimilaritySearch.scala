@@ -108,26 +108,35 @@ object SimilaritySearch {
     * codebooks the whole path is engine-exact and fully oracle-replicable.
     * Quantization itself is the one-time index build (interpreted max-abs
     * lambda per vector); the query path touches only codes. */
-  def sq8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.select(col(idCol), col(vecCol),
+  def sq8Codes(emb: DataFrame, idCol: String, vecCol: String,
+      keep: Seq[String] = Nil): DataFrame =
+    emb.select(col(idCol) +: keep.map(col) :+ col(vecCol) :+
       (expr(s"aggregate($vecCol, 0D, (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))")
-        / 127.0).as("sq_scale"))
+        / 127.0).as("sq_scale"): _*)
       .withColumn("sq_code", expr(
         s"""CASE WHEN sq_scale = 0D THEN transform($vecCol, x -> CAST(0 AS FLOAT))
            |ELSE transform($vecCol,
            |  x -> CAST(round(CAST(x AS DOUBLE) / sq_scale, 0) AS FLOAT)) END""".stripMargin))
-      .select(col(idCol), col("sq_scale"), col("sq_code"))
+      .select(col(idCol) +: keep.map(col) :+ col("sq_scale") :+ col("sq_code"): _*)
 
   /** Brute-force top-k by SQ8 approximate cosine — [[topKNeighbors]] run
-    * entirely over quantized codes. Output: (idCol, sq8_cos, rank). */
+    * entirely over quantized codes; with `bucketCol`, the IVF×SQ8
+    * composition (the faiss workhorse): the coarse cell prunes the scan,
+    * the codes price the scoring. Output: (idCol, sq8_cos, rank). */
   def topKNeighborsSq8(emb: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int): DataFrame = {
+      queryId: Long, k: Int, bucketCol: Option[String] = None): DataFrame = {
     registerFns(emb)
-    val codes = sq8Codes(emb, idCol, vecCol)
+    val codes = sq8Codes(emb, idCol, vecCol, keep = bucketCol.toSeq)
     val q = codes.filter(col(idCol) === queryId)
-      .select(col("sq_code").as("q_code"),
-        sqrt(expr(normSqExpr("sq_code")).cast("double")).as("q_qnorm"))
-    val scored = codes.filter(col(idCol) =!= queryId).crossJoin(broadcast(q))
+      .select(col("sq_code").as("q_code") +:
+        sqrt(expr(normSqExpr("sq_code")).cast("double")).as("q_qnorm") +:
+        bucketCol.map(bc => col(bc).as("q_bucket")).toSeq: _*)
+    val cands = codes.filter(col(idCol) =!= queryId)
+    val joined = bucketCol match {
+      case Some(bc) => cands.join(broadcast(q), col(bc) === col("q_bucket"))
+      case None     => cands.crossJoin(broadcast(q))
+    }
+    val scored = joined
       .withColumn("c_qnorm", sqrt(expr(normSqExpr("sq_code")).cast("double")))
       .withColumn("cos_sim", round(
         expr(dotExpr("sq_code", "q_code")).cast("double") /

@@ -145,6 +145,38 @@ object SimilarityQs {
               |FROM scored
               |QUALIFY row_number() OVER (ORDER BY sq8_cos DESC, vec_id) <= 10""".stripMargin)),
 
+    // K10: IVF × SQ8 — the faiss workhorse composition: the coarse cell
+    // prunes the scan (k2's shape), the int8 codes price the scoring
+    // (k9's). Both halves are deterministic arithmetic, so the composed
+    // path keeps the full hash gate.
+    Q("k10_sq8_ivf",
+      (s, d) => SimilaritySearch.topKNeighborsSq8(
+        Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L, k = 5,
+        bucketCol = Some("label")),
+      Some(s"""WITH sc AS (
+              |  SELECT vec_id, label, embedding,
+              |    list_max(list_transform(embedding,
+              |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+              |  FROM embeddings),
+              |codes AS (
+              |  SELECT vec_id, label,
+              |    CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+              |         ELSE list_transform(embedding,
+              |           x -> round(CAST(x AS DOUBLE) / s, 0)) END AS qv
+              |  FROM sc),
+              |q AS (SELECT qv AS q_qv, label AS q_label FROM codes WHERE vec_id = 0),
+              |scored AS (
+              |  SELECT vec_id, round(
+              |    (SELECT SUM(qv[i + 1] * q_qv[i + 1]) FROM range($dim) t(i)) /
+              |    (sqrt((SELECT SUM(qv[i + 1] * qv[i + 1]) FROM range($dim) t(i))) *
+              |     sqrt((SELECT SUM(q_qv[i + 1] * q_qv[i + 1]) FROM range($dim) t(i)))),
+              |    6) AS sq8_cos
+              |  FROM codes, q WHERE vec_id <> 0 AND label = q_label)
+              |SELECT vec_id, sq8_cos,
+              |  CAST(row_number() OVER (ORDER BY sq8_cos DESC, vec_id) AS BIGINT) AS rank
+              |FROM scored
+              |QUALIFY row_number() OVER (ORDER BY sq8_cos DESC, vec_id) <= 5""".stripMargin)),
+
     // K2: partition-pruned ANN — search only the query's coarse bucket
     // (label = stand-in IVF cell). The scan shrinks by the bucket count; on a
     // cluster the bucket is the partition-pruning key.
