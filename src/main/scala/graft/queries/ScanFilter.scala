@@ -80,6 +80,32 @@ object ScanFilter {
               |FROM lineitem WHERE l_returnflag <> 'R'
               |GROUP BY l_returnflag""".stripMargin)),
 
+    // S6: z-order (Morton-curve) write layout round-trip — cluster the
+    // corpus files by (source-category bucket × n_chars-quantile bucket)
+    // so file/row-group min-max stats stay tight on BOTH columns and a
+    // predicate on either prunes the scan (the Delta/Iceberg ZORDER BY
+    // trick as plain repartitionByRange + bit arithmetic). Correctness
+    // gate here; the measured file-stat pruning evidence is LayoutSpec.
+    Q("s6_zorder_roundtrip",
+      (s, d) => {
+        import graft.ops.Layout
+        val path = s"${sys.props("java.io.tmpdir")}/graft_s6_z_${Integer.toHexString(d.hashCode)}"
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        Layout.zorderBy(docs,
+            Layout.stringRangeBucket(docs, "source"),
+            Layout.quantileBucket(docs, "n_chars"), numFiles = 8)
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+          .filter(col("n_chars") >= 200 && col("n_chars") <= 400)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      },
+      Some("""SELECT source, COUNT(*) AS n,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM documents WHERE n_chars BETWEEN 200 AND 400
+             |GROUP BY source""".stripMargin)),
+
     // S3: dated snapshot sink partitioned by month + partition-pruned read —
     // the snapshot copy (`pipeline_handler.py:343-354`) done as hive-style
     // partitions, so the read back scans ONE month's directory
