@@ -210,6 +210,25 @@ object DailyPipeline {
         Tables.write(cents.select(col("block"), col("code"), col("centroid")),
           s"$outDir/ann_pq_codebook")
       }),
+      Job("ann_sq8_index", Nil, s => {
+        import graft.ops.SimilaritySearch
+        Tables.write(
+          SimilaritySearch.sq8Codes(Tables.embeddings(s, sfDir),
+            "vec_id", "embedding", keep = Seq("label")),
+          s"$outDir/ann_sq8_codes")
+      }),
+      // the curated corpus re-clustered on the Morton curve by
+      // (source, token count): downstream per-source slices AND
+      // length-bounded reads both prune on native file stats — the
+      // multi-dimensional companion to the date-partitioned fact layout
+      Job("corpus_layout", Seq("curated_corpus"), s => {
+        import graft.ops.Layout
+        val cur = s.read.parquet(s"$outDir/curated_corpus")
+        Layout.zorderBy(cur,
+            Layout.stringRangeBucket(cur, "source"),
+            Layout.quantileBucket(cur, "tok"), numFiles = 8)
+          .write.mode("overwrite").parquet(s"$outDir/curated_corpus_zorder")
+      }),
       // EP1's month-start dated snapshot (`pipeline_handler.py:343-354`):
       // live table + immutable dated copy.
       Job("revenue_dashboard_snapshot", Seq("revenue_dashboard"), s =>
