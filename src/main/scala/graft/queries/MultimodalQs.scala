@@ -59,6 +59,40 @@ object MultimodalQs {
              |  CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
              |  64 + ascii(substr(text, 1, 1)) % 64 AS width,
              |  64 + ascii(substr(text, 2, 1)) % 64 AS height
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // MM4: frame-level near-dup — the video-dedup pattern over the decode
+    // seat: per frame a perceptual-feature stand-in (4-class char
+    // histogram), cell-blocked cross-doc candidates, L1-verified, rolled
+    // up per doc pair. Deterministic end to end, so the oracle replays the
+    // whole block-and-verify exactly.
+    Q("mm4_frame_neardup",
+      (s, d) => Multimodal.frameNearDups(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH fr AS (
+             |  SELECT doc_id,
+             |    unnest(range((length(text) - 1) // 256 + 1)) AS frame_no,
+             |    text
+             |  FROM documents WHERE length(text) > 0),
+             |feat AS (
+             |  SELECT doc_id, frame_no, f,
+             |    length(f) - length(regexp_replace(f, '[a-i]', '', 'g')) AS h1,
+             |    length(f) - length(regexp_replace(f, '[j-r]', '', 'g')) AS h2,
+             |    length(f) - length(regexp_replace(f, '[s-z]', '', 'g')) AS h3,
+             |    length(regexp_replace(f, '[a-z]', '', 'g')) AS h4
+             |  FROM (SELECT doc_id, frame_no,
+             |          substring(text, CAST(frame_no * 256 + 1 AS INT), 256) AS f
+             |        FROM fr)),
+             |cells AS (
+             |  SELECT doc_id, frame_no, h1, h2, h3, h4,
+             |    CAST(h1 // 4 AS VARCHAR) || '|' || CAST(h2 // 4 AS VARCHAR) || '|' ||
+             |    CAST(h3 // 4 AS VARCHAR) || '|' || CAST(h4 // 4 AS VARCHAR) AS cell
+             |  FROM feat)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(COUNT(*) AS BIGINT) AS n_near_frames
+             |FROM cells a JOIN cells b
+             |  ON a.cell = b.cell AND a.doc_id < b.doc_id
+             |WHERE abs(a.h1 - b.h1) + abs(a.h2 - b.h2)
+             |    + abs(a.h3 - b.h3) + abs(a.h4 - b.h4) <= 2
+             |GROUP BY 1, 2""".stripMargin))
   )
 }

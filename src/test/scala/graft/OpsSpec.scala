@@ -287,6 +287,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal.frameNearDups finds shared frames, skips distant ones") {
+    val block = ("abc def ghi " * 22).take(256) // one full frame
+    val other = ("zzz yyy xxx " * 22).take(256)
+    val df = Seq(
+      (1L, block + other),        // frames: [block][other]
+      (2L, block),                // shares frame 'block' with doc 1
+      (3L, "0123456789 " * 23),   // digit-heavy: far from both in histogram
+      (4L, other)                 // shares frame 'other' with doc 1
+    ).toDF("doc_id", "text")
+    val got = Multimodal.frameNearDups(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.contains((1L, 2L)) && got.contains((1L, 4L)))
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // identical frames land in the same cell at distance 0
+    assert(got((1L, 2L)) >= 1L && got((1L, 4L)) >= 1L)
+  }
+
   test("TextAnalysis.contaminationBloom equals contamination, even at fpp 0.5") {
     val rnd = new scala.util.Random(7)
     def doc(i: Int) = (i.toLong,
