@@ -295,6 +295,29 @@ object StreamQs {
           .select(col("doc_id"), col("n_shingles"), col("n_contam"),
             col("contam_ratio"), col("flagged"))
       },
-      Some(TextQs.decontaminateOracle))
+      Some(TextQs.decontaminateOracle)),
+
+    // ST9: streaming ingest with BOUNDED small files — the two-zone
+    // landing/base pattern: each micro-batch lands idempotently in its own
+    // batch dir, committed batches fold into a compacted base table under
+    // the TableSwap protocol, and the read view (base ∪ unmerged landing,
+    // anti-joined on batch ids already in base) is exactly-once at every
+    // point. Content is batching-independent, so batch SQL is the oracle;
+    // the file-count bound and crash-window idempotence are StreamsSpec's.
+    Q("st9_stream_compacted_ingest",
+      (s, d) => {
+        val ss = streamSession(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_st9_").toString
+        Streams.compactingIngest(
+            Streams.documentStream(ss, asStreamDir(s"$d/documents.parquet")),
+            s"$base/tbl", s"$base/ckpt")
+          .awaitTermination()
+        Streams.readIngested(ss, s"$base/tbl")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      },
+      Some("""SELECT source, COUNT(*) AS n,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM documents GROUP BY source""".stripMargin))
   )
 }

@@ -205,6 +205,103 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming append ingest with BOUNDED small files — the two-zone
+    * (landing + compacted base) pattern a file-backed streaming sink needs
+    * at scale, where "append one parquet file per trigger" otherwise grows
+    * the table's file count without bound and per-file open/footer overhead
+    * comes to dominate every downstream scan.
+    *
+    *  - Each micro-batch lands in its own `landing/b<id>` dir, stamped with
+    *    an `ingest_batch` column and written with overwrite — a replayed
+    *    batch after a crash rewrites the same dir (idempotent).
+    *  - Once `mergeEvery` COMMITTED landing batches accumulate (ids below
+    *    the current one — their checkpoint offsets are durable), they fold
+    *    into the compacted `base` table under the TableSwap protocol. The
+    *    merge anti-joins on the batch ids already present in base, so a
+    *    crash between swap-commit and landing cleanup cannot double rows:
+    *    the retried merge sees those ids in base and only deletes.
+    *  - [[readIngested]] is the read view: base ∪ landing batches whose id
+    *    is not yet in base — exactly-once visibility at every point.
+    */
+  def compactingIngest(stream: DataFrame, baseDir: String, ckptDir: String,
+      mergeEvery: Int = 4, targetBytes: Long = 128L << 20): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val spark = batch.sparkSession
+        batch.toDF().withColumn("ingest_batch", lit(id))
+          .write.mode("overwrite").parquet(s"$baseDir/landing/b$id")
+        val committed = landingIds(spark, baseDir).filter(_ < id)
+        if (committed.size >= mergeEvery)
+          mergeLanding(spark, baseDir, committed, targetBytes)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private[graft] def landingIds(spark: SparkSession, baseDir: String): Seq[Long] = {
+    val (fs, p) = fsOf(spark, s"$baseDir/landing")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("b") => n.drop(1).toLong }.toSeq.sorted
+  }
+
+  private[graft] def baseBatchIds(spark: SparkSession, baseDir: String): Set[Long] = {
+    val (fs, p) = fsOf(spark, s"$baseDir/base")
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(s"$baseDir/base").select(col("ingest_batch"))
+      .distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  private[graft] def mergeLanding(spark: SparkSession, baseDir: String,
+      ids: Seq[Long], targetBytes: Long): Unit = {
+    graft.core.TableSwap.recover(spark, s"$baseDir/base")
+    val inBase = baseBatchIds(spark, baseDir)
+    val fresh = ids.filterNot(inBase)
+    if (fresh.nonEmpty) {
+      val landing = spark.read.parquet(fresh.map(i => s"$baseDir/landing/b$i"): _*)
+      val (fs0, _) = fsOf(spark, baseDir)
+      val existing =
+        if (fs0.exists(new org.apache.hadoop.fs.Path(s"$baseDir/base")))
+          Some(spark.read.parquet(s"$baseDir/base"))
+        else None
+      // size the rewrite like Tables.compact: one file per targetBytes
+      val bytes = fresh.map { i =>
+        val (fs, p) = fsOf(spark, s"$baseDir/landing/b$i")
+        fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      }.sum + existing.fold(0L) { _ =>
+        val (fs, p) = fsOf(spark, s"$baseDir/base")
+        fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      }
+      val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val merged = existing.fold(landing)(_.unionByName(landing)).repartition(target)
+      graft.core.TableSwap.commit(spark, s"$baseDir/base")(merged.write.parquet(_))
+    }
+    // cleanup only AFTER the ids are durably in base (swap committed above,
+    // or they were already there from a pre-crash merge)
+    ids.foreach { i =>
+      val (fs, p) = fsOf(spark, s"$baseDir/landing/b$i")
+      fs.delete(p, true)
+    }
+  }
+
+  /** The exactly-once read view over [[compactingIngest]]'s two zones. */
+  def readIngested(spark: SparkSession, baseDir: String): DataFrame = {
+    val inBase = baseBatchIds(spark, baseDir)
+    val pending = landingIds(spark, baseDir).filterNot(inBase)
+      .map(i => s"$baseDir/landing/b$i")
+    val (fs, basePath) = fsOf(spark, s"$baseDir/base")
+    val parts =
+      (if (fs.exists(basePath)) Seq(spark.read.parquet(s"$baseDir/base")) else Seq.empty) ++
+        (if (pending.nonEmpty) Seq(spark.read.parquet(pending: _*)) else Seq.empty)
+    require(parts.nonEmpty, s"nothing ingested under $baseDir")
+    parts.reduce(_ unionByName _)
+  }
+
   /** Continuous benchmark decontamination on ingest: the benchmark shingle
     * set collapses ONCE to (distinct-shingle frame, broadcast Bloom filter)
     * — `TextAnalysis.benchShingleBloom` — and every micro-batch of arriving

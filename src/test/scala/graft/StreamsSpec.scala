@@ -256,6 +256,59 @@ class StreamsSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("compactingIngest bounds file count and survives the crash windows") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_ci_in")
+    val base = Files.createTempDirectory("graft_ci_base").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft_ci_ckpt").toString
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source", "n_chars").localCheckpoint(true)
+    // six waves, one file each; maxFilesPerTrigger=1 → six micro-batches
+    (0 until 6).foreach { w =>
+      val sub = in.resolve(s"w$w")
+      docs.filter(col("doc_id") % 6 === w).coalesce(1).write.parquet(sub.toString)
+      Files.list(sub).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, in.resolve(s"w${w}_" + p.getFileName.toString))
+      }
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    Streams.compactingIngest(stream, base, ckpt, mergeEvery = 4).awaitTermination()
+
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "n_chars").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = canon(docs)
+    assert(canon(Streams.readIngested(spark, base)) == want)
+    // merged base exists, is compact (one file at this size), and landing
+    // holds only the tail batches
+    val baseFiles = new java.io.File(s"$base/base").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(baseFiles == 1, s"base should be compacted to 1 file, got $baseFiles")
+    val pending = Streams.landingIds(spark, base)
+    assert(pending.nonEmpty && pending.size < 4, s"landing tail: $pending")
+    assert(Streams.baseBatchIds(spark, base) == Set(0L, 1L, 2L, 3L))
+
+    // crash window 1: cleanup failed after a committed merge — a stale
+    // landing dir whose id is already in base must not double rows
+    docs.filter(col("doc_id") % 6 === 2).withColumn("ingest_batch", lit(2L))
+      .write.mode("overwrite").parquet(s"$base/landing/b2")
+    assert(canon(Streams.readIngested(spark, base)) == want)
+    // ...and the retried merge only cleans it up
+    Streams.mergeLanding(spark, base, Seq(2L), 128L << 20)
+    assert(!new java.io.File(s"$base/landing/b2").exists())
+    assert(canon(Streams.readIngested(spark, base)) == want)
+
+    // crash window 2: a replayed tail batch overwrites its own landing dir
+    // with the same content (file→batch assignment order is the stream's)
+    val tail = pending.head
+    val replayed = spark.read.parquet(s"$base/landing/b$tail").localCheckpoint(true)
+    replayed.write.mode("overwrite").parquet(s"$base/landing/b$tail")
+    assert(canon(Streams.readIngested(spark, base)) == want)
+  }
+
   test("decontaminateIngest resumes across restarts and equals the batch gate") {
     import java.nio.file.Files
     import graft.ops.TextAnalysis
