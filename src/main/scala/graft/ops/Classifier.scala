@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-based quality filtering — the fastText-style linear classifier the
+  * CCNet / GPT-3 / LLaMA data pipelines train on weak labels and then apply
+  * corpus-wide as a curation gate (Joulin et al. '16, arXiv:1607.01759;
+  * Wenzek et al. '19, arXiv:1911.00359; Brown et al. '20 §A).
+  *
+  * The model here is hashed-unigram NAIVE BAYES, deliberately: training is
+  * CLOSED-FORM (per-bucket class counts + priors), so the entire
+  * train → score → evaluate loop is a handful of map-side-combinable
+  * aggregations over one corpus explode — no gradient iterations, no driver
+  * loop, no state beyond the B-row weight table. At 100 TB that means: one
+  * shuffle of the (doc, bucket) spine keyed by doc, one vocabulary-sized
+  * reduction to B buckets, and a broadcast of B+1 decimal weights back over
+  * the corpus. (An SGD logistic model needs K sequential passes for the same
+  * plumbing — the NB posterior is the standard seed/baseline for exactly
+  * this reason.)
+  *
+  * Determinism: per-bucket log-likelihood-ratio weights and the class-prior
+  * log-odds pin to DECIMAL(18,4) (exact, associative), so per-doc scores are
+  * partitioning-independent and engine-portable — the same contract t23's
+  * DSIR weights use. The weight table is dense over all B buckets (built
+  * from `spark.range(B)`), so scoring never loses a term to an absent
+  * train-side bucket.
+  */
+object Classifier {
+
+  /** Per-doc NB scores: train on the non-holdout slice against the weak
+    * label `labelPred`, score EVERY doc (train and holdout) with
+    * prior-log-odds + Σ count·λ(bucket).
+    *
+    * Returns (idCol, is_holdout, label, n_words, nb_score, predicted); docs
+    * with no words score at the bare prior. */
+  def nbScores(df: DataFrame, idCol: String, textCol: String,
+      labelPred: Column, holdoutPred: Column, buckets: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    val dec = DecimalType(18, 4)
+    // Label/holdout flags evaluated ONCE per doc (the t23 lesson: a
+    // doc-level predicate projected through the explode gets re-evaluated
+    // per word occurrence).
+    // Checkpointed: three consumers (the spine join, the prior, the final
+    // doc frame) must not each re-scan the corpus and re-evaluate the
+    // label expression. Doc-count rows × 3 columns.
+    val flags = df.select(col(idCol), labelPred.as("__t"), holdoutPred.as("__h"))
+      .localCheckpoint(true)
+    // (doc, bucket) count spine: md5 bucketing on the reduced distinct
+    // (doc, word) pairs, not per occurrence; both aggs combine map-side.
+    val docBuckets = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col(idCol),
+        Normalize.hashBucket(col("__w"), buckets).as("__b"), col("__c"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(sum(col("__c")).as("__cnt"))
+      .join(flags, Seq(idCol))
+      .localCheckpoint(true)
+    // Closed-form training on the train slice only.
+    val trainB = docBuckets.filter(!col("__h")).groupBy(col("__b")).agg(
+      sum(when(col("__t"), col("__cnt")).otherwise(0L)).as("__ct"),
+      sum(when(!col("__t"), col("__cnt")).otherwise(0L)).as("__cr"))
+    val tot = trainB.agg(
+      sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
+    // Dense Laplace-smoothed log-likelihood-ratio weights over ALL buckets:
+    // a bucket unseen in training still contributes its smoothed weight.
+    val lam = spark.range(buckets).select(col("id").as("__b"))
+      .join(trainB, Seq("__b"), "left")
+      .select(col("__b"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+      .crossJoin(broadcast(tot))
+      .select(col("__b"), round(
+        log((col("__ct") + 1).cast("double") /
+          (col("__tt") + buckets).cast("double")) -
+        log((col("__cr") + 1).cast("double") /
+          (col("__tr") + buckets).cast("double")), 4)
+        .cast(dec).as("__lam"))
+    // Class-prior log-odds from train doc counts (add-one smoothed).
+    val prior = flags.filter(!col("__h")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__np"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("__nn"))
+      .select(round(
+        log((col("__np") + 1).cast("double") /
+          (col("__np") + col("__nn") + 2).cast("double")) -
+        log((col("__nn") + 1).cast("double") /
+          (col("__np") + col("__nn") + 2).cast("double")), 4)
+        .cast(dec).as("__lam0"))
+    val perDoc = docBuckets.join(broadcast(lam), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("__nw"),
+        sum(col("__cnt") * col("__lam")).as("__s"))
+    flags.join(perDoc, Seq(idCol), "left")
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), col("__h").as("is_holdout"), col("__t").as("label"),
+        coalesce(col("__nw"), lit(0L)).as("n_words"),
+        (col("__lam0") + coalesce(col("__s"), lit(0).cast(dec)))
+          .cast("double").as("nb_score"))
+      .withColumn("predicted", col("nb_score") > 0.0)
+  }
+
+  /** Held-out confusion matrix + metrics for [[nbScores]] — one row:
+    * (n_train, n_holdout, tp, fp, fn, tn, accuracy, precision, recall).
+    * Ratio denominators guard to NULL, mirroring SQL division semantics. */
+  def nbHoldoutEval(scored: DataFrame): DataFrame = {
+    val h = scored.filter(col("is_holdout"))
+    val cm = h.agg(
+      sum(when(col("label") && col("predicted"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("label") && col("predicted"), 1L).otherwise(0L)).as("fp"),
+      sum(when(col("label") && !col("predicted"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("label") && !col("predicted"), 1L).otherwise(0L)).as("tn"))
+    val nTrain = scored.filter(!col("is_holdout"))
+      .agg(count(lit(1)).as("n_train"))
+    cm.crossJoin(broadcast(nTrain))
+      .select(col("n_train"),
+        (col("tp") + col("fp") + col("fn") + col("tn")).as("n_holdout"),
+        col("tp"), col("fp"), col("fn"), col("tn"))
+      .withColumn("accuracy", round((col("tp") + col("tn")).cast("double") /
+        col("n_holdout"), 6))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6)))
+  }
+
+  /** Oracle-side spelling of [[nbScores]] + [[nbHoldoutEval]] as one DuckDB
+    * statement; `labelSql`/`holdoutSql` are doc-level boolean expressions
+    * over `table`'s columns. Emits the per-doc scored rows when
+    * `perDoc = true`, else the 1-row eval. */
+  def nbSql(idExpr: String, textExpr: String, table: String,
+      labelSql: String, holdoutSql: String, buckets: Int,
+      perDoc: Boolean): String = {
+    val scored =
+      s"""flags AS (
+         |  SELECT $idExpr AS id, ($labelSql) AS t, ($holdoutSql) AS h
+         |  FROM $table),
+         |w AS (
+         |  SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS word
+         |  FROM $table),
+         |dw AS (
+         |  SELECT id, word, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM w WHERE word <> '' GROUP BY 1, 2),
+         |db AS (
+         |  SELECT id, ${Normalize.hashBucketSql("word", buckets)} AS b,
+         |    CAST(SUM(c) AS BIGINT) AS cnt
+         |  FROM dw GROUP BY 1, 2),
+         |trainb AS (
+         |  SELECT b,
+         |    SUM(CASE WHEN t THEN cnt ELSE 0 END) AS ct,
+         |    SUM(CASE WHEN NOT t THEN cnt ELSE 0 END) AS cr
+         |  FROM db JOIN flags USING (id) WHERE NOT h GROUP BY 1),
+         |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM trainb),
+         |lam AS (
+         |  SELECT r.range AS b, CAST(round(
+         |    ln((COALESCE(ct, 0) + 1) / CAST(tt + $buckets AS DOUBLE)) -
+         |    ln((COALESCE(cr, 0) + 1) / CAST(tr + $buckets AS DOUBLE)), 4)
+         |    AS DECIMAL(18,4)) AS lam
+         |  FROM range($buckets) r LEFT JOIN trainb ON r.range = trainb.b
+         |  CROSS JOIN tot),
+         |prior AS (
+         |  SELECT CAST(round(
+         |    ln((SUM(CASE WHEN t THEN 1 ELSE 0 END) + 1) /
+         |      CAST(COUNT(*) + 2 AS DOUBLE)) -
+         |    ln((SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) + 1) /
+         |      CAST(COUNT(*) + 2 AS DOUBLE)), 4) AS DECIMAL(18,4)) AS lam0
+         |  FROM flags WHERE NOT h),
+         |perdoc AS (
+         |  SELECT id, SUM(cnt) AS nw, SUM(cnt * lam) AS s
+         |  FROM db JOIN lam USING (b) GROUP BY 1),
+         |scored AS (
+         |  SELECT flags.id, h AS is_holdout, t AS label,
+         |    CAST(COALESCE(nw, 0) AS BIGINT) AS n_words,
+         |    CAST(lam0 + COALESCE(s, CAST(0 AS DECIMAL(18,4))) AS DOUBLE)
+         |      AS nb_score
+         |  FROM flags LEFT JOIN perdoc ON flags.id = perdoc.id
+         |  CROSS JOIN prior)""".stripMargin
+    if (perDoc)
+      s"""WITH $scored
+         |SELECT id AS doc_id, is_holdout, label, n_words, nb_score,
+         |  nb_score > 0.0 AS predicted
+         |FROM scored""".stripMargin
+    else
+      s"""WITH $scored,
+         |p AS (SELECT *, nb_score > 0.0 AS predicted FROM scored),
+         |cm AS (
+         |  SELECT
+         |    SUM(CASE WHEN label AND predicted THEN 1 ELSE 0 END) AS tp,
+         |    SUM(CASE WHEN NOT label AND predicted THEN 1 ELSE 0 END) AS fp,
+         |    SUM(CASE WHEN label AND NOT predicted THEN 1 ELSE 0 END) AS fn,
+         |    SUM(CASE WHEN NOT label AND NOT predicted THEN 1 ELSE 0 END) AS tn
+         |  FROM p WHERE is_holdout),
+         |ntr AS (SELECT COUNT(*) AS n_train FROM p WHERE NOT is_holdout)
+         |SELECT CAST(n_train AS BIGINT) AS n_train,
+         |  CAST(tp + fp + fn + tn AS BIGINT) AS n_holdout,
+         |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+         |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy,
+         |  CASE WHEN tp + fp > 0
+         |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+         |  CASE WHEN tp + fn > 0
+         |    THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+         |FROM cm CROSS JOIN ntr""".stripMargin
+  }
+}

@@ -874,4 +874,80 @@ object TextAnalysis {
           col("n_tokens"), 6).as("dup_token_frac"))
       .withColumn("dup_heavy", col("dup_token_frac") >= heavyFrac)
   }
+
+  /** Corpus vocabulary heavy hitters via a COUNT-MIN sketch (Cormode &
+    * Muthukrishnan '05) — the mergeable fixed-size frequency summary that
+    * completes the engine's sketch family (HLL a4b, KLL a17b, Bloom t6b,
+    * MinHash d2, SimHash d3, SRP d7): `depth × width` counters total,
+    * independent of corpus size, each a plain SUM — so per-partition
+    * sketches merge by addition and a streaming ingest can fold batches
+    * into the same counter table.
+    *
+    * Every hash is the engine-portable salted md5 bucket, so estimates are
+    * DETERMINISTIC given the data — both engines replicate the sketch
+    * exactly and the full hash gate applies (no tolerance verdict needed,
+    * unlike the engine-specific HLL/KLL sketch values).
+    *
+    * Emits one row per candidate heavy hitter — est_count ≥ N/`den` (the
+    * φ = 1/den support threshold as exact integer arithmetic) — with its
+    * exact count and the `is_true_hh` ground-truth flag. CMS never
+    * underestimates, so the candidate set is a SUPERSET of the true heavy
+    * hitters (no false negatives — the property that makes sketch-then-
+    * exact-verify safe); `overcount` exposes the collision inflation.
+    *
+    * Scale shape: one corpus explode map-side-combined to the distinct-word
+    * spine; the counter table is depth×width rows (broadcast back for the
+    * estimate join); candidate enumeration rides the vocabulary-sized
+    * spine, never corpus-sized state. */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, depth: Int = 3,
+      width: Int = 1024, den: Int = 100): DataFrame = {
+    // The vocabulary spine feeds three consumers (counters, total, the
+    // estimate join); checkpoint it so the corpus explode runs ONCE —
+    // the frame is vocabulary-sized, never corpus-sized.
+    val words = df.select(explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val rows = words.select(col("__w"), col("__c"),
+      posexplode(array((0 until depth).map(j =>
+        Normalize.hashBucket(concat(lit(s"cms$j|"), col("__w")), width)): _*))
+        .as(Seq("__j", "__b")))
+    val counters = rows.groupBy(col("__j"), col("__b"))
+      .agg(sum(col("__c")).as("__cnt"))
+    val total = words.agg(sum(col("__c")).as("__n"))
+    rows.join(broadcast(counters), Seq("__j", "__b"))
+      .groupBy(col("__w"), col("__c"))
+      .agg(min(col("__cnt")).as("est_count"))
+      .crossJoin(broadcast(total))
+      .filter(col("est_count") * den >= col("__n"))
+      .select(col("__w").as("word"), col("__c").as("exact_count"),
+        col("est_count"), col("__n").as("n_total"),
+        (col("__c") * den >= col("__n")).as("is_true_hh"),
+        (col("est_count") - col("__c")).as("overcount"))
+  }
+
+  /** Oracle-side spelling of [[cmsHeavyHitters]]. */
+  def cmsHeavyHittersSql(textExpr: String, table: String, depth: Int = 3,
+      width: Int = 1024, den: Int = 100): String = {
+    val salted = "'cms' || CAST(j AS VARCHAR) || '|' || word"
+    s"""WITH w AS (
+       |  SELECT unnest(string_split($textExpr, ' ')) AS word FROM $table),
+       |wc AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM w WHERE word <> '' GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM wc),
+       |r AS (
+       |  SELECT word, c, j, ${Normalize.hashBucketSql(salted, width)} AS b
+       |  FROM wc CROSS JOIN (SELECT unnest(range($depth)) AS j)),
+       |ctr AS (
+       |  SELECT j, b, CAST(SUM(c) AS BIGINT) AS cnt FROM r GROUP BY 1, 2),
+       |e AS (
+       |  SELECT word, c, MIN(cnt) AS est_count
+       |  FROM r JOIN ctr USING (j, b) GROUP BY 1, 2)
+       |SELECT word, c AS exact_count, est_count, n AS n_total,
+       |  c * $den >= n AS is_true_hh,
+       |  est_count - c AS overcount
+       |FROM e CROSS JOIN tot
+       |WHERE est_count * $den >= n""".stripMargin
+  }
 }

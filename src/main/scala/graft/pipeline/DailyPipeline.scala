@@ -133,6 +133,15 @@ object DailyPipeline {
       }),
       // embedding-space dedup decision (SemDeDup): keeper/cluster per vector.
       materialize("d7_semantic_dedup", "embedding_dedup_clusters"),
+      // model-based quality filter: the NB scores are a corpus-wide mart;
+      // the holdout eval row is the rollout gate a curation pipeline
+      // checks before trusting the scores (its dep is real lineage: the
+      // eval reads the same scored frame the mart persists)
+      materialize("ml1_nb_quality_scores", "nb_quality_scores"),
+      materialize("ml2_nb_holdout_eval", "nb_model_eval",
+        Seq("nb_quality_scores")),
+      // vocabulary heavy-hitters sketch report (mergeable CMS counters)
+      materialize("t24_cms_heavy_hitters", "vocab_heavy_hitters"),
       // incremental ingest report: today's batch (delta) matched against the
       // indexed corpus — cross-side band collisions only, the shape that
       // never re-pays corpus-wide shingling at scale. The oracle-gated d8

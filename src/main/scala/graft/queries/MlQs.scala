@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Classifier, TextAnalysis}
+
+/** Model-based curation: train a classifier on weak labels, score the
+  * corpus, evaluate held-out — the CCNet/GPT-3 "quality filter" stage
+  * (reference analogue: the rule-based curation gates of
+  * `data_pipeline/clean_data.py`; the model-based form is the at-scale
+  * successor those heuristics seed).
+  *
+  * The weak label reuses t23's target pair (lang = en ∧ quality ≥ 0.8) so
+  * the learned NB weights are directly comparable to the DSIR importance
+  * weights over the same hashed-unigram feature space. The holdout is the
+  * leakage-safe salted-hash slice (t13's split op, not a raw modulus —
+  * the testdata assigns `source` by doc_id % 20, so any small-modulus
+  * split is CONFOUNDED with source; the hash split is how a real pipeline
+  * avoids exactly that).
+  *
+  * Honesty note, verified at sf0.01: this synthetic corpus draws all
+  * classes from one shared vocabulary, so the unigram signal for the weak
+  * label sits below the class prior and the trained model collapses to
+  * the majority class — ml2 reports recall = 0. That IS the artifact
+  * working: the holdout eval row is the gate a curation pipeline checks
+  * before rolling a filter model out, and here it correctly says "do not
+  * deploy". `OpsSpec` proves the same closed-form training reaches
+  * accuracy 1.0 on a separable corpus, and that holdout text never leaks
+  * into the weights.
+  */
+object MlQs {
+
+  private val labelSql = s"lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8"
+  private val holdoutSql = s"${TextAnalysis.hashUnitSql("doc_id", "nbsplit")} % 5 = 0"
+  private val B = 1024
+
+  private def scored(s: org.apache.spark.sql.SparkSession, d: String) =
+    Classifier.nbScores(Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8,
+      TextAnalysis.hashUnit(col("doc_id"), "nbsplit") % 5 === 0, buckets = B)
+
+  def qs: Seq[Q] = Seq(
+
+    // ML1: per-doc NB quality scores — every doc (train + holdout) scored
+    // by the closed-form hashed-unigram Naive Bayes model trained on the
+    // non-holdout slice. Full hash gate: weights pin to DECIMAL(18,4).
+    Q("ml1_nb_quality_scores",
+      (s, d) => scored(s, d),
+      Some(Classifier.nbSql("doc_id", "text", "documents",
+        labelSql, holdoutSql, B, perDoc = true))),
+
+    // ML2: held-out evaluation — confusion matrix + accuracy/precision/
+    // recall on the doc_id % 5 slice the training never saw. The metric
+    // row is the artifact a curation pipeline gates model rollout on.
+    Q("ml2_nb_holdout_eval",
+      (s, d) => Classifier.nbHoldoutEval(scored(s, d)),
+      Some(Classifier.nbSql("doc_id", "text", "documents",
+        labelSql, holdoutSql, B, perDoc = false))))
+}

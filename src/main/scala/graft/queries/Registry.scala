@@ -24,7 +24,8 @@ object Registry {
     ConversionFunnel.qs,
     FamilyEdges.qs,
     Experiments.qs,
-    DataQuestions.qs)
+    DataQuestions.qs,
+    MlQs.qs)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten

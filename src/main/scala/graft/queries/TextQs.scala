@@ -369,6 +369,16 @@ object TextQs {
               |GROUP BY 1""".stripMargin),
       bench = true),
 
+    // T24: count-min-sketch vocabulary heavy hitters — the fixed-size
+    // mergeable frequency summary (depth×width counters, corpus-size-
+    // independent). Salted-md5 hashing makes the sketch deterministic, so
+    // unlike HLL/KLL the estimates themselves carry the full hash gate;
+    // the emitted candidates are provably a superset of the true ≥ N/100
+    // heavy hitters (CMS never underestimates).
+    Q("t24_cms_heavy_hitters",
+      (s, d) => TextAnalysis.cmsHeavyHitters(Tables.documents(s, d), "text"),
+      Some(TextAnalysis.cmsHeavyHittersSql("text", "documents"))),
+
     // T12: Gopher-style repetition gate — head-concentration metrics
     // (top-word / top-bigram fraction, distinct-word ratio) complementing
     // t7's duplicated-tail fraction. Two map-side-combinable gram aggs,

@@ -919,4 +919,75 @@ class OpsSpec extends AnyFunSuite {
     assert(flat.select("id").collect().map(_.getLong(0)).sorted.sameElements(
       again.select("id").collect().map(_.getLong(0)).sorted))
   }
+
+  test("Classifier.nbScores separates a separable corpus; holdout never leaks") {
+    // Two clearly separable classes: positives speak cats, negatives dogs.
+    val docs = ((0L until 40L).map(i => (i, "cat purr whisker cat purr")) ++
+      (40L until 80L).map(i => (i, "dog bark fetch dog bark"))).toDF("id", "text")
+    val scored = Classifier.nbScores(docs, "id", "text",
+      labelPred = col("id") < 40L, holdoutPred = col("id") % 4 === 0L,
+      buckets = 64)
+    val rows = scored.collect().map(r =>
+      (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(5)))
+    assert(rows.length == 80)
+    // perfect holdout accuracy on separable data — the training loop works
+    assert(rows.filter(_._2).forall { case (_, _, label, pred) => label == pred })
+    // and perfect train accuracy too (sanity: the model fits its own data)
+    assert(rows.filterNot(_._2).forall { case (_, _, label, pred) => label == pred })
+
+    // Holdout exclusion: words that exist ONLY in holdout docs must train
+    // nothing — two docs made of distinct holdout-only words (different
+    // buckets) score identically, at the smoothed-default weight.
+    val leak = (docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ++
+      Seq((100L, "zebraword"), (104L, "yakword"))).toDF("id", "text")
+    val s2 = Classifier.nbScores(leak, "id", "text",
+      labelPred = col("id") < 40L || col("id") >= 100L,
+      holdoutPred = col("id") % 4 === 0L, buckets = 64)
+      .filter(col("id") >= 100L)
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+    assert(s2(100L) == s2(104L),
+      s"holdout-only words trained different weights: $s2")
+  }
+
+  test("Classifier.nbHoldoutEval counts the confusion matrix and guards ratios") {
+    val scored = Seq(
+      (1L, true, true, 5L, 2.0, true),   // tp
+      (2L, true, false, 5L, 1.0, true),  // fp
+      (3L, true, true, 5L, -1.0, false), // fn
+      (4L, true, false, 5L, -2.0, false), // tn
+      (5L, false, true, 5L, 3.0, true)   // train row: excluded from cm
+    ).toDF("id", "is_holdout", "label", "n_words", "nb_score", "predicted")
+    val r = Classifier.nbHoldoutEval(scored).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 4L))) // n_train, n_holdout
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((1L, 1L, 1L, 1L)))
+    assert(r.getDouble(6) == 0.5 && r.getDouble(7) == 0.5 && r.getDouble(8) == 0.5)
+    // all-negative predictions: precision denominator empty -> NULL, not error
+    val allNeg = Seq((1L, true, true, 5L, -1.0, false))
+      .toDF("id", "is_holdout", "label", "n_words", "nb_score", "predicted")
+    val r2 = Classifier.nbHoldoutEval(allNeg).collect()(0)
+    assert(r2.isNullAt(7) && !r2.isNullAt(8))
+  }
+
+  test("TextAnalysis.cmsHeavyHitters never underestimates; candidates cover true HH") {
+    // Tiny width forces collisions — the property must hold anyway.
+    val docs = Seq.tabulate(50)(i =>
+      (i.toLong, if (i < 40) "alpha alpha beta" else "gamma delta epsilon zeta"))
+      .toDF("id", "text")
+    val hh = TextAnalysis.cmsHeavyHitters(docs, "text", depth = 2, width = 2,
+      den = 20)
+    val rows = hh.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getBoolean(4), r.getLong(5)))
+    assert(rows.forall { case (_, exact, est, _, _, over) =>
+      est >= exact && over == est - exact })
+    val n = rows.head._4
+    // exact totals: alpha 80, beta 40, gamma/delta/epsilon/zeta 10 each; N=160
+    assert(n == 160L)
+    val trueHH = Set("alpha", "beta") // >= N/20 = 8
+    assert(trueHH.subsetOf(rows.filter(_._5).map(_._1).toSet))
+    // with a real width nothing collides and estimates are exact
+    val wide = TextAnalysis.cmsHeavyHitters(docs, "text", depth = 3,
+      width = 1024, den = 20).collect()
+    assert(wide.forall(r => r.getLong(1) == r.getLong(2)))
+  }
 }

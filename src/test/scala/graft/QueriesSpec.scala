@@ -95,7 +95,10 @@ class QueriesSpec extends AnyFunSuite {
     "k8_ann_recall",           // contains k1's exact brute-force baseline by definition
     "t15_unigram_surprisal",   // 1-row corpus-total broadcast (same shape as a6)
     "t23_dsir_importance",     // 1-row corpus-total broadcast onto the B-row ratio table
-    "k9_sq8_ann"               // exact brute-force over codes: 1-row query broadcast (k1 shape)
+    "k9_sq8_ann",              // exact brute-force over codes: 1-row query broadcast (k1 shape)
+    "t24_cms_heavy_hitters",   // 1-row corpus-total broadcast (same shape as a6)
+    "ml1_nb_quality_scores",   // 1-row prior + 1-row train-total broadcasts
+    "ml2_nb_holdout_eval"      // inherits ml1's shape + 1-row confusion-matrix crosses
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
