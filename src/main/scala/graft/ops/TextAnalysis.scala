@@ -899,23 +899,35 @@ object TextAnalysis {
     * spine; the counter table is depth×width rows (broadcast back for the
     * estimate join); candidate enumeration rides the vocabulary-sized
     * spine, never corpus-sized state. */
-  def cmsHeavyHitters(df: DataFrame, textCol: String, depth: Int = 3,
-      width: Int = 1024, den: Int = 100): DataFrame = {
-    // The vocabulary spine feeds three consumers (counters, total, the
-    // estimate join); checkpoint it so the corpus explode runs ONCE —
-    // the frame is vocabulary-sized, never corpus-sized.
-    val words = df.select(explode(split(col(textCol), " ")).as("__w"))
+  /** Word-count spine (`__w`, `__c`) — the vocabulary-sized reduction of
+    * one corpus explode, shared by the sketch builders below. */
+  def cmsWordSpine(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("__w"))
       .filter(col("__w") =!= "")
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
-    val rows = words.select(col("__w"), col("__c"),
+
+  private def cmsRows(words: DataFrame, depth: Int, width: Int): DataFrame =
+    words.select(col("__w"), col("__c"),
       posexplode(array((0 until depth).map(j =>
         Normalize.hashBucket(concat(lit(s"cms$j|"), col("__w")), width)): _*))
         .as(Seq("__j", "__b")))
-    val counters = rows.groupBy(col("__j"), col("__b"))
+
+  /** The CMS counter table (`__j`, `__b`, `__cnt`) for a word spine —
+    * depth×width SUMs, so two counter tables (two partitions, two
+    * micro-batches, two days) merge by unioning and re-summing. This is
+    * the frame a streaming ingest persists per batch (st10). */
+  def cmsCountersFromSpine(words: DataFrame, depth: Int = 3,
+      width: Int = 1024): DataFrame =
+    cmsRows(words, depth, width).groupBy(col("__j"), col("__b"))
       .agg(sum(col("__c")).as("__cnt"))
+
+  /** Heavy-hitter candidates for a word spine against a PRE-BUILT counter
+    * table (possibly merged from many partial sketches): est = min over
+    * the word's depth counters; emit words with est ≥ N/den. */
+  def cmsHeavyHittersFromCounters(words: DataFrame, counters: DataFrame,
+      depth: Int = 3, width: Int = 1024, den: Int = 100): DataFrame = {
     val total = words.agg(sum(col("__c")).as("__n"))
-    rows.join(broadcast(counters), Seq("__j", "__b"))
+    cmsRows(words, depth, width).join(broadcast(counters), Seq("__j", "__b"))
       .groupBy(col("__w"), col("__c"))
       .agg(min(col("__cnt")).as("est_count"))
       .crossJoin(broadcast(total))
@@ -924,6 +936,16 @@ object TextAnalysis {
         col("est_count"), col("__n").as("n_total"),
         (col("__c") * den >= col("__n")).as("is_true_hh"),
         (col("est_count") - col("__c")).as("overcount"))
+  }
+
+  def cmsHeavyHitters(df: DataFrame, textCol: String, depth: Int = 3,
+      width: Int = 1024, den: Int = 100): DataFrame = {
+    // The vocabulary spine feeds three consumers (counters, total, the
+    // estimate join); checkpoint it so the corpus explode runs ONCE —
+    // the frame is vocabulary-sized, never corpus-sized.
+    val words = cmsWordSpine(df, textCol).localCheckpoint(true)
+    cmsHeavyHittersFromCounters(words,
+      cmsCountersFromSpine(words, depth, width), depth, width, den)
   }
 
   /** Oracle-side spelling of [[cmsHeavyHitters]]. */

@@ -318,6 +318,30 @@ object StreamQs {
       },
       Some("""SELECT source, COUNT(*) AS n,
              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
-             |FROM documents GROUP BY source""".stripMargin))
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // ST10: streaming heavy-hitters — t24's count-min sketch as an ingest
+    // seat: each micro-batch lands its own depth×width partial counter
+    // table (replay-idempotent: a replayed batch OVERWRITES its batch_id
+    // dir rather than double-adding), and the current sketch is the
+    // re-summed union of partials — addition IS the sketch's merge
+    // operator, so the streamed counters equal the batch sketch exactly
+    // and t24's oracle carries over unchanged. Multi-batch equality and
+    // restart-resume are StreamsSpec's.
+    Q("st10_stream_heavy_hitters",
+      (s, d) => {
+        val ss = streamSession(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_st10_").toString
+        Streams.cmsIngest(
+            Streams.documentStream(ss, asStreamDir(s"$d/documents.parquet")),
+            s"$base/state", s"$base/ckpt")
+          .awaitTermination()
+        import graft.ops.TextAnalysis
+        TextAnalysis.cmsHeavyHittersFromCounters(
+          TextAnalysis.cmsWordSpine(
+            graft.core.Tables.documents(ss, d), "text").localCheckpoint(true),
+          Streams.cmsMergedCounters(ss, s"$base/state"))
+      },
+      Some(graft.ops.TextAnalysis.cmsHeavyHittersSql("text", "documents")))
   )
 }

@@ -333,6 +333,39 @@ object Streams {
       .start()
   }
 
+  /** Streaming count-min ingest — the mergeability of t24's sketch made
+    * operational: each micro-batch reduces to its OWN depth×width partial
+    * counter table and lands it at `stateDir/batch_id=<id>/`. Replay-
+    * idempotent BY CONSTRUCTION: a partial is a pure function of its batch,
+    * and a replayed batch (foreachBatch's at-least-once) OVERWRITES the
+    * same batch_id directory instead of double-adding — the commutative-
+    * merge trap a single running counter table would fall into. The
+    * current sketch is [[cmsMergedCounters]]: union the partials, re-SUM —
+    * exactly how per-day partial sketches merge in a warehouse.
+    *
+    * State growth is batches × depth × width tiny rows, never corpus- or
+    * vocabulary-sized; compaction is the same re-sum landed back as one
+    * partial. */
+  def cmsIngest(stream: DataFrame, stateDir: String, ckptDir: String,
+      textCol: String = "text", depth: Int = 3,
+      width: Int = 1024): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        import graft.ops.TextAnalysis
+        TextAnalysis.cmsCountersFromSpine(
+            TextAnalysis.cmsWordSpine(batch.toDF(), textCol), depth, width)
+          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Merge the per-batch partial sketches under `stateDir` into the current
+    * counter table — addition is the sketch's merge operator. */
+  def cmsMergedCounters(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+      .groupBy(col("__j"), col("__b")).agg(sum(col("__cnt")).as("__cnt"))
+
   /** Gap-based session windows per user: `session_window` keeps a window
     * open while events keep arriving within `gap` of the last one, merging
     * across micro-batches — the streaming form of `ops.Windows.sessionize`

@@ -410,4 +410,50 @@ class StreamsSpec extends AnyFunSuite {
     assert(replayed.filter(col("accepted")).select("doc_id")
       .collect().map(_.getLong(0)).toSet == wantAccepted)
   }
+
+  test("cmsIngest partial sketches merge to the batch sketch; replay overwrites") {
+    import java.nio.file.Files
+    import graft.ops.TextAnalysis
+    val in = Files.createTempDirectory("graft_cms_in")
+    val state = Files.createTempDirectory("graft_cms_state").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_cms_ckpt").toString
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source", "n_chars").localCheckpoint(true)
+    def arrive(tag: String, part: org.apache.spark.sql.DataFrame): Unit = {
+      val sub = in.resolve(tag)
+      part.coalesce(1).write.parquet(sub.toString)
+      Files.list(sub).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, in.resolve(tag + "_" + p.getFileName.toString))
+      }
+    }
+    def counters(d: org.apache.spark.sql.DataFrame) =
+      d.select("__j", "__b", "__cnt").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val want = counters(TextAnalysis.cmsCountersFromSpine(
+      TextAnalysis.cmsWordSpine(docs, "text")))
+
+    // two arrival waves → two micro-batches → two partial sketches
+    val mid = 250L
+    arrive("a", docs.filter(col("doc_id") < mid))
+    Streams.cmsIngest(Streams.documentStream(spark, in.toString),
+      state, ckpt).awaitTermination()
+    val partials1 = spark.read.parquet(state)
+      .select("batch_id").distinct().count()
+    arrive("b", docs.filter(col("doc_id") >= mid))
+    Streams.cmsIngest(Streams.documentStream(spark, in.toString),
+      state, ckpt).awaitTermination()
+    assert(spark.read.parquet(state)
+      .select("batch_id").distinct().count() > partials1)
+    assert(counters(Streams.cmsMergedCounters(spark, state)) == want,
+      "merged partials must equal the one-shot batch sketch")
+
+    // crash-replay of a batch: the partial is a pure function of the batch
+    // and lands by OVERWRITE of its batch_id dir, so re-running it cannot
+    // double-add
+    TextAnalysis.cmsCountersFromSpine(
+        TextAnalysis.cmsWordSpine(docs.filter(col("doc_id") < mid), "text"))
+      .write.mode("overwrite").parquet(s"$state/batch_id=0")
+    assert(counters(Streams.cmsMergedCounters(spark, state)) == want)
+  }
 }
