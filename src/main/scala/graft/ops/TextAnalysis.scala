@@ -938,6 +938,89 @@ object TextAnalysis {
         (col("est_count") - col("__c")).as("overcount"))
   }
 
+  /** BM25 ranked retrieval (Robertson-Sparck Jones; the Lucene
+    * `(1 + ln((N - df + 0.5)/(df + 0.5)))`-family scoring) for a FIXED
+    * query-term set — the ranking half of the RAG story whose passage side
+    * is t19: score = Σ_t idf_t · tf/(tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Determinism: idf pins to DECIMAL(18,4) (the t23 weight contract) and
+    * each per-term addend rounds to DECIMAL(18,6) before the per-doc sum,
+    * so scores are partitioning- and engine-independent; ties break on id.
+    *
+    * Scale shape: the posting spine is (doc, term) for query terms only —
+    * the explode filters to the term set BEFORE any shuffle, so the spine
+    * is matches-sized, not corpus-sized. df/idf/avgdl are a terms-row and
+    * a 1-row broadcast; top-k is TakeOrderedAndProject (no global sort
+    * materialization), rank a post-limit bounded window. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val dl = df.select(col(idCol), wsTokens(col(textCol)).as("__dl"))
+      .localCheckpoint(true)
+    val stats = dl.agg(count(lit(1)).as("__nd"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val spine = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+      .filter(col("__t").isInCollection(terms))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val idf = spine.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(stats.select(col("__nd"))))
+      .select(col("__t"), round(
+        log((col("__nd") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0), 4)
+        .cast(DecimalType(18, 4)).as("__idf"))
+    val scored = spine.join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats.select(col("__avgdl"))))
+      .join(broadcast(idf), Seq("__t"))
+      .select(col(idCol), round(
+        col("__idf") * col("__tf") /
+          (col("__tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))), 6)
+        .cast(DecimalType(18, 6)).as("__a"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__a")).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol)).limit(k)
+    scored.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col(idCol))).cast("long"))
+  }
+
+  /** Oracle-side spelling of [[bm25TopK]]. */
+  def bm25Sql(idExpr: String, textExpr: String, table: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT $idExpr AS id,
+       |    CAST(len(string_split($textExpr, ' ')) AS BIGINT) AS dl
+       |  FROM $table),
+       |stats AS (
+       |  SELECT COUNT(*) AS nd,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |spine AS (
+       |  SELECT id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS t
+       |    FROM $table)
+       |  WHERE t IN ($termList) GROUP BY 1, 2),
+       |idf AS (
+       |  SELECT t, CAST(round(
+       |    ln((nd - df + 0.5) / (df + 0.5) + 1.0), 4) AS DECIMAL(18,4)) AS idf
+       |  FROM (SELECT t, COUNT(*) AS df FROM spine GROUP BY 1)
+       |  CROSS JOIN stats),
+       |scored AS (
+       |  SELECT id, CAST(SUM(a) AS DOUBLE) AS bm25 FROM (
+       |    SELECT s.id, CAST(round(
+       |      idf * tf / (tf + $k1 * ((1.0 - $b) + $b * dl / avgdl)),
+       |      6) AS DECIMAL(18,6)) AS a
+       |    FROM spine s JOIN dl ON s.id = dl.id
+       |    CROSS JOIN stats JOIN idf USING (t))
+       |  GROUP BY 1)
+       |SELECT id AS $idExpr, bm25,
+       |  CAST(row_number() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS rank
+       |FROM scored
+       |QUALIFY row_number() OVER (ORDER BY bm25 DESC, id) <= $k""".stripMargin
+  }
+
   def cmsHeavyHitters(df: DataFrame, textCol: String, depth: Int = 3,
       width: Int = 1024, den: Int = 100): DataFrame = {
     // The vocabulary spine feeds three consumers (counters, total, the

@@ -379,6 +379,17 @@ object TextQs {
       (s, d) => TextAnalysis.cmsHeavyHitters(Tables.documents(s, d), "text"),
       Some(TextAnalysis.cmsHeavyHittersSql("text", "documents"))),
 
+    // T25: BM25 ranked retrieval for a fixed term query — the ranking half
+    // of the RAG story (t19 builds the passage windows; this ranks the
+    // candidate documents). Posting spine filtered to the query terms
+    // BEFORE any shuffle; idf/avgdl are tiny broadcasts; top-k is
+    // TakeOrderedAndProject. DECIMAL-pinned idf + addends ⇒ full hash gate.
+    Q("t25_bm25_retrieval",
+      (s, d) => TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id",
+        "text", Seq("spark", "window", "merge"), k = 20),
+      Some(TextAnalysis.bm25Sql("doc_id", "text", "documents",
+        Seq("spark", "window", "merge"), k = 20))),
+
     // T12: Gopher-style repetition gate — head-concentration metrics
     // (top-word / top-bigram fraction, distinct-word ratio) complementing
     // t7's duplicated-tail fraction. Two map-side-combinable gram aggs,

@@ -969,6 +969,30 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.isNullAt(7) && !r2.isNullAt(8))
   }
 
+  test("TextAnalysis.bm25TopK ranks by density, downweights common terms") {
+    val docs = Seq(
+      (1L, "spark spark spark pad"),        // dense in 'spark'
+      (2L, "spark pad pad pad"),            // sparse in 'spark'
+      (3L, "pad pad pad pad"),              // no query terms: absent
+      (4L, "merge pad pad pad"),            // rare term, tf=1
+      (5L, "spark pad pad pad pad pad pad pad pad pad pad pad") // long doc: dl-normalized down
+    ).toDF("id", "text")
+    val top = TextAnalysis.bm25TopK(docs, "id", "text",
+      Seq("spark", "merge"), k = 10)
+    val byId = top.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(!byId.contains(3L))
+    assert(byId(1L)._1 > byId(2L)._1, "higher tf must outrank")
+    assert(byId(2L)._1 > byId(5L)._1, "longer doc at equal tf must rank lower")
+    // 'merge' (df=1) is rarer than 'spark' (df=3): equal tf, equal dl ⇒ higher score
+    assert(byId(4L)._1 > byId(2L)._1, "rarer term must outscore at equal tf/dl")
+    assert(byId.values.map(_._2).toSeq.sorted == (1L to byId.size).toSeq)
+    // partitioning independence (decimal-pinned addends)
+    val again = TextAnalysis.bm25TopK(docs.repartition(7), "id", "text",
+      Seq("spark", "merge"), k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(again == byId)
+  }
+
   test("TextAnalysis.cmsHeavyHitters never underestimates; candidates cover true HH") {
     // Tiny width forces collisions — the property must hold anyway.
     val docs = Seq.tabulate(50)(i =>
