@@ -126,14 +126,38 @@ object Classifier {
         round(col("tp").cast("double") / (col("tp") + col("fn")), 6)))
   }
 
-  /** Oracle-side spelling of [[nbScores]] + [[nbHoldoutEval]] as one DuckDB
-    * statement; `labelSql`/`holdoutSql` are doc-level boolean expressions
-    * over `table`'s columns. Emits the per-doc scored rows when
-    * `perDoc = true`, else the 1-row eval. */
-  def nbSql(idExpr: String, textExpr: String, table: String,
-      labelSql: String, holdoutSql: String, buckets: Int,
-      perDoc: Boolean): String = {
-    val scored =
+  /** Operating-point sweep over the held-out slice: one row per candidate
+    * decision threshold with its confusion matrix and precision/recall/F1
+    * — the artifact that picks the gate's threshold (a filter tuned for
+    * recall keeps more data; tuned for precision keeps cleaner data). One
+    * pass over the holdout: a thresholds-sized Generate then a ≤
+    * |thresholds| aggregation. */
+  def nbPrCurve(scored: DataFrame, thresholds: Seq[Double]): DataFrame =
+    scored.filter(col("is_holdout"))
+      .select(col("label"), col("nb_score"),
+        explode(lit(thresholds.toArray)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("label") && col("nb_score") > col("threshold"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(!col("label") && col("nb_score") > col("threshold"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("label") && !(col("nb_score") > col("threshold")), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(!col("label") && !(col("nb_score") > col("threshold")), 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6)))
+      .withColumn("f1", when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        round(lit(2.0) * col("tp") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")), 6)))
+
+  /** The shared CTE block ending in `scored` (id, is_holdout, label,
+    * n_words, nb_score) — the oracle replay of [[nbScores]]. */
+  private def scoredCtes(idExpr: String, textExpr: String, table: String,
+      labelSql: String, holdoutSql: String, buckets: Int): String =
       s"""flags AS (
          |  SELECT $idExpr AS id, ($labelSql) AS t, ($holdoutSql) AS h
          |  FROM $table),
@@ -177,6 +201,16 @@ object Classifier {
          |      AS nb_score
          |  FROM flags LEFT JOIN perdoc ON flags.id = perdoc.id
          |  CROSS JOIN prior)""".stripMargin
+
+  /** Oracle-side spelling of [[nbScores]] + [[nbHoldoutEval]] as one DuckDB
+    * statement; `labelSql`/`holdoutSql` are doc-level boolean expressions
+    * over `table`'s columns. Emits the per-doc scored rows when
+    * `perDoc = true`, else the 1-row eval. */
+  def nbSql(idExpr: String, textExpr: String, table: String,
+      labelSql: String, holdoutSql: String, buckets: Int,
+      perDoc: Boolean): String = {
+    val scored = scoredCtes(idExpr, textExpr, table, labelSql, holdoutSql,
+      buckets)
     if (perDoc)
       s"""WITH $scored
          |SELECT id AS doc_id, is_holdout, label, n_words, nb_score,
@@ -203,5 +237,31 @@ object Classifier {
          |  CASE WHEN tp + fn > 0
          |    THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
          |FROM cm CROSS JOIN ntr""".stripMargin
+  }
+
+  /** Oracle-side spelling of [[nbPrCurve]]. */
+  def nbPrCurveSql(idExpr: String, textExpr: String, table: String,
+      labelSql: String, holdoutSql: String, buckets: Int,
+      thresholds: Seq[Double]): String = {
+    val thrList = thresholds.mkString(", ")
+    s"""WITH ${scoredCtes(idExpr, textExpr, table, labelSql, holdoutSql, buckets)},
+       |thr AS (SELECT CAST(unnest([$thrList]) AS DOUBLE) AS threshold),
+       |cm AS (
+       |  SELECT threshold,
+       |    SUM(CASE WHEN label AND nb_score > threshold THEN 1 ELSE 0 END) AS tp,
+       |    SUM(CASE WHEN NOT label AND nb_score > threshold THEN 1 ELSE 0 END) AS fp,
+       |    SUM(CASE WHEN label AND NOT (nb_score > threshold) THEN 1 ELSE 0 END) AS fn,
+       |    SUM(CASE WHEN NOT label AND NOT (nb_score > threshold) THEN 1 ELSE 0 END) AS tn
+       |  FROM scored CROSS JOIN thr WHERE is_holdout GROUP BY 1)
+       |SELECT threshold,
+       |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       |  CASE WHEN tp + fp > 0
+       |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+       |  CASE WHEN tp + fn > 0
+       |    THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+       |  CASE WHEN 2 * tp + fp + fn > 0
+       |    THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+       |FROM cm""".stripMargin
   }
 }

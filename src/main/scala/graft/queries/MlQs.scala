@@ -35,6 +35,11 @@ object MlQs {
   private val holdoutSql = s"${TextAnalysis.hashUnitSql("doc_id", "nbsplit")} % 5 = 0"
   private val B = 1024
 
+  // Spans the score range the prior puts the mass in (ml2 shows scores
+  // hover near the negative prior on this corpus) out to a clearly
+  // accept-everything point, so the curve's shape is visible either way.
+  private val prThresholds = Seq(-4.0, -3.0, -2.0, -1.5, -1.0, -0.5, 0.0, 1.0)
+
   private def scored(s: org.apache.spark.sql.SparkSession, d: String) =
     Classifier.nbScores(Tables.documents(s, d), "doc_id", "text",
       col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8,
@@ -56,5 +61,15 @@ object MlQs {
     Q("ml2_nb_holdout_eval",
       (s, d) => Classifier.nbHoldoutEval(scored(s, d)),
       Some(Classifier.nbSql("doc_id", "text", "documents",
-        labelSql, holdoutSql, B, perDoc = false))))
+        labelSql, holdoutSql, B, perDoc = false))),
+
+    // ML3: operating-point sweep — the precision/recall/F1 curve over the
+    // holdout at a declared threshold ladder. This is how the gate's
+    // threshold gets CHOSEN (recall-tuned keeps more data, precision-tuned
+    // keeps cleaner data) — and a majority-class model shows a flat curve
+    // here, which is the diagnosis behind ml2's verdict.
+    Q("ml3_nb_pr_curve",
+      (s, d) => Classifier.nbPrCurve(scored(s, d), prThresholds),
+      Some(Classifier.nbPrCurveSql("doc_id", "text", "documents",
+        labelSql, holdoutSql, B, prThresholds))))
 }

@@ -969,6 +969,26 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.isNullAt(7) && !r2.isNullAt(8))
   }
 
+  test("Classifier.nbPrCurve sweeps thresholds with consistent monotone counts") {
+    val scored = Seq(
+      (1L, true, true, 3L, 2.0, true), (2L, true, true, 3L, 0.4, true),
+      (3L, true, false, 3L, 0.6, true), (4L, true, false, 3L, -0.8, false),
+      (5L, false, true, 3L, 9.0, true) // train row: excluded
+    ).toDF("id", "is_holdout", "label", "n_words", "nb_score", "predicted")
+    val thr = Seq(-1.0, 0.5, 1.0, 5.0)
+    val rows = Classifier.nbPrCurve(scored, thr).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.keySet == thr.toSet)
+    // every row partitions the same 4 holdout docs
+    assert(rows.values.forall { case (tp, fp, fn, tn) => tp + fp + fn + tn == 4L })
+    // tp and fp are non-increasing in the threshold
+    val ordered = thr.map(rows)
+    assert(ordered.map(_._1).sliding(2).forall(p => p.head >= p.last))
+    assert(ordered.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    assert(rows(0.5) == ((1L, 1L, 1L, 1L)))
+  }
+
   test("TextAnalysis.bm25TopK ranks by density, downweights common terms") {
     val docs = Seq(
       (1L, "spark spark spark pad"),        // dense in 'spark'
