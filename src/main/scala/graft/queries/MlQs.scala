@@ -53,10 +53,10 @@ object MlQs {
     Q("ml1_nb_quality_scores",
       (s, d) => scored(s, d),
       Some(Classifier.nbSql("doc_id", "text", "documents",
-        labelSql, holdoutSql, B, perDoc = true))),
+        labelSql, holdoutSql, B, perDoc = true)), bench = true),
 
     // ML2: held-out evaluation — confusion matrix + accuracy/precision/
-    // recall on the doc_id % 5 slice the training never saw. The metric
+    // recall on the hash-holdout slice the training never saw. The metric
     // row is the artifact a curation pipeline gates model rollout on.
     Q("ml2_nb_holdout_eval",
       (s, d) => Classifier.nbHoldoutEval(scored(s, d)),

@@ -377,7 +377,7 @@ object TextQs {
     // heavy hitters (CMS never underestimates).
     Q("t24_cms_heavy_hitters",
       (s, d) => TextAnalysis.cmsHeavyHitters(Tables.documents(s, d), "text"),
-      Some(TextAnalysis.cmsHeavyHittersSql("text", "documents"))),
+      Some(TextAnalysis.cmsHeavyHittersSql("text", "documents")), bench = true),
 
     // T25: BM25 ranked retrieval for a fixed term query — the ranking half
     // of the RAG story (t19 builds the passage windows; this ranks the
@@ -388,7 +388,7 @@ object TextQs {
       (s, d) => TextAnalysis.bm25TopK(Tables.documents(s, d), "doc_id",
         "text", Seq("spark", "window", "merge"), k = 20),
       Some(TextAnalysis.bm25Sql("doc_id", "text", "documents",
-        Seq("spark", "window", "merge"), k = 20))),
+        Seq("spark", "window", "merge"), k = 20)), bench = true),
 
     // T12: Gopher-style repetition gate — head-concentration metrics
     // (top-word / top-bigram fraction, distinct-word ratio) complementing

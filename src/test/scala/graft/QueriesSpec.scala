@@ -98,7 +98,9 @@ class QueriesSpec extends AnyFunSuite {
     "k9_sq8_ann",              // exact brute-force over codes: 1-row query broadcast (k1 shape)
     "t24_cms_heavy_hitters",   // 1-row corpus-total broadcast (same shape as a6)
     "ml1_nb_quality_scores",   // 1-row prior + 1-row train-total broadcasts
-    "ml2_nb_holdout_eval"      // inherits ml1's shape + 1-row confusion-matrix crosses
+    "ml2_nb_holdout_eval",     // inherits ml1's shape + 1-row confusion-matrix crosses
+    "ml3_nb_pr_curve",         // inherits ml1's 1-row prior/total broadcasts
+    "t25_bm25_retrieval"       // 1-row avgdl broadcast (same shape as a6)
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
