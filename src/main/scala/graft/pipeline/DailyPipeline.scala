@@ -135,11 +135,15 @@ object DailyPipeline {
       materialize("d7_semantic_dedup", "embedding_dedup_clusters"),
       // model-based quality filter: the NB scores are a corpus-wide mart;
       // the holdout eval row is the rollout gate a curation pipeline
-      // checks before trusting the scores (its dep is real lineage: the
-      // eval reads the same scored frame the mart persists)
+      // checks before trusting the scores. The eval CONSUMES the
+      // materialized scores (real lineage, like packed_corpus) — training
+      // runs once, not once per consumer.
       materialize("ml1_nb_quality_scores", "nb_quality_scores"),
-      materialize("ml2_nb_holdout_eval", "nb_model_eval",
-        Seq("nb_quality_scores")),
+      Job("nb_model_eval", Seq("nb_quality_scores"), s =>
+        Tables.write(
+          graft.ops.Classifier.nbHoldoutEval(
+            s.read.parquet(s"$outDir/nb_quality_scores")),
+          s"$outDir/nb_model_eval")),
       // vocabulary heavy-hitters sketch report (mergeable CMS counters)
       materialize("t24_cms_heavy_hitters", "vocab_heavy_hitters"),
       // incremental ingest report: today's batch (delta) matched against the
