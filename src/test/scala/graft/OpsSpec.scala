@@ -969,6 +969,114 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.isNullAt(7) && !r2.isNullAt(8))
   }
 
+  // Driver-side replica of the engine-portable salted-md5 bucket.
+  private def md5Bucket(s: String, buckets: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 8), 16) % buckets
+  }
+  private def r4(x: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP)
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("Classifier.nbScores equals a driver-side reference on random corpora") {
+    val B = 32
+    for (seed <- Seq(1, 2)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+      val docs = (1 to 40).map(i => (i.toLong,
+        Seq.fill(1 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        rnd.nextInt(2)))
+      val df = docs.toDF("id", "text", "lab")
+      val train = docs.filterNot(_._1 % 3 == 0)
+      def bcounts(p: ((Long, String, Int)) => Boolean) =
+        train.filter(p).flatMap(d => d._2.split(" ").filter(_.nonEmpty))
+          .groupBy(w => md5Bucket(w, B)).view.mapValues(_.size.toLong).toMap
+      val ct = bcounts(_._3 == 1); val cr = bcounts(_._3 == 0)
+      val (tt, tr) = (ct.values.sum, cr.values.sum)
+      val lam = (0L until B).map(b => b -> r4(
+        math.log((ct.getOrElse(b, 0L) + 1).toDouble / (tt + B)) -
+        math.log((cr.getOrElse(b, 0L) + 1).toDouble / (tr + B)))).toMap
+      val np = train.count(_._3 == 1); val nn = train.size - np
+      val lam0 = r4(math.log((np + 1).toDouble / (np + nn + 2)) -
+        math.log((nn + 1).toDouble / (np + nn + 2)))
+      val want = docs.map { case (id, text, _) =>
+        val s = text.split(" ").filter(_.nonEmpty)
+          .groupBy(w => md5Bucket(w, B)).view.mapValues(_.size).toSeq
+          .map { case (b, c) => lam(b).multiply(new java.math.BigDecimal(c)) }
+          .foldLeft(lam0)(_.add(_))
+        id -> s.doubleValue
+      }.toMap
+      val got = Classifier.nbScores(df, "id", "text",
+          col("lab") === 1, col("id") % 3 === 0, buckets = B)
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("TextAnalysis.cmsHeavyHitters equals a driver-side sketch on random corpora") {
+    val (depth, width, den) = (3, 4, 8) // tiny width: collisions guaranteed
+    for (seed <- Seq(3, 4)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("a", "b", "c", "d", "e", "f")
+      val docs = (1 to 25).map(i => (i.toLong,
+        Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val words = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val counters = (0 until depth).map { j =>
+        j -> exact.toSeq.groupBy { case (w, _) => md5Bucket(s"cms$j|" + w, width) }
+          .view.mapValues(_.map(_._2).sum).toMap
+      }.toMap
+      val n = words.size.toLong
+      val want = exact.keys.map { w =>
+        val est = (0 until depth)
+          .map(j => counters(j)(md5Bucket(s"cms$j|" + w, width))).min
+        (w, exact(w), est)
+      }.filter(_._3 * den >= n)
+        .map { case (w, e, est) => (w, e, est, n, e * den >= n, est - e) }.toSet
+      val got = TextAnalysis.cmsHeavyHitters(docs.toDF("id", "text"), "text",
+          depth, width, den)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4), r.getLong(5))).toSet
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("TextAnalysis.bm25TopK equals a driver-side reference on random corpora") {
+    val terms = Seq("a", "b"); val (k1, b) = (1.2, 0.75)
+    for (seed <- Seq(5, 6)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("a", "b", "c", "d", "e")
+      val docs = (1 to 30).map(i => (i.toLong,
+        Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val dl = docs.map { case (id, t) => id -> t.split(" ").count(_.nonEmpty).toLong }.toMap
+      val nd = docs.size.toLong
+      val avgdl = dl.values.sum.toDouble / nd
+      val dfreq = terms.map(t =>
+        t -> docs.count(_._2.split(" ").contains(t)).toLong).toMap
+      val idf = terms.map(t => t ->
+        r4(math.log((nd - dfreq(t) + 0.5) / (dfreq(t) + 0.5) + 1.0))).toMap
+      val scores = docs.flatMap { case (id, t) =>
+        val tfs = t.split(" ").filter(terms.contains)
+          .groupBy(identity).view.mapValues(_.size.toLong)
+        if (tfs.isEmpty) None
+        else Some(id -> tfs.map { case (term, tf) =>
+          new java.math.BigDecimal(
+            (idf(term).doubleValue * tf /
+              (tf + k1 * ((1.0 - b) + b * dl(id) / avgdl))))
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+        }.reduce(_.add(_)).doubleValue)
+      }
+      val want = scores.sortBy { case (id, s) => (-s, id) }.take(10)
+        .zipWithIndex.map { case ((id, s), i) => (id, s, (i + 1).toLong) }.toSet
+      val got = TextAnalysis.bm25TopK(docs.toDF("id", "text"), "id", "text",
+          terms, k = 10, k1, b)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("Classifier.nbPrCurve sweeps thresholds with consistent monotone counts") {
     val scored = Seq(
       (1L, true, true, 3L, 2.0, true), (2L, true, true, 3L, 0.4, true),
