@@ -938,6 +938,110 @@ object TextAnalysis {
         (col("est_count") - col("__c")).as("overcount"))
   }
 
+  /** Per-source distribution drift vs the corpus baseline — the
+    * data-mix monitoring artifact a production pipeline watches between
+    * crawls/ingests: KL(P_source ‖ P_corpus) and total-variation distance
+    * over B hashed-unigram buckets (add-one smoothed, so every bucket
+    * contributes and the divergence is finite even on disjoint vocab).
+    *
+    * Determinism: each (source, bucket) term — p·ln(p/q) for KL,
+    * |p − q|/2 for TVD — rounds to DECIMAL(18,8) before the per-source
+    * sum, so the B-term reductions are order-independent and the full
+    * hash gate applies.
+    *
+    * Scale shape: one corpus explode reduced map-side to (source, bucket)
+    * counts; the dense term frame is sources × B rows (built from
+    * `spark.range(B)`, never from corpus data); the corpus baseline is a
+    * B-row broadcast. */
+  def sourceDrift(df: DataFrame, srcCol: String, textCol: String,
+      buckets: Int = 256, klFactor: Double = 1.5): DataFrame = {
+    val spark = df.sparkSession
+    val dec = DecimalType(18, 8)
+    val sb = df
+      .select(col(srcCol), explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col(srcCol),
+        Normalize.hashBucket(col("__w"), buckets).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val corpus = sb.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
+    val totals = sb.groupBy(col(srcCol)).agg(sum(col("__c")).as("__ns"))
+    val grand = sb.agg(sum(col("__c")).as("__n"))
+    val dense = totals.crossJoin(spark.range(buckets).select(col("id").as("__b")))
+      .join(sb, Seq(srcCol, "__b"), "left")
+      .select(col(srcCol), col("__b"), col("__ns"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    // LEFT join + coalesce: a bucket empty corpus-wide must still
+    // contribute its smoothed term on BOTH sides — dropping it loses
+    // positive KL mass and can drive the (provably >= 0) divergence
+    // negative.
+    val bySrc = dense.join(broadcast(corpus), Seq("__b"), "left")
+      .crossJoin(broadcast(grand))
+      .select(col(srcCol), col("__ns"),
+        ((col("__c") + 1).cast("double") /
+          (col("__ns") + buckets).cast("double")).as("__p"),
+        ((coalesce(col("__cb"), lit(0L)) + 1).cast("double") /
+          (col("__n") + buckets).cast("double")).as("__q"))
+      .select(col(srcCol), col("__ns"),
+        round(col("__p") * log(col("__p") / col("__q")), 8).cast(dec).as("__kl"),
+        round(abs(col("__p") - col("__q")) / 2, 8).cast(dec).as("__tv"))
+      .groupBy(col(srcCol))
+      .agg(first(col("__ns")).as("n_words"),
+        round(sum(col("__kl")).cast("double"), 6).as("kl_nats"),
+        round(sum(col("__tv")).cast("double"), 6).as("tvd"))
+      .localCheckpoint(true) // sources-row frame; feeds the mean AND the output
+    // SELF-CALIBRATING drift flag (the t15 lesson: an absolute KL
+    // threshold breaks the moment vocabulary/bucket occupancy shifts —
+    // every source carries a smoothing-mass floor that scales with
+    // empty-bucket count). A source drifts when it is an OUTLIER vs the
+    // source cohort: kl > factor × mean-kl. The mean is a decimal sum
+    // over the sources-row frame — deterministic at any scale.
+    val mean = bySrc.agg(round(
+      (sum(col("kl_nats").cast(DecimalType(18, 6))) / count(lit(1)))
+        .cast("double"), 6).as("mean_kl"))
+    bySrc.crossJoin(broadcast(mean))
+      .withColumn("drifted", col("kl_nats") > lit(klFactor) * col("mean_kl"))
+  }
+
+  /** Oracle-side spelling of [[sourceDrift]]. */
+  def sourceDriftSql(srcExpr: String, textExpr: String, table: String,
+      buckets: Int = 256, klFactor: Double = 1.5): String =
+    s"""WITH w AS (
+       |  SELECT $srcExpr AS src, unnest(string_split($textExpr, ' ')) AS word
+       |  FROM $table),
+       |sb AS (
+       |  SELECT src, ${Normalize.hashBucketSql("word", buckets)} AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM w WHERE word <> '' GROUP BY 1, 2),
+       |corpus AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM sb GROUP BY 1),
+       |totals AS (SELECT src, CAST(SUM(c) AS BIGINT) AS ns FROM sb GROUP BY 1),
+       |grand AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM sb),
+       |dense AS (
+       |  SELECT totals.src AS src, r.range AS b, ns, COALESCE(c, 0) AS c
+       |  FROM totals CROSS JOIN range($buckets) r
+       |  LEFT JOIN sb ON sb.src = totals.src AND sb.b = r.range),
+       |terms AS (
+       |  SELECT src, ns,
+       |    CAST(round(p * ln(p / q), 8) AS DECIMAL(18,8)) AS kl,
+       |    CAST(round(abs(p - q) / 2, 8) AS DECIMAL(18,8)) AS tv
+       |  FROM (
+       |    SELECT src, ns,
+       |      (c + 1) / CAST(ns + $buckets AS DOUBLE) AS p,
+       |      (COALESCE(cb, 0) + 1) / CAST(n + $buckets AS DOUBLE) AS q
+       |    FROM dense LEFT JOIN corpus USING (b) CROSS JOIN grand)),
+       |agg AS (
+       |  SELECT src, MIN(ns) AS n_words,
+       |    round(CAST(SUM(kl) AS DOUBLE), 6) AS kl_nats,
+       |    round(CAST(SUM(tv) AS DOUBLE), 6) AS tvd
+       |  FROM terms GROUP BY 1),
+       |m AS (
+       |  SELECT round(CAST(SUM(CAST(kl_nats AS DECIMAL(18,6))) / COUNT(*)
+       |    AS DOUBLE), 6) AS mean_kl
+       |  FROM agg)
+       |SELECT src AS $srcExpr, CAST(n_words AS BIGINT) AS n_words,
+       |  kl_nats, tvd, mean_kl, kl_nats > $klFactor * mean_kl AS drifted
+       |FROM agg CROSS JOIN m""".stripMargin
+
   /** BM25 ranked retrieval (Robertson-Sparck Jones; the Lucene
     * `(1 + ln((N - df + 0.5)/(df + 0.5)))`-family scoring) for a FIXED
     * query-term set — the ranking half of the RAG story whose passage side

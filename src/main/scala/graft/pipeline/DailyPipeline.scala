@@ -146,6 +146,8 @@ object DailyPipeline {
           s"$outDir/nb_model_eval")),
       // vocabulary heavy-hitters sketch report (mergeable CMS counters)
       materialize("t24_cms_heavy_hitters", "vocab_heavy_hitters"),
+      // per-source distribution-drift monitoring (KL/TVD vs corpus baseline)
+      materialize("t26_source_drift", "source_drift_report"),
       // incremental ingest report: today's batch (delta) matched against the
       // indexed corpus — cross-side band collisions only, the shape that
       // never re-pays corpus-wide shingling at scale. The oracle-gated d8

@@ -390,6 +390,15 @@ object TextQs {
       Some(TextAnalysis.bm25Sql("doc_id", "text", "documents",
         Seq("spark", "window", "merge"), k = 20)), bench = true),
 
+    // T26: per-source distribution drift vs the corpus baseline — the
+    // data-mix monitoring report a pipeline checks between crawls:
+    // KL(P_src ‖ P_corpus) + total-variation over hashed-unigram buckets,
+    // add-one smoothed. DECIMAL-pinned per-bucket terms ⇒ full hash gate;
+    // the dense term frame is sources × B rows, never corpus-sized.
+    Q("t26_source_drift",
+      (s, d) => TextAnalysis.sourceDrift(Tables.documents(s, d), "source", "text"),
+      Some(TextAnalysis.sourceDriftSql("source", "text", "documents"))),
+
     // T12: Gopher-style repetition gate — head-concentration metrics
     // (top-word / top-bigram fraction, distinct-word ratio) complementing
     // t7's duplicated-tail fraction. Two map-side-combinable gram aggs,

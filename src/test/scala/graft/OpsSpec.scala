@@ -1077,6 +1077,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TextAnalysis.sourceDrift: KL >= 0, outlier source flagged, cohort not") {
+    val rnd = new scala.util.Random(13)
+    val shared = Seq("a", "b", "c", "d", "e", "f")
+    // 5 sources drawing from one vocabulary + one source speaking another
+    val docs = (for {
+      s <- 0 until 5; i <- 0 until 12
+    } yield (s.toLong * 100 + i, s"src$s",
+      Seq.fill(8 + rnd.nextInt(8))(shared(rnd.nextInt(shared.size))).mkString(" "))) ++
+      (0 until 12).map(i =>
+        (900L + i, "weird", Seq.fill(10)(Seq("x", "y", "z")(rnd.nextInt(3))).mkString(" ")))
+    val out = TextAnalysis.sourceDrift(docs.toDF("id", "source", "text"),
+      "source", "text", buckets = 32)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out.values.forall(_._1 >= 0.0), s"KL must be non-negative: $out")
+    assert(out("weird")._3, "the disjoint-vocabulary source must drift")
+    assert((0 until 5).forall(s => !out(s"src$s")._3),
+      s"cohort sources must not drift: $out")
+    // the outlier's divergence dominates every cohort member's
+    assert((0 until 5).forall(s => out("weird")._1 > out(s"src$s")._1))
+  }
+
   test("Classifier.nbPrCurve sweeps thresholds with consistent monotone counts") {
     val scored = Seq(
       (1L, true, true, 3L, 2.0, true), (2L, true, true, 3L, 0.4, true),

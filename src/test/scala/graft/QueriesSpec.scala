@@ -100,7 +100,8 @@ class QueriesSpec extends AnyFunSuite {
     "ml1_nb_quality_scores",   // 1-row prior + 1-row train-total broadcasts
     "ml2_nb_holdout_eval",     // inherits ml1's shape + 1-row confusion-matrix crosses
     "ml3_nb_pr_curve",         // inherits ml1's 1-row prior/total broadcasts
-    "t25_bm25_retrieval"       // 1-row avgdl broadcast (same shape as a6)
+    "t25_bm25_retrieval",      // 1-row avgdl broadcast (same shape as a6)
+    "t26_source_drift"         // 1-row grand-total + 1-row cohort-mean broadcasts
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
