@@ -22,15 +22,30 @@ object StreamQs {
 
   private val sinkId = new AtomicInteger(0)
 
-  /** The file stream source requires a DIRECTORY; testdata tables are single
-    * read-only files. Stage a per-table temp dir holding a symlink to the
-    * file (cheap, idempotent) and stream from that. */
+  /** The file stream source requires a DIRECTORY of data files; testdata
+    * tables are single read-only files, and ScaleUp-written tables are
+    * parquet DIRECTORIES (whose part files a file stream will not find
+    * through one directory symlink — it does not recurse). Stage a
+    * per-table temp dir holding symlinks to the actual part file(s)
+    * (cheap, idempotent) and stream from that. */
   private def asStreamDir(path: String): String = {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(path)
+    import scala.jdk.CollectionConverters._
+    val src0 = Paths.get(path)
     val dir = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_${Integer.toHexString(path.hashCode)}")
     Files.createDirectories(dir)
+    val parts =
+      if (Files.isDirectory(src0))
+        Files.list(src0).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      else Seq(src0)
+    for (src <- parts) linkOne(dir, src)
+    dir.toString
+  }
+
+  private def linkOne(dir: java.nio.file.Path, src: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
     val link = dir.resolve(src.getFileName)
     // A pre-existing link may be stale (regenerated testdata at a different
     // target, or a path.hashCode collision between two dataset dirs) — verify
@@ -54,7 +69,6 @@ object StreamQs {
           ensure(attempt + 1)
       }
     ensure(0)
-    dir.toString
   }
 
   /** Stateful-operator partition count for the streaming queries. Every

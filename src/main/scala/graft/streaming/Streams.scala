@@ -361,10 +361,20 @@ object Streams {
       .start()
 
   /** Merge the per-batch partial sketches under `stateDir` into the current
-    * counter table — addition is the sketch's merge operator. */
-  def cmsMergedCounters(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(stateDir)
-      .groupBy(col("__j"), col("__b")).agg(sum(col("__cnt")).as("__cnt"))
+    * counter table — addition is the sketch's merge operator. An ingest
+    * that saw zero batches has no state dir yet; that is the EMPTY sketch,
+    * not an error. */
+  def cmsMergedCounters(spark: SparkSession, stateDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("__j", IntegerType), StructField("__b", LongType),
+        StructField("__cnt", LongType))))
+    else
+      spark.read.parquet(stateDir)
+        .groupBy(col("__j"), col("__b")).agg(sum(col("__cnt")).as("__cnt"))
+  }
 
   /** Gap-based session windows per user: `session_window` keeps a window
     * open while events keep arriving within `gap` of the last one, merging
