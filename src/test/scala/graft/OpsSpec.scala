@@ -1099,6 +1099,48 @@ class OpsSpec extends AnyFunSuite {
     assert((0 until 5).forall(s => out("weird")._1 > out(s"src$s")._1))
   }
 
+  test("TextAnalysis.sourceDrift equals a driver-side reference on random corpora") {
+    val B = 16
+    for (seed <- Seq(21, 22)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("a", "b", "c", "d", "e", "f", "g")
+      val docs = (for (s <- 0 until 4; i <- 0 until 10) yield
+        (s.toLong * 100 + i, s"src$s",
+          Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val counts = docs.flatMap { case (_, src, t) =>
+        t.split(" ").filter(_.nonEmpty).map(w => (src, md5Bucket(w, B)))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val srcs = counts.keys.map(_._1).toSet
+      val ns = srcs.map(s => s -> counts.collect {
+        case ((s2, _), c) if s2 == s => c }.sum).toMap
+      val cb = (0L until B).map(b => b -> counts.collect {
+        case ((_, b2), c) if b2 == b => c }.sum).toMap
+      val n = ns.values.sum
+      def r8(x: Double) = new java.math.BigDecimal(x)
+        .setScale(8, java.math.RoundingMode.HALF_UP)
+      val refs = srcs.map { s =>
+        val terms = (0L until B).map { b =>
+          val p = (counts.getOrElse((s, b), 0L) + 1).toDouble / (ns(s) + B)
+          val q = (cb(b) + 1).toDouble / (n + B)
+          (r8(p * math.log(p / q)), r8(math.abs(p - q) / 2))
+        }
+        val kl = r6(terms.map(_._1).reduce(_.add(_)).doubleValue)
+        val tv = r6(terms.map(_._2).reduce(_.add(_)).doubleValue)
+        s -> (ns(s), kl, tv)
+      }.toMap
+      val meanKl = r6(refs.values.map(v => BigDecimal(v._2)).sum.toDouble / srcs.size)
+      val got = TextAnalysis.sourceDrift(docs.toDF("id", "source", "text"),
+          "source", "text", buckets = B)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      for (s <- srcs) {
+        assert(got(s)._1 == refs(s)._1 && got(s)._2 == refs(s)._2 &&
+          got(s)._3 == refs(s)._3, s"seed $seed src $s: ${got(s)} vs ${refs(s)}")
+        assert(got(s)._4 == meanKl, s"seed $seed mean: ${got(s)._4} vs $meanKl")
+      }
+    }
+  }
+
   test("Classifier.nbPrCurve sweeps thresholds with consistent monotone counts") {
     val scored = Seq(
       (1L, true, true, 3L, 2.0, true), (2L, true, true, 3L, 0.4, true),
