@@ -154,6 +154,59 @@ object Classifier {
         round(lit(2.0) * col("tp") /
           (lit(2L) * col("tp") + col("fp") + col("fn")), 6)))
 
+  /** Reliability diagram (calibration bins) over the held-out slice — the
+    * standard check BEFORE a score threshold is treated as a probability
+    * (Guo et al. '17 "On Calibration of Modern Neural Networks" popularized
+    * the ECE form; NB scores are famously over-confident, which is exactly
+    * what this surfaces). Per equal-width probability bin of the sigmoid'd
+    * NB score: document count, mean predicted probability, empirical
+    * positive rate, and the signed gap — the Expected Calibration Error is
+    * the count-weighted mean |gap|, which the spec derives from these rows.
+    *
+    * One filter + one B-bin aggregation over the scored frame: map-side
+    * combinable, output is `bins` rows. Determinism: the sigmoid is rounded
+    * to 6 decimals BEFORE binning and summing; sums run in DECIMAL(18,6)
+    * (exact, associative) and each emitted ratio divides as double then
+    * rounds — partitioning- and engine-independent. */
+  def nbCalibration(scored: DataFrame, bins: Int = 10): DataFrame = {
+    val dec6 = DecimalType(18, 6)
+    val p = round(lit(1.0) / (lit(1.0) + exp(-col("nb_score"))), 6)
+    scored.filter(col("is_holdout"))
+      .withColumn("__p", p)
+      .withColumn("bin",
+        least(floor(col("__p") * bins), lit(bins - 1)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__p").cast(dec6)).as("__sp"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("__pos"))
+      .select(col("bin"), col("n"),
+        round(col("__sp").cast("double") / col("n"), 6).as("mean_p"),
+        round(col("__pos").cast("double") / col("n"), 6).as("pos_rate"))
+      .withColumn("gap", round(col("mean_p") - col("pos_rate"), 6))
+  }
+
+  /** Oracle-side spelling of [[nbCalibration]]. */
+  def nbCalibrationSql(idExpr: String, textExpr: String, table: String,
+      labelSql: String, holdoutSql: String, buckets: Int,
+      bins: Int): String =
+    s"""WITH ${scoredCtes(idExpr, textExpr, table, labelSql, holdoutSql, buckets)},
+       |pr AS (
+       |  SELECT label,
+       |    round(1.0 / (1.0 + exp(-nb_score)), 6) AS p
+       |  FROM scored WHERE is_holdout),
+       |b AS (
+       |  SELECT CAST(least(floor(p * $bins), $bins - 1) AS BIGINT) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(p AS DECIMAL(18,6))) AS sp,
+       |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS pos
+       |  FROM pr GROUP BY 1)
+       |SELECT bin, n,
+       |  round(CAST(sp AS DOUBLE) / n, 6) AS mean_p,
+       |  round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+       |  round(round(CAST(sp AS DOUBLE) / n, 6) -
+       |        round(CAST(pos AS DOUBLE) / n, 6), 6) AS gap
+       |FROM b""".stripMargin
+
   /** The shared CTE block ending in `scored` (id, is_holdout, label,
     * n_words, nb_score) — the oracle replay of [[nbScores]]. */
   private def scoredCtes(idExpr: String, textExpr: String, table: String,

@@ -1159,4 +1159,51 @@ object TextAnalysis {
        |FROM e CROSS JOIN tot
        |WHERE est_count * $den >= n""".stripMargin
   }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    * IPL '06): keep, per stratum, the k documents with the LARGEST
+    * `u^(1/w)` where u is a per-doc uniform and w the doc's weight —
+    * exactly the distribution of sequential weighted draws without
+    * replacement. Ranking on `ln(u)/w` descending is order-equivalent
+    * and numerically tamer than the k-th-root; `u` comes from the salted
+    * [[hashUnit]] (shifted to (0,1]) so the sample is deterministic
+    * across runs, partitionings, and engines, and the key is rounded to
+    * 8 decimals before ranking (id tiebreak) so the two engines'
+    * last-ulp `ln` cannot flip an ordering.
+    *
+    * This is the quality-WEIGHTED counterpart of [[quotaSample]]
+    * (uniform-per-stratum): a doc with twice the weight is twice as
+    * likely to be drawn at each step, the standard "sample by quality
+    * score" curation primitive. Scale: the rank-filter window compiles
+    * to WindowGroupLimit — every map partition pre-prunes to its own
+    * top k before the shuffle, so at most k rows per input partition
+    * move, and no stratum ever sits on one node. */
+  def weightedSample(df: DataFrame, strataCol: String, idCol: String,
+      weight: Column, k: Int, salt: String): DataFrame = {
+    val u = (hashUnit(col(idCol), salt) + 1).cast("double") / (1L << 24).toDouble
+    val keyed = df
+      .withColumn("samp_weight", weight)
+      .withColumn("samp_key", round(log(u) / col("samp_weight"), 8))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("samp_key").desc, col(idCol))
+    keyed
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Oracle-side spelling of [[weightedSample]]: `weightExpr` must mirror
+    * the Column passed to the Scala side (e.g. quality score + floor). */
+  def weightedSampleSql(strataExpr: String, idExpr: String, weightExpr: String,
+      k: Int, salt: String, table: String): String =
+    s"""WITH s AS (
+       |  SELECT $strataExpr, $idExpr, ($weightExpr) AS samp_weight,
+       |    round(ln((${hashUnitSql(idExpr, salt)} + 1) / ${(1L << 24).toDouble}) /
+       |      ($weightExpr), 8) AS samp_key
+       |  FROM $table),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY $strataExpr ORDER BY samp_key DESC, $idExpr)
+       |    AS BIGINT) AS sample_rank
+       |  FROM s)
+       |SELECT * FROM r WHERE sample_rank <= $k""".stripMargin
 }

@@ -71,5 +71,16 @@ object MlQs {
     Q("ml3_nb_pr_curve",
       (s, d) => Classifier.nbPrCurve(scored(s, d), prThresholds),
       Some(Classifier.nbPrCurveSql("doc_id", "text", "documents",
-        labelSql, holdoutSql, B, prThresholds))))
+        labelSql, holdoutSql, B, prThresholds))),
+
+    // ML4: reliability diagram — calibration bins of the sigmoid'd NB
+    // score vs the empirical positive rate on the holdout. The companion
+    // read to ml3: ml3 picks a threshold, ml4 says whether the score can
+    // be TRUSTED as a probability (for e.g. soft-weighting docs instead
+    // of hard-gating them). On this corpus the mass sits in the prior's
+    // bin — visible as a single heavy bin, the majority-collapse shape.
+    Q("ml4_nb_calibration",
+      (s, d) => Classifier.nbCalibration(scored(s, d), bins = 10),
+      Some(Classifier.nbCalibrationSql("doc_id", "text", "documents",
+        labelSql, holdoutSql, B, bins = 10))))
 }

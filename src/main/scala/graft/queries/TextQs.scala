@@ -399,6 +399,21 @@ object TextQs {
       (s, d) => TextAnalysis.sourceDrift(Tables.documents(s, d), "source", "text"),
       Some(TextAnalysis.sourceDriftSql("source", "text", "documents"))),
 
+    // T27: quality-weighted sampling without replacement (Efraimidis–
+    // Spirakis) — per source, draw 40 docs with probability proportional
+    // to quality score (floored at 0.05 so zero-quality docs stay
+    // drawable). The deterministic-hash uniform makes the draw
+    // reproducible and engine-exact; the rank window compiles to
+    // WindowGroupLimit (map-side top-k, ≤ k rows per partition shuffle).
+    Q("t27_weighted_sample",
+      (s, d) => TextAnalysis.weightedSample(
+          Tables.documents(s, d), "source", "doc_id",
+          TextAnalysis.qualityScore("text") + 0.05, k = 40, salt = "t27")
+        .select("source", "doc_id", "samp_weight", "samp_key", "sample_rank"),
+      Some(TextAnalysis.weightedSampleSql("source", "doc_id",
+        s"${TextAnalysis.qualityScoreSql("text")} + 0.05", k = 40,
+        salt = "t27", table = "documents"))),
+
     // T12: Gopher-style repetition gate — head-concentration metrics
     // (top-word / top-bigram fraction, distinct-word ratio) complementing
     // t7's duplicated-tail fraction. Two map-side-combinable gram aggs,

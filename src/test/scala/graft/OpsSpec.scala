@@ -1206,4 +1206,73 @@ class OpsSpec extends AnyFunSuite {
       width = 1024, den = 20).collect()
     assert(wide.forall(r => r.getLong(1) == r.getLong(2)))
   }
+
+  test("Classifier.nbCalibration bins the holdout sigmoid vs empirical rate") {
+    // Hand-built scored frame: probabilities straddling bin edges, one
+    // train row that must be excluded, and a p = 1.0 doc that must land in
+    // the TOP bin (bins-1), not a phantom bin `bins`.
+    val rows = Seq(
+      (1L, true, true, 2.0),    // p≈0.880797 → bin 8
+      (2L, true, false, 2.0),   // bin 8
+      (3L, true, true, 0.0),    // p=0.5 → bin 5
+      (4L, true, false, -2.0),  // p≈0.119203 → bin 1
+      (5L, true, true, 100.0),  // p rounds to 1.0 → bin 9 (clamped)
+      (6L, false, true, 3.0))   // train row: excluded
+      .toDF("doc_id", "is_holdout", "label", "nb_score")
+    val got = Classifier.nbCalibration(rows, bins = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    def sig(x: Double) = BigDecimal(1.0 / (1.0 + math.exp(-x)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 5L, 8L, 9L))
+    assert(got(9L) == ((1L, 1.0, 1.0, 0.0)))          // clamped top bin
+    assert(got(5L) == ((1L, 0.5, 1.0, -0.5)))
+    val m8 = BigDecimal((sig(2.0) * 2) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(8L) == ((2L, m8, 0.5, BigDecimal(m8 - 0.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // ECE derivation from the emitted rows: count-weighted mean |gap|
+    val n = got.values.map(_._1).sum
+    val ece = got.values.map { case (c, _, _, g) => c * math.abs(g) }.sum / n
+    assert(ece > 0.0 && ece <= 1.0)
+  }
+
+  test("TextAnalysis.weightedSample equals a driver-side A-ES draw on random corpora") {
+    def hashUnit(salt: String, id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 6), 16)
+    }
+    val k = 4
+    for (seed <- Seq(13, 14)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 60).map { i =>
+        (s"s${rnd.nextInt(3)}", i.toLong,
+          math.rint((0.05 + rnd.nextDouble()) * 1e6) / 1e6)
+      }
+      val want = rows.groupBy(_._1).flatMap { case (src, grp) =>
+        grp.map { case (_, id, w) =>
+          val u = (hashUnit("wtest", id) + 1).toDouble / (1L << 24).toDouble
+          val key = BigDecimal(math.log(u) / w)
+            .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (src, id, w, key)
+        }.sortBy { case (_, id, _, key) => (-key, id) }
+          .take(k).zipWithIndex
+          .map { case ((s, id, w, key), r) => (s, id, w, key, r + 1L) }
+      }.toSet
+      val got = TextAnalysis.weightedSample(
+          rows.toDF("src", "id", "w"), "src", "id", col("w"), k, "wtest")
+        .select("src", "id", "w", "samp_key", "sample_rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4))).toSet
+      assert(got == want, s"seed $seed")
+    }
+    // Scale shape: the rank-filter window must compile to WindowGroupLimit —
+    // map-side top-k, so no stratum ever needs to fit on one partition.
+    val plan = TextAnalysis.weightedSample(
+        (1 to 100).map(i => (s"s${i % 2}", i.toLong, 1.0)).toDF("src", "id", "w"),
+        "src", "id", col("w"), k, "wtest")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
 }
