@@ -1160,6 +1160,103 @@ object TextAnalysis {
        |WHERE est_count * $den >= n""".stripMargin
   }
 
+  /** Content-defined chunking (CDC): split each document into variable-size
+    * chunks whose boundaries are chosen by CONTENT (a rolling-window hash
+    * hitting 0 mod `div`), not by position — the storage-dedup primitive
+    * (Muthitacharoen et al. SOSP '01, LBFS) applied to text. Because a
+    * boundary depends only on the `w` words ending at it, two documents
+    * sharing a long region chunk that region IDENTICALLY regardless of
+    * where it starts in each doc — which is exactly what fixed-offset
+    * passage windows (t10/t19) cannot do, and what makes chunk-hash
+    * equality a shift-invariant duplicated-region detector.
+    *
+    * Entirely row-local per document (array higher-order functions:
+    * `filter` picks boundary positions, `transform` slices the chunks —
+    * no window function, no per-doc shuffle, linear in doc length), then
+    * one explode to (doc, chunk) rows. Expected chunk length ≈ `div`
+    * words; the final partial chunk always closes at the doc end.
+    * Output: (idCol, chunk ARRAY<string> exploded as `chunk`). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, div: Int = 16, salt: String = "cdc"): DataFrame = {
+    val hashSql = s"CAST(conv(substring(md5(concat('$salt|', " +
+      s"array_join(slice(__ws, i - ${w - 1}, $w), ' '))), 1, 6), 16, 10) AS BIGINT)"
+    df.select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .withColumn("__b", expr(
+        s"filter(sequence(1, size(__ws)), i -> i >= $w AND $hashSql % $div = 0)"))
+      .withColumn("__e", expr(
+        """IF(size(__b) > 0 AND element_at(__b, -1) = size(__ws),
+          |   __b, concat(__b, array(size(__ws))))""".stripMargin))
+      .select(col(idCol), expr(
+        """explode(transform(__e, (p, j) ->
+          |  array_join(slice(__ws, IF(j = 0, 1, element_at(__e, j) + 1),
+          |    p - IF(j = 0, 0, element_at(__e, j))), ' ')))""".stripMargin)
+        .as("chunk"))
+  }
+
+  /** Per-document CDC dedup stats: chunk the corpus ([[cdcChunks]]), count
+    * corpus-wide occurrences of each chunk fingerprint, and roll up per
+    * doc how much of it is made of chunks that occur more than once
+    * anywhere (including within the same doc). The cross-doc state is one
+    * md5-keyed count aggregation — shuffle proportional to chunk count
+    * (≈ corpus words / div), never quadratic in document pairs. */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, div: Int = 16, salt: String = "cdc"): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, w, div, salt)
+      .withColumn("__h", md5(col("chunk")))
+      .withColumn("__cw", size(split(col("chunk"), " ")).cast("long"))
+    val occ = chunks.groupBy(col("__h")).agg(count(lit(1)).as("__occ"))
+    chunks.join(occ, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("__cw")).as("n_words"),
+        sum(when(col("__occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("__occ") > 1, col("__cw")).otherwise(0L)).as("dup_words"))
+      .select(col(idCol), col("n_chunks"), col("n_words"),
+        col("n_dup_chunks"), col("dup_words"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+          .as("dup_chunk_frac"),
+        round(col("dup_words").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"))
+  }
+
+  /** Oracle-side spelling of [[cdcChunkStats]]. */
+  def cdcChunkStatsSql(idExpr: String, textExpr: String, table: String,
+      w: Int = 3, div: Int = 16, salt: String = "cdc"): String = {
+    val win = s"array_to_string(ws[i - ${w - 1}:i], ' ')"
+    s"""WITH d AS (
+       |  SELECT $idExpr AS id, string_split($textExpr, ' ') AS ws FROM $table),
+       |bd AS (
+       |  SELECT id, ws, list_filter(range(1, len(ws) + 1),
+       |    i -> i >= $w AND ${hashUnitSql(win, salt)} % $div = 0) AS b
+       |  FROM d),
+       |ed AS (
+       |  SELECT id, ws, CASE WHEN len(b) > 0 AND b[-1] = len(ws)
+       |    THEN b ELSE list_append(b, len(ws)) END AS e
+       |  FROM bd),
+       |ch AS (
+       |  SELECT id, unnest(list_transform(range(len(e)), j ->
+       |    array_to_string(
+       |      ws[(CASE WHEN j = 0 THEN 1 ELSE e[j] + 1 END):e[j + 1]], ' ')))
+       |    AS chunk
+       |  FROM ed),
+       |cw AS (
+       |  SELECT id, chunk, md5(chunk) AS h,
+       |    CAST(len(string_split(chunk, ' ')) AS BIGINT) AS nw
+       |  FROM ch),
+       |occ AS (SELECT h, COUNT(*) AS occ FROM cw GROUP BY 1)
+       |SELECT id AS $idExpr,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(nw) AS BIGINT) AS n_words,
+       |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  CAST(SUM(CASE WHEN occ > 1 THEN nw ELSE 0 END) AS BIGINT) AS dup_words,
+       |  round(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS dup_chunk_frac,
+       |  round(CAST(SUM(CASE WHEN occ > 1 THEN nw ELSE 0 END) AS DOUBLE)
+       |    / SUM(nw), 6) AS dup_word_frac
+       |FROM cw JOIN occ USING (h)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
     * IPL '06): keep, per stratum, the k documents with the LARGEST
     * `u^(1/w)` where u is a per-doc uniform and w the doc's weight —

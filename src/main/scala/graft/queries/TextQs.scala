@@ -414,6 +414,18 @@ object TextQs {
         s"${TextAnalysis.qualityScoreSql("text")} + 0.05", k = 40,
         salt = "t27", table = "documents"))),
 
+    // T28: content-defined chunking dedup (LBFS/CDC applied to text) —
+    // boundaries picked by a rolling 3-word hash mod 16, so a shared
+    // region chunks IDENTICALLY in every doc containing it regardless of
+    // offset (shift-invariant, unlike fixed-stride t10/t19 windows).
+    // Chunking is row-local array code; the only cross-doc state is one
+    // md5-keyed occurrence count. Complements t22 (exact duplicated-
+    // substring runs) with the storage-dedup formulation.
+    Q("t28_cdc_chunk_dedup",
+      (s, d) => TextAnalysis.cdcChunkStats(
+        Tables.documents(s, d), "doc_id", "text"),
+      Some(TextAnalysis.cdcChunkStatsSql("doc_id", "text", "documents"))),
+
     // T12: Gopher-style repetition gate — head-concentration metrics
     // (top-word / top-bigram fraction, distinct-word ratio) complementing
     // t7's duplicated-tail fraction. Two map-side-combinable gram aggs,

@@ -1207,6 +1207,54 @@ class OpsSpec extends AnyFunSuite {
     assert(wide.forall(r => r.getLong(1) == r.getLong(2)))
   }
 
+  test("TextAnalysis.cdcChunks equals a driver-side reference and is shift-invariant") {
+    val (w, div, salt) = (3, 4, "cdc") // div=4: dense boundaries on small docs
+    def hashUnit(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt|$s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 6), 16)
+    }
+    def refChunks(words: Seq[String]): Seq[String] = {
+      val n = words.size
+      val b = (1 to n).filter(i => i >= w &&
+        hashUnit(words.slice(i - w, i).mkString(" ")) % div == 0)
+      val e = if (b.nonEmpty && b.last == n) b else b :+ n
+      e.zipWithIndex.map { case (p, j) =>
+        val prev = if (j == 0) 0 else e(j - 1)
+        words.slice(prev, p).mkString(" ")
+      }
+    }
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    val rnd = new scala.util.Random(21)
+    val shared = Seq.fill(40)(vocab(rnd.nextInt(vocab.size)))
+    val docs = Seq(
+      1L -> shared.mkString(" "),
+      2L -> (Seq.fill(11)(vocab(rnd.nextInt(vocab.size))) ++ shared).mkString(" "),
+      3L -> Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+      4L -> "solo")                          // shorter than the window: 1 chunk
+    val got = TextAnalysis.cdcChunks(docs.toDF("doc_id", "text"),
+        "doc_id", "text", w, div, salt)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val want = docs.map { case (id, t) => id -> refChunks(t.split(" ").toSeq).sorted }.toMap
+    assert(got == want)
+    // chunks reassemble the doc exactly (no word lost or duplicated)
+    docs.foreach { case (id, t) =>
+      assert(want(id).map(_.split(" ").length).sum == t.split(" ").length)
+    }
+    // Shift-invariance: doc 2 = 11-word prefix + doc 1's text. Interior
+    // boundaries depend only on window content, so the two docs must share
+    // chunks — the duplicated-region signal fixed-stride windows miss.
+    val common = want(1L).toSet intersect want(2L).toSet
+    assert(common.nonEmpty, "shared region produced no shared chunks")
+    // and the stats roll-up marks that sharing as dup coverage on both docs
+    val stats = TextAnalysis.cdcChunkStats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", w, div, salt)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap // n_dup_chunks
+    assert(stats(1L) >= common.size && stats(2L) >= common.size)
+    assert(stats(4L) == 0L)
+  }
+
   test("Classifier.nbCalibration bins the holdout sigmoid vs empirical rate") {
     // Hand-built scored frame: probabilities straddling bin edges, one
     // train row that must be excluded, and a p = 1.0 doc that must land in
