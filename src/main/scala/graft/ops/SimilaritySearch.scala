@@ -157,6 +157,56 @@ object SimilaritySearch {
 
   /** All near-duplicate pairs with cosine >= threshold, blocked by a bucket
     * column (embedding-cosine near-dup dedup). */
+  /** Per-cell embedding OUTLIERS by centroid cosine — the "weird vectors"
+    * report a curation pipeline runs before trusting cluster-level
+    * decisions (mislabeled docs, encoder failures, adversarial inputs sit
+    * far from their cell's center). A vector is flagged when its cosine to
+    * its own cell centroid falls at or below the cell's exact 5th
+    * percentile (Percentiles.disc — the histogram rank-pick, so no per-cell
+    * sort ever serializes a cell onto one task, and ties flag together).
+    *
+    * Engine-exactness trick: scoring runs in QUANTIZED INTEGER space.
+    * Components floor to 1/1024 grid (floor of the exactly-widened double
+    * — deterministic in both engines, unlike float→decimal casts); the
+    * "centroid" is the per-cell component SUM vector (same cosine as the
+    * mean — the 1/n scales cancel), so every dot/norm is an exact BIGINT
+    * sum where ORDER CANNOT MATTER, and the only doubles are one final
+    * int→double conversion (IEEE-identical), sqrt, divide, round(6).
+    *
+    * Scale: one (cell, pos) map-side-combinable agg builds the cells×dim
+    * centroid table (broadcast); scoring is row-local fold work; the
+    * percentile is the two-level prefix sum. No window over a raw cell.
+    * Output: (idCol, cellCol, cos_centroid, p05, is_outlier). */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, pNum: Int = 1, pDen: Int = 20): DataFrame = {
+    val q = emb.select(col(idCol), col(cellCol), expr(
+        s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
+        .as("__qv"))
+      .localCheckpoint(true) // feeds the centroid agg AND the scoring join
+    val cent = q
+      .select(col(cellCol), posexplode(col("__qv")).as(Seq("__pos", "__x")))
+      .groupBy(col(cellCol), col("__pos")).agg(sum(col("__x")).as("__s"))
+      .groupBy(col(cellCol))
+      .agg(expr("transform(array_sort(collect_list(struct(__pos, __s))), s -> s.__s)")
+        .as("__c"))
+    def longDot(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    val scored = q.join(broadcast(cent), Seq(cellCol))
+      .withColumn("__dot", expr(longDot("__qv", "__c")))
+      .withColumn("__nv", expr(longDot("__qv", "__qv")))
+      .withColumn("__nc", expr(longDot("__c", "__c")))
+      .withColumn("cos_centroid",
+        when(col("__nv") === 0 || col("__nc") === 0, lit(0.0))
+          .otherwise(round(col("__dot").cast("double") /
+            (sqrt(col("__nv").cast("double")) * sqrt(col("__nc").cast("double"))), 6)))
+    val p = Percentiles.disc(scored, Seq(cellCol), "cos_centroid",
+        Seq(("p05", pNum, pDen)), band = v => floor(v * 50).cast("long"))
+      .select(col(cellCol), col("p05"))
+    scored.join(broadcast(p), Seq(cellCol))
+      .select(col(idCol), col(cellCol), col("cos_centroid"), col("p05"))
+      .withColumn("is_outlier", col("cos_centroid") <= col("p05"))
+  }
+
   /** Coarse-quantizer centroids: the elementwise mean vector per bucket.
     * Output: (bucketCol, centroid ARRAY<double>). At cluster scale these are
     * the k-means cell centers; here the existing bucket column stands in for

@@ -177,6 +177,45 @@ object SimilarityQs {
               |FROM scored
               |QUALIFY row_number() OVER (ORDER BY sq8_cos DESC, vec_id) <= 5""".stripMargin)),
 
+    // K11: per-cell embedding outliers — flag vectors whose cosine to
+    // their own cell centroid sits at or below the cell's exact 5th
+    // percentile (mislabeled docs / encoder failures / adversarial
+    // inputs). Scoring runs in floor-quantized INTEGER space against the
+    // cell component-SUM vector (same cosine as the mean — 1/n cancels),
+    // so every dot/norm is an exact order-free BIGINT sum and the full
+    // hash gate applies; the cut uses the a17 histogram rank-pick, never
+    // a per-cell sort.
+    Q("k11_embedding_outliers",
+      (s, d) => SimilaritySearch.centroidOutliers(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label"),
+      Some(s"""WITH q AS (
+              |  SELECT vec_id, label, list_transform(embedding,
+              |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+              |  FROM embeddings),
+              |cpos AS (
+              |  SELECT label, i AS pos, CAST(SUM(qv[i + 1]) AS BIGINT) AS s
+              |  FROM q, range($dim) t(i) GROUP BY 1, 2),
+              |cent AS (SELECT label, list(s ORDER BY pos) AS c FROM cpos GROUP BY 1),
+              |sc AS (
+              |  SELECT vec_id, q.label AS label,
+              |    CAST((SELECT SUM(qv[i + 1] * c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS dot,
+              |    CAST((SELECT SUM(qv[i + 1] * qv[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS nv,
+              |    CAST((SELECT SUM(c[i + 1] * c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS nc
+              |  FROM q JOIN cent USING (label)),
+              |cs AS (
+              |  SELECT vec_id, label,
+              |    CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+              |      ELSE round(CAST(dot AS DOUBLE) /
+              |        (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 6)
+              |    END AS cos_centroid
+              |  FROM sc),
+              |p AS (
+              |  SELECT label, percentile_disc(0.05) WITHIN GROUP (ORDER BY cos_centroid) AS p05
+              |  FROM cs GROUP BY 1)
+              |SELECT vec_id, label, cos_centroid, p05,
+              |  cos_centroid <= p05 AS is_outlier
+              |FROM cs JOIN p USING (label)""".stripMargin)),
+
     // K2: partition-pruned ANN — search only the query's coarse bucket
     // (label = stand-in IVF cell). The scan shrinks by the bucket count; on a
     // cluster the bucket is the partition-pruning key.

@@ -230,4 +230,39 @@ class IvfSpec extends AnyFunSuite {
       assert(exact(key) == c, s"cos mismatch for $key")
     }
   }
+
+  test("centroidOutliers: planted far vector flagged, p05 cut exact, int-space cosine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Cell 0: 19 vectors hugging +e1, one anti-aligned plant (id 99).
+    // Cell 1: a tight pair — tiny cells must not blow up the rank pick.
+    val mk = (a: Float, b: Float) => Array(a, b, 0.0f, 0.0f)
+    val rows =
+      (1L to 19L).map(i => (i, 0, mk(1.0f, (i % 5) * 0.01f))) ++
+      Seq((99L, 0, mk(-1.0f, 0.0f)), (200L, 1, mk(0.0f, 1.0f)), (201L, 1, mk(0.01f, 1.0f)))
+    val df = rows.toDF("vec_id", "cell", "embedding")
+    val out = SimilaritySearch.centroidOutliers(df, "vec_id", "embedding", "cell")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.size == rows.size)
+    // the plant is cell 0's worst vector and is flagged
+    val c0 = out.filter(_._2._1 == 0)
+    assert(c0(99L)._2 == c0.values.map(_._2).min)
+    assert(c0(99L)._4, "anti-aligned plant not flagged")
+    // p05 cut: flagged set == { cos <= exact 5th percentile }, >= 1 per cell
+    out.groupBy(_._2._1).foreach { case (cell, m) =>
+      val cos = m.values.map(_._2).toSeq.sorted
+      val p05 = cos(math.ceil(cos.size / 20.0).toInt - 1)
+      assert(m.values.forall(v => v._3 == p05 && v._4 == (v._2 <= p05)), s"cell $cell")
+    }
+    // integer-space cosine replays exactly driver-side
+    def q(x: Float) = math.floor(x.toDouble * 1024).toLong
+    val cent0 = (0 until 4).map(i => rows.filter(_._2 == 0).map(r => q(r._3(i))).sum)
+    val v99 = (0 until 4).map(i => q(mk(-1.0f, 0.0f)(i)))
+    val dot = v99.zip(cent0).map { case (a, b) => a * b }.sum.toDouble
+    val exp = BigDecimal(dot / (math.sqrt(v99.map(x => x * x).sum.toDouble) *
+        math.sqrt(cent0.map(x => x * x).sum.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(99L)._2 == exp)
+  }
 }
