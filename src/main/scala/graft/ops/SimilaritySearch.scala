@@ -179,6 +179,24 @@ object SimilaritySearch {
     * Output: (idCol, cellCol, cos_centroid, p05, is_outlier). */
   def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
       cellCol: String, pNum: Int = 1, pDen: Int = 20): DataFrame = {
+    val (scored, _) = quantizedCentroidScores(emb, idCol, vecCol, cellCol)
+    val p = Percentiles.disc(scored, Seq(cellCol), "cos_centroid",
+        Seq(("p05", pNum, pDen)), band = v => floor(v * 50).cast("long"))
+      .select(col(cellCol), col("p05"))
+    scored.join(broadcast(p), Seq(cellCol))
+      .select(col(idCol), col(cellCol), col("cos_centroid"), col("p05"))
+      .withColumn("is_outlier", col("cos_centroid") <= col("p05"))
+  }
+
+  private def longDot(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** The shared integer-space scoring frame behind [[centroidOutliers]] and
+    * [[clusterQuality]]: (scored = (idCol, cellCol, cos_centroid, …),
+    * cent = (cellCol, __c BIGINT sum vector)). See [[centroidOutliers]]
+    * for the exactness argument. */
+  private def quantizedCentroidScores(emb: DataFrame, idCol: String,
+      vecCol: String, cellCol: String): (DataFrame, DataFrame) = {
     val q = emb.select(col(idCol), col(cellCol), expr(
         s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")
         .as("__qv"))
@@ -189,8 +207,6 @@ object SimilaritySearch {
       .groupBy(col(cellCol))
       .agg(expr("transform(array_sort(collect_list(struct(__pos, __s))), s -> s.__s)")
         .as("__c"))
-    def longDot(a: String, b: String) =
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     val scored = q.join(broadcast(cent), Seq(cellCol))
       .withColumn("__dot", expr(longDot("__qv", "__c")))
       .withColumn("__nv", expr(longDot("__qv", "__qv")))
@@ -199,12 +215,47 @@ object SimilaritySearch {
         when(col("__nv") === 0 || col("__nc") === 0, lit(0.0))
           .otherwise(round(col("__dot").cast("double") /
             (sqrt(col("__nv").cast("double")) * sqrt(col("__nc").cast("double"))), 6)))
-    val p = Percentiles.disc(scored, Seq(cellCol), "cos_centroid",
-        Seq(("p05", pNum, pDen)), band = v => floor(v * 50).cast("long"))
-      .select(col(cellCol), col("p05"))
-    scored.join(broadcast(p), Seq(cellCol))
-      .select(col(idCol), col(cellCol), col("cos_centroid"), col("p05"))
-      .withColumn("is_outlier", col("cos_centroid") <= col("p05"))
+    (scored, cent)
+  }
+
+  /** Per-cell cluster-quality report — the Davies–Bouldin-style read over
+    * the same integer-exact centroid frame: cohesion (mean cosine of a
+    * cell's vectors to their own centroid) vs separation (cosine of the
+    * centroid to its NEAREST other centroid). `coherent` marks cells whose
+    * members hug their center tighter than the closest rival center — the
+    * go/no-go a pipeline checks before trusting cell-level decisions
+    * (IVF probe budgets, cluster-quota sampling, semantic dedup).
+    *
+    * Scale: cohesion is one map-side-combinable agg over the scored frame;
+    * separation is an L×L centroid self-pairing (L = cell count — the
+    * k-row broadcast shape, nljByDesign), never touching the corpus.
+    * Single-cell corpora emit NULL nearest/separation and stay coherent. */
+  def clusterQuality(emb: DataFrame, idCol: String, vecCol: String,
+      cellCol: String): DataFrame = {
+    val (scored, cent) = quantizedCentroidScores(emb, idCol, vecCol, cellCol)
+    val cohesion = scored.groupBy(col(cellCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cos_centroid").cast(DecimalType(18, 6))).as("__s"))
+      .select(col(cellCol), col("n"),
+        round(col("__s").cast("double") / col("n"), 6).as("mean_cos"))
+    val a = cent.select(col(cellCol).as("__la"), col("__c").as("__ca"))
+    val b = cent.select(col(cellCol).as("__lb"), col("__c").as("__cb"))
+    val pairs = a.join(broadcast(b), col("__la") =!= col("__lb"))
+      .withColumn("__d", expr(longDot("__ca", "__cb")))
+      .withColumn("__na", expr(longDot("__ca", "__ca")))
+      .withColumn("__nb", expr(longDot("__cb", "__cb")))
+      .withColumn("sep",
+        when(col("__na") === 0 || col("__nb") === 0, lit(0.0))
+          .otherwise(round(col("__d").cast("double") /
+            (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))), 6)))
+    val w = Window.partitionBy(col("__la")).orderBy(col("sep").desc, col("__lb"))
+    val nearest = pairs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__la").as(cellCol), col("__lb").as("nearest_cell"),
+        col("sep").as("centroid_sep"))
+    cohesion.join(nearest, Seq(cellCol), "left")
+      .withColumn("coherent",
+        col("centroid_sep").isNull || col("mean_cos") > col("centroid_sep"))
   }
 
   /** Coarse-quantizer centroids: the elementwise mean vector per bucket.

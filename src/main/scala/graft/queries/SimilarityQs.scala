@@ -216,6 +216,60 @@ object SimilarityQs {
               |  cos_centroid <= p05 AS is_outlier
               |FROM cs JOIN p USING (label)""".stripMargin)),
 
+    // K12: cluster-quality report (Davies–Bouldin-style read) — per cell:
+    // cohesion (mean member cosine to own centroid) vs separation (cosine
+    // to the nearest OTHER centroid), `coherent` when members hug their
+    // center tighter than the closest rival. Same integer-exact centroid
+    // frame as k11 ⇒ full hash gate; separation is an L×L centroid
+    // self-pairing (L = 10 cells), never corpus-sized.
+    Q("k12_cluster_quality",
+      (s, d) => SimilaritySearch.clusterQuality(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label"),
+      Some(s"""WITH q AS (
+              |  SELECT vec_id, label, list_transform(embedding,
+              |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+              |  FROM embeddings),
+              |cpos AS (
+              |  SELECT label, i AS pos, CAST(SUM(qv[i + 1]) AS BIGINT) AS s
+              |  FROM q, range($dim) t(i) GROUP BY 1, 2),
+              |cent AS (SELECT label, list(s ORDER BY pos) AS c FROM cpos GROUP BY 1),
+              |sc AS (
+              |  SELECT vec_id, q.label AS label,
+              |    CAST((SELECT SUM(qv[i + 1] * c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS dot,
+              |    CAST((SELECT SUM(qv[i + 1] * qv[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS nv,
+              |    CAST((SELECT SUM(c[i + 1] * c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS nc
+              |  FROM q JOIN cent USING (label)),
+              |cs AS (
+              |  SELECT vec_id, label,
+              |    CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+              |      ELSE round(CAST(dot AS DOUBLE) /
+              |        (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 6)
+              |    END AS cos_centroid
+              |  FROM sc),
+              |coh AS (
+              |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+              |    round(CAST(SUM(CAST(cos_centroid AS DECIMAL(18,6))) AS DOUBLE)
+              |      / COUNT(*), 6) AS mean_cos
+              |  FROM cs GROUP BY 1),
+              |cc AS (
+              |  SELECT a.label AS la, b.label AS lb,
+              |    CAST((SELECT SUM(a.c[i + 1] * b.c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS d,
+              |    CAST((SELECT SUM(a.c[i + 1] * a.c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS na,
+              |    CAST((SELECT SUM(b.c[i + 1] * b.c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS nb
+              |  FROM cent a JOIN cent b ON a.label <> b.label),
+              |sep AS (
+              |  SELECT la, lb, CASE WHEN na = 0 OR nb = 0 THEN 0.0
+              |    ELSE round(CAST(d AS DOUBLE) /
+              |      (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) END AS sp
+              |  FROM cc),
+              |nearest AS (
+              |  SELECT la AS label, lb AS nearest_cell, sp AS centroid_sep
+              |  FROM sep
+              |  QUALIFY row_number() OVER (PARTITION BY la ORDER BY sp DESC, lb) = 1)
+              |SELECT coh.label AS label, n, mean_cos, nearest_cell, centroid_sep,
+              |  centroid_sep IS NULL OR mean_cos > centroid_sep AS coherent
+              |FROM coh LEFT JOIN nearest ON coh.label = nearest.label""".stripMargin)),
+
     // K2: partition-pruned ANN — search only the query's coarse bucket
     // (label = stand-in IVF cell). The scan shrinks by the bucket count; on a
     // cluster the bucket is the partition-pruning key.

@@ -265,4 +265,34 @@ class IvfSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out(99L)._2 == exp)
   }
+
+  test("clusterQuality: tight cells coherent, nearest mutual, single cell degenerate") {
+    import spark.implicits._
+    val mk = (a: Float, b: Float) => Array(a, b, 0.0f, 0.0f)
+    // two tight orthogonal clusters + one spread cluster straddling both
+    val rows =
+      (1L to 8L).map(i => (i, 0, mk(1.0f, (i % 3) * 0.02f))) ++
+      (11L to 18L).map(i => (i, 1, mk((i % 3) * 0.02f, 1.0f))) ++
+      Seq((21L, 2, mk(1.0f, 0.0f)), (22L, 2, mk(0.0f, 1.0f)),
+          (23L, 2, mk(-1.0f, 0.0f)), (24L, 2, mk(0.0f, -1.0f)))
+    val out = SimilaritySearch.clusterQuality(
+        rows.toDF("vec_id", "cell", "embedding"), "vec_id", "embedding", "cell")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out.keySet == Set(0, 1, 2))
+    assert(out(0)._1 == 8 && out(1)._1 == 8 && out(2)._1 == 4)
+    // tight cells: members hug their centroid
+    assert(out(0)._2 > 0.99 && out(1)._2 > 0.99)
+    // the balanced spread cell has a ~zero centroid-sum vector: cohesion
+    // collapses and the cell reads incoherent
+    assert(out(2)._2 < 0.5)
+    assert(out(0)._5 && out(1)._5 && !out(2)._5)
+    // single-cell corpus: no rival centroid -> NULL separation, coherent
+    val solo = SimilaritySearch.clusterQuality(
+        Seq((1L, 0, mk(1.0f, 0.0f)), (2L, 0, mk(1.0f, 0.01f)))
+          .toDF("vec_id", "cell", "embedding"), "vec_id", "embedding", "cell")
+      .collect()
+    assert(solo.length == 1 && solo(0).isNullAt(3) && solo(0).isNullAt(4)
+      && solo(0).getBoolean(5))
+  }
 }

@@ -100,6 +100,8 @@ class QueriesSpec extends AnyFunSuite {
     "ml1_nb_quality_scores",   // 1-row prior + 1-row train-total broadcasts
     "ml2_nb_holdout_eval",     // inherits ml1's shape + 1-row confusion-matrix crosses
     "ml3_nb_pr_curve",         // inherits ml1's 1-row prior/total broadcasts
+    "ml4_nb_calibration",      // inherits ml1's 1-row prior/total broadcasts
+    "k12_cluster_quality",     // L-row centroid×centroid separation pairs (L = cell count)
     "t25_bm25_retrieval",      // 1-row avgdl broadcast (same shape as a6)
     "t26_source_drift"         // 1-row grand-total + 1-row cohort-mean broadcasts
   )
