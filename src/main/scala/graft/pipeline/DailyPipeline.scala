@@ -144,8 +144,26 @@ object DailyPipeline {
           graft.ops.Classifier.nbHoldoutEval(
             s.read.parquet(s"$outDir/nb_quality_scores")),
           s"$outDir/nb_model_eval")),
+      // calibration read of the SAME materialized scores: can nb_score be
+      // trusted as a probability (soft-weighting) or only as a ranker?
+      Job("nb_calibration", Seq("nb_quality_scores"), s =>
+        Tables.write(
+          graft.ops.Classifier.nbCalibration(
+            s.read.parquet(s"$outDir/nb_quality_scores")),
+          s"$outDir/nb_calibration")),
       // vocabulary heavy-hitters sketch report (mergeable CMS counters)
       materialize("t24_cms_heavy_hitters", "vocab_heavy_hitters"),
+      // shift-invariant duplicated-region report (CDC chunk census) — the
+      // storage-dedup complement of dup_substring_report's exact runs
+      materialize("t28_cdc_chunk_dedup", "cdc_chunk_report"),
+      // embedding-space health pair: per-vector centroid-cosine outliers
+      // and the per-cell cohesion-vs-separation verdict — the go/no-go
+      // checked before the ANN index cells or cluster quotas are trusted
+      materialize("k11_embedding_outliers", "embedding_outliers"),
+      materialize("k12_cluster_quality", "cluster_quality"),
+      // quality-weighted corpus sample (A-ES draw ∝ quality score) — the
+      // weighted counterpart of corpus_mix_sample's rate ladder
+      materialize("t27_weighted_sample", "corpus_weighted_sample"),
       // per-source distribution-drift monitoring (KL/TVD vs corpus baseline)
       materialize("t26_source_drift", "source_drift_report"),
       // incremental ingest report: today's batch (delta) matched against the

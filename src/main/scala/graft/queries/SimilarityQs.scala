@@ -214,7 +214,8 @@ object SimilarityQs {
               |  FROM cs GROUP BY 1)
               |SELECT vec_id, label, cos_centroid, p05,
               |  cos_centroid <= p05 AS is_outlier
-              |FROM cs JOIN p USING (label)""".stripMargin)),
+              |FROM cs JOIN p USING (label)""".stripMargin),
+      bench = true),
 
     // K12: cluster-quality report (Davies–Bouldin-style read) — per cell:
     // cohesion (mean member cosine to own centroid) vs separation (cosine

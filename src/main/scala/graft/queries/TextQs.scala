@@ -424,7 +424,8 @@ object TextQs {
     Q("t28_cdc_chunk_dedup",
       (s, d) => TextAnalysis.cdcChunkStats(
         Tables.documents(s, d), "doc_id", "text"),
-      Some(TextAnalysis.cdcChunkStatsSql("doc_id", "text", "documents"))),
+      Some(TextAnalysis.cdcChunkStatsSql("doc_id", "text", "documents")),
+      bench = true),
 
     // T12: Gopher-style repetition gate — head-concentration metrics
     // (top-word / top-bigram fraction, distinct-word ratio) complementing

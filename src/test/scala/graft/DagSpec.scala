@@ -60,6 +60,13 @@ class DagSpec extends AnyFunSuite {
     // the CRM question queue reads the materialized master + family evidence
     assert(jobs.find(_.name == "data_questions").get.deps ==
       Seq("customer_master", "family_edges"))
+    // model-eval AND calibration both consume the one materialized scores
+    // mart — training runs once, not once per consumer
+    assert(jobs.find(_.name == "nb_model_eval").get.deps == Seq("nb_quality_scores"))
+    assert(jobs.find(_.name == "nb_calibration").get.deps == Seq("nb_quality_scores"))
+    // embedding health pair + CDC census + weighted sample are declared marts
+    assert(Set("embedding_outliers", "cluster_quality", "cdc_chunk_report",
+      "corpus_weighted_sample").subsetOf(names.toSet))
     // acyclic: Kahn's peeling must consume every job
     var remaining = jobs.map(j => j.name -> j.deps.toSet).toMap
     while (remaining.nonEmpty && remaining.exists(_._2.isEmpty)) {
