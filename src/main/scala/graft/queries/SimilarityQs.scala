@@ -494,6 +494,70 @@ object SimilarityQs {
               |  round(COUNT(*) / 5.0, 6) AS recall
               |FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)""".stripMargin)),
 
+    // K13: ANN probe-budget operating-point sweep — k8's recall
+    // measurement expanded over hamming radii 0/1/2: per probe budget,
+    // how many candidates the search scans and what recall@5 it buys.
+    // The ml3 idea applied to retrieval: THIS row set is how an nprobe
+    // budget gets chosen. Recall and scan count are both monotone in the
+    // radius (spec-asserted); every side is exact arithmetic, full hash
+    // gate.
+    Q("k13_ann_probe_sweep",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cells = SimilaritySearch.diversitySample(emb, "vec_id", "embedding",
+          dim, bits = 4, quota = Long.MaxValue, salt = "k8")
+          .select(col("vec_id"), col("cell"))
+        val withCells = emb.join(cells, "vec_id").localCheckpoint(true)
+        val exact = SimilaritySearch.topKNeighbors(
+          emb, "vec_id", "embedding", queryId = 0L, k = 5)
+        val qCell = withCells.filter(col("vec_id") === 0L)
+          .select(col("cell").as("q_cell"))
+        Seq(0, 1, 2).map { r =>
+          val approx = SimilaritySearch.topKNeighbors(
+            withCells, "vec_id", "embedding", queryId = 0L, k = 5,
+            bucketCol = Some("cell"), probeHamming = r)
+          val scanned = withCells.filter(col("vec_id") =!= 0L)
+            .crossJoin(broadcast(qCell))
+            .filter(expr(s"bit_count(cell ^ q_cell) <= $r"))
+            .agg(count(lit(1)).as("n_scanned"))
+          exact.join(approx.select(col("vec_id")), Seq("vec_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hit"))
+            .crossJoin(scanned)
+            .select(lit(r).as("radius"), lit(5L).as("k"),
+              col("n_scanned"), col("n_hit"),
+              round(col("n_hit").cast("double") / 5.0, 6).as("recall"))
+        }.reduce(_ unionByName _)
+      },
+      Some(s"""WITH sig AS (
+              |  SELECT vec_id, ${srpBandSql(1, 4, 0)} AS cell FROM embeddings),
+              |q AS (
+              |  SELECT embedding AS q_vec, cell AS q_cell
+              |  FROM embeddings JOIN sig USING (vec_id) WHERE vec_id = 0),
+              |scored AS (
+              |  SELECT e.vec_id, sig.cell, ${cosSql("e.embedding", "q_vec")} AS cos_sim,
+              |    q_cell FROM embeddings e JOIN sig USING (vec_id), q
+              |  WHERE e.vec_id <> 0),
+              |exact AS (
+              |  SELECT vec_id FROM scored
+              |  QUALIFY row_number() OVER (ORDER BY cos_sim DESC, vec_id) <= 5),
+              |r AS (SELECT unnest([0, 1, 2]) AS radius),
+              |ap AS (
+              |  SELECT radius, vec_id FROM scored CROSS JOIN r
+              |  WHERE bit_count(xor(cell, q_cell)) <= radius
+              |  QUALIFY row_number() OVER (PARTITION BY radius
+              |    ORDER BY cos_sim DESC, vec_id) <= 5),
+              |sc AS (
+              |  SELECT radius, CAST(COUNT(*) AS BIGINT) AS n_scanned
+              |  FROM scored CROSS JOIN r
+              |  WHERE bit_count(xor(cell, q_cell)) <= radius GROUP BY 1),
+              |hits AS (
+              |  SELECT radius, CAST(COUNT(*) AS BIGINT) AS n_hit FROM ap
+              |  WHERE vec_id IN (SELECT vec_id FROM exact) GROUP BY 1)
+              |SELECT radius, CAST(5 AS BIGINT) AS k, n_scanned,
+              |  COALESCE(n_hit, 0) AS n_hit,
+              |  round(COALESCE(n_hit, 0) / 5.0, 6) AS recall
+              |FROM sc LEFT JOIN hits USING (radius)""".stripMargin)),
+
     // K7: embedding-space stratified DIVERSITY sample — a 4-bit SRP band
     // cuts the space into 16 angular cells, a salted-hash quota keeps at
     // most 20 vectors per cell. Dense regions are capped at the same

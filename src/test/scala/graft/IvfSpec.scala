@@ -295,4 +295,18 @@ class IvfSpec extends AnyFunSuite {
     assert(solo.length == 1 && solo(0).isNullAt(3) && solo(0).isNullAt(4)
       && solo(0).getBoolean(5))
   }
+
+  test("probe sweep: recall and scan cost monotone in the hamming radius") {
+    val rows = graft.queries.Registry.all.find(_.name == "k13_ann_probe_sweep").get
+      .run(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2))
+    // wider probes scan more and never lose recall
+    assert(rows.sliding(2).forall { case Array((_, (s1, h1, _)), (_, (s2, h2, _))) =>
+      s2 >= s1 && h2 >= h1 })
+    // radius-2 probes 11/16 cells: must scan strictly more than the home cell
+    assert(rows.last._2._1 > rows.head._2._1)
+    rows.foreach { case (_, (_, h, rec)) => assert(rec == h / 5.0) }
+  }
 }

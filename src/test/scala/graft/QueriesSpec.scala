@@ -93,6 +93,7 @@ class QueriesSpec extends AnyFunSuite {
     "c2_curation_v2",          // inherits t15's 1-row grand-total broadcast
     "t17_temperature_mix",     // 1-row source-min broadcast onto the rate table
     "k8_ann_recall",           // contains k1's exact brute-force baseline by definition
+    "k13_ann_probe_sweep",     // k8's shape per radius: brute-force baseline + 1-row crosses
     "t15_unigram_surprisal",   // 1-row corpus-total broadcast (same shape as a6)
     "t23_dsir_importance",     // 1-row corpus-total broadcast onto the B-row ratio table
     "k9_sq8_ann",              // exact brute-force over codes: 1-row query broadcast (k1 shape)
