@@ -811,6 +811,64 @@ object TextAnalysis {
       .withColumn("target_like", col("dsir_score") > 0)
   }
 
+  /** Importance-ranked token-budget selection — the actual SELECTION step
+    * of DSIR (Xie et al. '23): keep the highest-[[dsirScores]] documents
+    * until a corpus-wide token budget is exhausted (ties at the boundary
+    * score admit by ascending id). The complement of [[globalTokenBudget]]:
+    * that one buys N tokens in deterministic-RANDOM order (a sample), this
+    * one buys the N most-target-like tokens (a selection).
+    *
+    * Scale: semantically `SUM(tokens) OVER (ORDER BY score DESC, id) <=
+    * budget`, but that global window serializes the corpus onto one task.
+    * Instead: (1) a HISTOGRAM of per-score token totals (state = distinct
+    * scores, not docs), (2) the t15 two-level banded prefix sum over the
+    * histogram gives each score tier its tokens-before, (3) whole tiers
+    * that fit are kept with NO per-doc window at all, and (4) only the ONE
+    * boundary tier that straddles the budget gets an in-tier id-ordered
+    * running sum — a window over a single score-tie class, the only
+    * doc-level ordering the semantics genuinely needs.
+    * Output: (idCol, n_words, dsir_score, tier_before) for kept docs. */
+  def importanceBudget(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, budget: Long, buckets: Int = 1024): DataFrame =
+    importanceBudgetFromScores(
+      dsirScores(df, idCol, textCol, targetPred, buckets), idCol, budget)
+
+  /** [[importanceBudget]]'s selection step over a pre-built (possibly
+    * materialized) [[dsirScores]] frame — pipeline jobs consume the
+    * `dsir_scores` mart instead of re-scoring the corpus. */
+  def importanceBudgetFromScores(dsir: DataFrame, idCol: String,
+      budget: Long): DataFrame = {
+    val scored = dsir
+      .select(col(idCol), col("n_words"), col("dsir_score"))
+      .localCheckpoint(true) // feeds the histogram AND the tier join
+    val hist = scored.groupBy(col("dsir_score"))
+      .agg(sum(col("n_words")).as("__vt"))
+      .withColumn("__band", floor(-col("dsir_score") * 4).cast("long"))
+    val bandW = Window.orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandTot = hist.groupBy(col("__band")).agg(sum(col("__vt")).as("__bt"))
+      .withColumn("__bprev", coalesce(sum(col("__bt")).over(bandW), lit(0L)))
+      .select(col("__band"), col("__bprev"))
+    val inBandW = Window.partitionBy(col("__band"))
+      .orderBy(col("dsir_score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tiers = hist.join(bandTot, Seq("__band"))
+      .withColumn("tier_before",
+        col("__bprev") + coalesce(sum(col("__vt")).over(inBandW), lit(0L)))
+      .select(col("dsir_score"), col("tier_before"), col("__vt"))
+    val joined = scored.join(tiers, Seq("dsir_score"))
+    val full = joined.filter(col("tier_before") + col("__vt") <= budget)
+    val tieW = Window.partitionBy(col("dsir_score")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = joined
+      .filter(col("tier_before") < budget && col("tier_before") + col("__vt") > budget)
+      .withColumn("__tc", sum(col("n_words")).over(tieW))
+      .filter(col("tier_before") + col("__tc") <= budget)
+    full.select(col(idCol), col("n_words"), col("dsir_score"), col("tier_before"))
+      .unionByName(partial.select(col(idCol), col("n_words"),
+        col("dsir_score"), col("tier_before")))
+  }
+
   /** Corpus-duplicated substring runs (the exact-substring-dedup signal of
     * Lee et al. '21, "Deduplicating Training Data Makes Language Models
     * Better", arXiv:2107.06499 — re-expressed relationally: k-gram anchors

@@ -99,6 +99,14 @@ object DailyPipeline {
             col("lang") === "en" &&
               graft.ops.TextAnalysis.qualityScore("text") >= 0.8),
           s"$outDir/dsir_scores")),
+      // the DSIR SELECTION: buy a 12k-token budget of the most target-like
+      // docs from the MATERIALIZED scores (rank + cut only — the corpus is
+      // never re-scored; same consume-the-mart seam as nb_model_eval)
+      Job("dsir_selected_corpus", Seq("dsir_scores"), s =>
+        Tables.write(
+          graft.ops.TextAnalysis.importanceBudgetFromScores(
+            s.read.parquet(s"$outDir/dsir_scores"), "doc_id", budget = 12000L),
+          s"$outDir/dsir_selected_corpus")),
       // train/val/test assignment for the MATERIALIZED curated corpus —
       // keyed on the content fingerprint (exact dups can never straddle
       // train/eval), so the assignment survives reprocessing verbatim.

@@ -427,6 +427,64 @@ object TextQs {
       Some(TextAnalysis.cdcChunkStatsSql("doc_id", "text", "documents")),
       bench = true),
 
+    // T29: DSIR's SELECTION step — keep the highest-importance docs until
+    // a 12k-token budget is exhausted (t23 scores the corpus; this buys
+    // the budget's worth of the most target-like tokens, vs t16's
+    // deterministic-random sample). Histogram + two-level banded prefix
+    // sum per score TIER; only the one budget-straddling tier gets a
+    // doc-level window (the id-ordered tie admit).
+    Q("t29_dsir_budget_select",
+      (s, d) => TextAnalysis.importanceBudget(Tables.documents(s, d),
+        "doc_id", "text",
+        col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8,
+        budget = 12000L),
+      Some(s"""WITH w AS (
+              |  SELECT doc_id,
+              |    (lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8) AS t,
+              |    unnest(string_split(text, ' ')) AS word
+              |  FROM documents),
+              |db AS (
+              |  SELECT doc_id, t, ${graft.ops.Normalize.hashBucketSql("word", 1024)} AS b,
+              |    CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM w WHERE word <> '' GROUP BY 1, 2, 3),
+              |bc AS (
+              |  SELECT b, SUM(CASE WHEN t THEN cnt ELSE 0 END) AS ct,
+              |    SUM(CASE WHEN NOT t THEN cnt ELSE 0 END) AS cr
+              |  FROM db GROUP BY 1),
+              |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bc),
+              |lam AS (
+              |  SELECT b, CAST(round(
+              |    ln((ct + 1) / CAST(tt + 1024 AS DOUBLE)) -
+              |    ln((cr + 1) / CAST(tr + 1024 AS DOUBLE)), 4) AS DECIMAL(18,4)) AS lam
+              |  FROM bc CROSS JOIN tot),
+              |d AS (
+              |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+              |    round(CAST(SUM(cnt * lam) AS DOUBLE), 6) AS dsir_score
+              |  FROM db JOIN lam USING (b) GROUP BY 1),
+              |ti AS (SELECT dsir_score, CAST(SUM(n_words) AS BIGINT) AS vt
+              |       FROM d GROUP BY 1),
+              |tt2 AS (
+              |  SELECT dsir_score, vt, CAST(COALESCE(SUM(vt) OVER (
+              |    ORDER BY dsir_score DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              |    AS tier_before
+              |  FROM ti),
+              |j AS (
+              |  SELECT d.doc_id, d.n_words, d.dsir_score, tier_before, vt
+              |  FROM d JOIN tt2 USING (dsir_score)),
+              |fl AS (
+              |  SELECT doc_id, n_words, dsir_score, tier_before FROM j
+              |  WHERE tier_before + vt <= 12000),
+              |bd AS (
+              |  SELECT *, SUM(n_words) OVER (PARTITION BY dsir_score
+              |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS tc
+              |  FROM j WHERE tier_before < 12000 AND tier_before + vt > 12000)
+              |SELECT doc_id, n_words, dsir_score, tier_before FROM fl
+              |UNION ALL
+              |SELECT doc_id, n_words, dsir_score, tier_before FROM bd
+              |WHERE tier_before + tc <= 12000""".stripMargin)),
+
     // T12: Gopher-style repetition gate — head-concentration metrics
     // (top-word / top-bigram fraction, distinct-word ratio) complementing
     // t7's duplicated-tail fraction. Two map-side-combinable gram aggs,

@@ -1255,6 +1255,38 @@ class OpsSpec extends AnyFunSuite {
     assert(stats(4L) == 0L)
   }
 
+  test("TextAnalysis.importanceBudget equals the naive score-ordered cut, ties by id") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "the", "a", "of", "and")
+    // duplicate texts on purpose: identical docs share a score tier, so the
+    // boundary tier holds several docs and the id-ordered partial admit runs
+    val texts = (1 to 30).map(_ =>
+      Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = (1 to 60).map(i => (i.toLong, "en", texts(i % 30)))
+      .toDF("doc_id", "lang", "text")
+    val pred = col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8
+    val scored = TextAnalysis.dsirScores(docs, "doc_id", "text", pred)
+      .select("doc_id", "n_words", "dsir_score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val total = scored.map(_._2).sum
+    for (budget <- Seq(total / 3, total / 2, total - 1, total + 10)) {
+      // naive: global (score desc, id) order, running token sum, cut
+      var cum = 0L
+      val want = scored.sortBy { case (id, _, s) => (-s, id) }
+        .flatMap { case (id, nw, s) =>
+          cum += nw; if (cum <= budget) Some(id -> s) else None
+        }.toMap
+      val got = TextAnalysis.importanceBudget(docs, "doc_id", "text", pred, budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(got.map(_._1).toSet == want.keySet, s"budget $budget")
+      // tier_before = tokens of all strictly-better tiers
+      got.foreach { case (id, _, s, tb) =>
+        val expect = scored.filter(_._3 > s).map(_._2).sum
+        assert(tb == expect, s"budget $budget doc $id tier_before")
+      }
+    }
+  }
+
   test("Classifier.nbCalibration bins the holdout sigmoid vs empirical rate") {
     // Hand-built scored frame: probabilities straddling bin edges, one
     // train row that must be excluded, and a p = 1.0 doc that must land in
