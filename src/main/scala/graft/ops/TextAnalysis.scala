@@ -1259,10 +1259,31 @@ object TextAnalysis {
     * (≈ corpus words / div), never quadratic in document pairs. */
   def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
       w: Int = 3, div: Int = 16, salt: String = "cdc"): DataFrame = {
-    val chunks = cdcChunks(df, idCol, textCol, w, div, salt)
+    val chunks = cdcChunkInstances(df, idCol, textCol, w, div, salt)
+    cdcChunkStatsFromCensus(chunks,
+      chunks.groupBy(col("__h")).agg(count(lit(1)).as("__occ")), idCol)
+  }
+
+  /** Chunk instances with fingerprint + word count — the frame both the
+    * census build and the per-doc rollup consume. */
+  def cdcChunkInstances(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, div: Int = 16, salt: String = "cdc"): DataFrame =
+    cdcChunks(df, idCol, textCol, w, div, salt)
       .withColumn("__h", md5(col("chunk")))
       .withColumn("__cw", size(split(col("chunk"), " ")).cast("long"))
-    val occ = chunks.groupBy(col("__h")).agg(count(lit(1)).as("__occ"))
+
+  /** The corpus chunk census (fingerprint → occurrence count) — additive,
+    * so per-batch partials merge by summation (the streaming ingest seat). */
+  def cdcCensus(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, div: Int = 16, salt: String = "cdc"): DataFrame =
+    cdcChunkInstances(df, idCol, textCol, w, div, salt)
+      .groupBy(col("__h")).agg(count(lit(1)).as("__occ"))
+
+  /** [[cdcChunkStats]]'s per-doc rollup against an EXTERNAL census frame
+    * (`(__h, __occ)`) — streaming ingest merges per-batch censuses and
+    * reuses this rollup unchanged. */
+  def cdcChunkStatsFromCensus(chunks: DataFrame, occ: DataFrame,
+      idCol: String): DataFrame =
     chunks.join(occ, Seq("__h"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
@@ -1275,7 +1296,6 @@ object TextAnalysis {
           .as("dup_chunk_frac"),
         round(col("dup_words").cast("double") / col("n_words"), 6)
           .as("dup_word_frac"))
-  }
 
   /** Oracle-side spelling of [[cdcChunkStats]]. */
   def cdcChunkStatsSql(idExpr: String, textExpr: String, table: String,

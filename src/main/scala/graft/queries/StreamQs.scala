@@ -342,6 +342,26 @@ object StreamQs {
     // operator, so the streamed counters equal the batch sketch exactly
     // and t24's oracle carries over unchanged. Multi-batch equality and
     // restart-resume are StreamsSpec's.
+    Q("st11_stream_cdc_census",
+      (s, d) => {
+        // t28's chunk census as an ingest seat: per-batch partial censuses
+        // land by batch_id (replay = overwrite, counts additive), and the
+        // per-doc dup rollup runs against the MERGED census — equal to the
+        // batch stats exactly, so t28's oracle carries over unchanged.
+        val ss = streamSession(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_st11_").toString
+        Streams.cdcIngest(
+            Streams.documentStream(ss, asStreamDir(s"$d/documents.parquet")),
+            s"$base/state", s"$base/ckpt")
+          .awaitTermination()
+        import graft.ops.TextAnalysis
+        TextAnalysis.cdcChunkStatsFromCensus(
+          TextAnalysis.cdcChunkInstances(
+            graft.core.Tables.documents(ss, d), "doc_id", "text"),
+          Streams.cdcMergedCensus(ss, s"$base/state"), "doc_id")
+      },
+      Some(graft.ops.TextAnalysis.cdcChunkStatsSql("doc_id", "text", "documents"))),
+
     Q("st10_stream_heavy_hitters",
       (s, d) => {
         val ss = streamSession(s)

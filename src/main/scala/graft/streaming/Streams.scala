@@ -376,6 +376,39 @@ object Streams {
         .groupBy(col("__j"), col("__b")).agg(sum(col("__cnt")).as("__cnt"))
   }
 
+  /** Streaming CDC chunk-census ingest — t28's shift-invariant chunk
+    * census as an ingest seat, on the [[cmsIngest]] partial-landing
+    * pattern: each micro-batch chunks its documents and lands its OWN
+    * (fingerprint → occurrences) partial at `stateDir/batch_id=<id>/`.
+    * Counts are additive, so the current census is the re-summed union of
+    * partials; a replayed batch (foreachBatch's at-least-once) OVERWRITES
+    * its batch_id dir instead of double-counting. State is
+    * distinct-chunks-sized per batch, never corpus-sized. */
+  def cdcIngest(stream: DataFrame, stateDir: String, ckptDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      w: Int = 3, div: Int = 16, salt: String = "cdc"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        graft.ops.TextAnalysis.cdcCensus(batch.toDF(), idCol, textCol, w, div, salt)
+          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Merge the per-batch partial censuses into the current chunk census —
+    * summation is the merge. Zero-batch ingest = the empty census. */
+  def cdcMergedCensus(spark: SparkSession, stateDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("__h", StringType), StructField("__occ", LongType))))
+    else
+      spark.read.parquet(stateDir)
+        .groupBy(col("__h")).agg(sum(col("__occ")).as("__occ"))
+  }
+
   /** Gap-based session windows per user: `session_window` keeps a window
     * open while events keep arriving within `gap` of the last one, merging
     * across micro-batches — the streaming form of `ops.Windows.sessionize`

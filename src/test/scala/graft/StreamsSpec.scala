@@ -456,4 +456,50 @@ class StreamsSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$state/batch_id=0")
     assert(counters(Streams.cmsMergedCounters(spark, state)) == want)
   }
+
+  test("cdcIngest partial censuses merge to the batch census; replay overwrites") {
+    import java.nio.file.Files
+    import graft.ops.TextAnalysis
+    val in = Files.createTempDirectory("graft_cdc_in")
+    val state = Files.createTempDirectory("graft_cdc_state").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source", "n_chars").localCheckpoint(true)
+    def arrive(tag: String, part: org.apache.spark.sql.DataFrame): Unit = {
+      val sub = in.resolve(tag)
+      part.coalesce(1).write.parquet(sub.toString)
+      Files.list(sub).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, in.resolve(tag + "_" + p.getFileName.toString))
+      }
+    }
+    def census(d: org.apache.spark.sql.DataFrame) =
+      d.select("__h", "__occ").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = census(TextAnalysis.cdcCensus(docs, "doc_id", "text"))
+
+    val mid = 250L
+    arrive("a", docs.filter(col("doc_id") < mid))
+    Streams.cdcIngest(Streams.documentStream(spark, in.toString),
+      state, ckpt).awaitTermination()
+    arrive("b", docs.filter(col("doc_id") >= mid))
+    Streams.cdcIngest(Streams.documentStream(spark, in.toString),
+      state, ckpt).awaitTermination()
+    assert(census(Streams.cdcMergedCensus(spark, state)) == want,
+      "merged partial censuses must equal the one-shot batch census")
+    // per-doc rollup against the merged census == the pure-batch t28 stats
+    val statsStream = TextAnalysis.cdcChunkStatsFromCensus(
+        TextAnalysis.cdcChunkInstances(docs, "doc_id", "text"),
+        Streams.cdcMergedCensus(spark, state), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val statsBatch = TextAnalysis.cdcChunkStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(statsStream == statsBatch)
+    // crash-replay: the partial lands by OVERWRITE of its batch_id dir
+    TextAnalysis.cdcCensus(docs.filter(col("doc_id") < mid), "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$state/batch_id=0")
+    assert(census(Streams.cdcMergedCensus(spark, state)) == want)
+    // zero-batch ingest reads as the empty census, not an error
+    assert(Streams.cdcMergedCensus(spark, state + "_nope").count() == 0)
+  }
 }
