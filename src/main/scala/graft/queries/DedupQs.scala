@@ -121,6 +121,50 @@ object DedupQs {
   private def curationStack(s: org.apache.spark.sql.SparkSession, d: String,
       containment: Boolean): org.apache.spark.sql.DataFrame = {
     import graft.ops.TextAnalysis
+    val gated = gatedFrame(s, d, containment)
+    val train = TextAnalysis.globalTokenBudget(
+      gated.filter(col("split") === "train"),
+      "doc_id", col("n_tokens"), budget = 15000L, salt = "budget")
+      .select(col("doc_id"), col("source"), col("split"),
+        col("n_tokens"), col("cum_tokens"))
+    val evalSets = gated.filter(col("split") =!= "train")
+      .withColumn("cum_tokens", lit(null).cast("long"))
+    train.unionByName(evalSets)
+  }
+
+  /** C4: the same gate stack, but the train budget buys IMPORTANCE (t29's
+    * DSIR selection) instead of a deterministic-random sample — "the 15k
+    * most target-like tokens that survived curation". Scores come from the
+    * corpus-level DSIR model (t23); the tier cut runs over the gated train
+    * subset only. */
+  private def curationStackDsir(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(s, d)
+    val gated = gatedFrame(s, d, containment = false)
+    val scores = TextAnalysis.dsirScores(docs, "doc_id", "text",
+        col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8)
+      .select(col("doc_id"), col("n_words"), col("dsir_score"))
+    val trainSel = TextAnalysis.importanceBudgetFromScores(
+        gated.filter(col("split") === "train").select("doc_id")
+          .join(scores, "doc_id"), "doc_id", budget = 15000L)
+      .select(col("doc_id"), col("dsir_score"), col("tier_before"))
+    val train = gated.filter(col("split") === "train")
+      .join(trainSel, Seq("doc_id")) // inner: only budget-selected docs
+    val evalSets = gated.filter(col("split") =!= "train")
+      .withColumn("dsir_score", lit(null).cast("double"))
+      .withColumn("tier_before", lit(null).cast("long"))
+    val cols = Seq("doc_id", "source", "split", "n_tokens",
+      "dsir_score", "tier_before")
+    train.select(cols.map(col): _*).unionByName(evalSets.select(cols.map(col): _*))
+  }
+
+  /** The shared gate stack through the checkpointed narrow `gated` frame
+    * (doc_id, source, split, n_tokens) — c2/c3/c4 diverge only in how the
+    * train budget is spent. */
+  private def gatedFrame(s: org.apache.spark.sql.SparkSession, d: String,
+      containment: Boolean): org.apache.spark.sql.DataFrame = {
+    import graft.ops.TextAnalysis
     val docs = Tables.documents(s, d)
     // ONE corpus explode for all three word-side consumers: the shared
     // (doc, word, count) spine feeds the repetition gate, the surprisal
@@ -177,14 +221,7 @@ object DedupQs {
       .withColumn("n_tokens", TextAnalysis.wsTokens(col("text")))
       .select(col("doc_id"), col("source"), col("split"), col("n_tokens"))
       .localCheckpoint(true)
-    val train = TextAnalysis.globalTokenBudget(
-      gated.filter(col("split") === "train"),
-      "doc_id", col("n_tokens"), budget = 15000L, salt = "budget")
-      .select(col("doc_id"), col("source"), col("split"),
-        col("n_tokens"), col("cum_tokens"))
-    val evalSets = gated.filter(col("split") =!= "train")
-      .withColumn("cum_tokens", lit(null).cast("long"))
-    train.unionByName(evalSets)
+    gated
   }
 
   /** DuckDB oracle for [[curationStack]] — same gates, same thresholds;
@@ -243,14 +280,7 @@ object DedupQs {
          |gated AS (
          |  SELECT * FROM pregate
          |  WHERE doc_id NOT IN (SELECT doc_id FROM cont_drop))""".stripMargin
-    s"""WITH $simhash64CtesSql,
-       |rep AS (${TextAnalysis.repetitionStatsSql("doc_id", "text", "documents")}),
-       |surp AS (${TextAnalysis.unigramSurprisalSql("doc_id", "text", "documents")}),
-       |keepers AS (
-       |  SELECT MIN(doc_id) AS doc_id FROM documents
-       |  GROUP BY md5(${Normalize.normTextSql("text")})),
-       |near_drop AS (SELECT DISTINCT id_b AS doc_id FROM ham WHERE hamming <= 3),
-       |$gatedCte,
+    s"""WITH ${curationGateCtes(gatedCte)},
        |train AS (
        |  SELECT doc_id, source, split, n_tokens,
        |    CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
@@ -260,6 +290,85 @@ object DedupQs {
        |FROM train WHERE cum_tokens <= 15000
        |UNION ALL
        |SELECT doc_id, source, split, n_tokens, CAST(NULL AS BIGINT) AS cum_tokens
+       |FROM gated WHERE split <> 'train'""".stripMargin
+  }
+
+  /** The WITH-body through `gated` shared by every curation oracle. */
+  private def curationGateCtes(gatedCte: String): String = {
+    import graft.ops.TextAnalysis
+    s"""$simhash64CtesSql,
+       |rep AS (${TextAnalysis.repetitionStatsSql("doc_id", "text", "documents")}),
+       |surp AS (${TextAnalysis.unigramSurprisalSql("doc_id", "text", "documents")}),
+       |keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(${Normalize.normTextSql("text")})),
+       |near_drop AS (SELECT DISTINCT id_b AS doc_id FROM ham WHERE hamming <= 3),
+       |$gatedCte""".stripMargin
+  }
+
+  /** DuckDB oracle for [[curationStackDsir]]: the c2 gate CTEs + the t23
+    * DSIR score chain (d-prefixed names — the gate CTEs own the plain
+    * ones) + t29's tier cut restricted to the gated train subset. */
+  private def curationDsirOracleSql: String = {
+    import graft.ops.TextAnalysis
+    val gateSelect =
+      s"""SELECT doc_id, source, ${TextAnalysis.wsTokensSql("text")} AS n_tokens,
+         |    ${TextAnalysis.splitAssignSql("text")} AS split
+         |  FROM documents
+         |  WHERE lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8
+         |    AND doc_id IN (SELECT doc_id FROM keepers)
+         |    AND doc_id IN (SELECT doc_id FROM rep WHERE NOT repetitive)
+         |    AND doc_id IN (SELECT doc_id FROM surp WHERE NOT unusual)
+         |    AND doc_id NOT IN (SELECT doc_id FROM near_drop)""".stripMargin
+    s"""WITH ${curationGateCtes(s"gated AS (\n  $gateSelect)")},
+       |dw2 AS (
+       |  SELECT doc_id,
+       |    (lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8) AS t,
+       |    unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |ddb AS (
+       |  SELECT doc_id, t, ${Normalize.hashBucketSql("word", 1024)} AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM dw2 WHERE word <> '' GROUP BY 1, 2, 3),
+       |dbc AS (
+       |  SELECT b, SUM(CASE WHEN t THEN cnt ELSE 0 END) AS ct,
+       |    SUM(CASE WHEN NOT t THEN cnt ELSE 0 END) AS cr
+       |  FROM ddb GROUP BY 1),
+       |dtot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM dbc),
+       |dlam AS (
+       |  SELECT b, CAST(round(
+       |    ln((ct + 1) / CAST(tt + 1024 AS DOUBLE)) -
+       |    ln((cr + 1) / CAST(tr + 1024 AS DOUBLE)), 4) AS DECIMAL(18,4)) AS lam
+       |  FROM dbc CROSS JOIN dtot),
+       |dd AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       |    round(CAST(SUM(cnt * lam) AS DOUBLE), 6) AS dsir_score
+       |  FROM ddb JOIN dlam USING (b) GROUP BY 1),
+       |dsel AS (
+       |  SELECT g.doc_id, g.source, g.split, g.n_tokens, dd.n_words, dd.dsir_score
+       |  FROM gated g JOIN dd USING (doc_id) WHERE g.split = 'train'),
+       |dti AS (SELECT dsir_score, CAST(SUM(n_words) AS BIGINT) AS vt
+       |        FROM dsel GROUP BY 1),
+       |dtt AS (
+       |  SELECT dsir_score, vt, CAST(COALESCE(SUM(vt) OVER (
+       |    ORDER BY dsir_score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS tier_before
+       |  FROM dti),
+       |dj AS (
+       |  SELECT dsel.*, tier_before, vt FROM dsel JOIN dtt USING (dsir_score)),
+       |dbd AS (
+       |  SELECT *, SUM(n_words) OVER (PARTITION BY dsir_score
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tc
+       |  FROM dj WHERE tier_before < 15000 AND tier_before + vt > 15000)
+       |SELECT doc_id, source, split, n_tokens, dsir_score, tier_before
+       |FROM dj WHERE tier_before + vt <= 15000
+       |UNION ALL
+       |SELECT doc_id, source, split, n_tokens, dsir_score, tier_before
+       |FROM dbd WHERE tier_before + tc <= 15000
+       |UNION ALL
+       |SELECT doc_id, source, split, n_tokens,
+       |  CAST(NULL AS DOUBLE) AS dsir_score, CAST(NULL AS BIGINT) AS tier_before
        |FROM gated WHERE split <> 'train'""".stripMargin
   }
 
@@ -552,6 +661,16 @@ object DedupQs {
     // at any corpus size (the d9 scale argument).
     Q("c3_curation_containment", (s, d) => curationStack(s, d, containment = true),
       Some(curationOracleSql(containment = true)), bench = true),
+
+    // C4: curation with IMPORTANCE-bought training tokens — c2's gate
+    // stack, but the 15k-token train budget is spent on the highest
+    // DSIR-scoring survivors (t29's tier cut over the gated train subset)
+    // instead of a deterministic-random sample (t16). The round-6 ml/
+    // selection pieces composed into the flagship: gates decide what is
+    // CLEAN, importance decides what is WORTH the budget. Eval splits
+    // bypass selection (NULL score) — budgets shape training, never eval.
+    Q("c4_curation_dsir", (s, d) => curationStackDsir(s, d),
+      Some(curationDsirOracleSql)),
 
     // D4: n-gram Jaccard near-dup, blocked by source (all within-block pairs,
     // exact — the non-LSH comparison point).

@@ -91,6 +91,7 @@ class QueriesSpec extends AnyFunSuite {
     "k6_pq_adc",               // k-row centroid broadcast per Lloyd iteration + m-row query subs
     "t11_tfidf",               // 1-row corpus-total broadcast (same shape as a6)
     "c2_curation_v2",          // inherits t15's 1-row grand-total broadcast
+    "c4_curation_dsir",        // inherits t15's + t23's 1-row grand-total broadcasts
     "t17_temperature_mix",     // 1-row source-min broadcast onto the rate table
     "k8_ann_recall",           // contains k1's exact brute-force baseline by definition
     "k13_ann_probe_sweep",     // k8's shape per radius: brute-force baseline + 1-row crosses
