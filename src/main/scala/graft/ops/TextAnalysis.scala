@@ -767,7 +767,17 @@ object TextAnalysis {
     * broadcasts; totals are a whitelisted 1-row broadcast. No global
     * order anywhere. */
   def dsirScores(df: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, buckets: Int = 1024): DataFrame = {
+      targetPred: Column, buckets: Int = 1024): DataFrame =
+    dsirScoresFromCounts(Dedup.wordCounts(df, idCol, textCol),
+      df.select(col(idCol), targetPred.as("__t")), idCol, buckets)
+
+  /** [[dsirScores]] over a pre-built (possibly checkpointed)
+    * [[Dedup.wordCounts]] spine — composite jobs (c4) share one corpus
+    * explode across the word-side gates and the DSIR model. `flags` is
+    * (idCol, `__t` boolean), the doc-level target predicate evaluated
+    * ONCE per doc. */
+  def dsirScoresFromCounts(dw: DataFrame, flags: DataFrame, idCol: String,
+      buckets: Int = 1024): DataFrame = {
     // Two profiled traps shape this plan (3.2 s → ~1 s at sf0.1):
     //  - the target predicate must NOT ride through the explode — codegen
     //    inlines it into the post-Generate stage and re-evaluates the
@@ -778,14 +788,11 @@ object TextAnalysis {
     //  - the md5 bucket runs on the reduced (doc, word) spine, once per
     //    DISTINCT pair instead of once per occurrence; both aggs combine
     //    map-side.
-    val flags = df.select(col(idCol), targetPred.as("__t"))
-    val docBuckets = df
-      .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
-      .filter(col("__w") =!= "")
-      .groupBy(col(idCol), col("__w"))
-      .agg(count(lit(1)).as("__c"))
+    val docBuckets = dw
+      .filter(col("word") =!= "")
       .select(col(idCol),
-        Normalize.hashBucket(col("__w"), buckets).as("__b"), col("__c"))
+        Normalize.hashBucket(col("word"), buckets).as("__b"),
+        col("dw_cnt").as("__c"))
       .groupBy(col(idCol), col("__b"))
       .agg(sum(col("__c")).as("__cnt"))
       .join(flags, Seq(idCol))

@@ -121,7 +121,7 @@ object DedupQs {
   private def curationStack(s: org.apache.spark.sql.SparkSession, d: String,
       containment: Boolean): org.apache.spark.sql.DataFrame = {
     import graft.ops.TextAnalysis
-    val gated = gatedFrame(s, d, containment)
+    val (gated, _) = gatedFrame(s, d, containment)
     val train = TextAnalysis.globalTokenBudget(
       gated.filter(col("split") === "train"),
       "doc_id", col("n_tokens"), budget = 15000L, salt = "budget")
@@ -141,9 +141,12 @@ object DedupQs {
       d: String): org.apache.spark.sql.DataFrame = {
     import graft.ops.TextAnalysis
     val docs = Tables.documents(s, d)
-    val gated = gatedFrame(s, d, containment = false)
-    val scores = TextAnalysis.dsirScores(docs, "doc_id", "text",
-        col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8)
+    // the DSIR model scores off the SAME checkpointed word-count spine the
+    // gates consume — one corpus explode for gates + model
+    val (gated, dw) = gatedFrame(s, d, containment = false)
+    val scores = TextAnalysis.dsirScoresFromCounts(dw,
+        docs.select(col("doc_id"), (col("lang") === "en" &&
+          TextAnalysis.qualityScore("text") >= 0.8).as("__t")), "doc_id")
       .select(col("doc_id"), col("n_words"), col("dsir_score"))
     val trainSel = TextAnalysis.importanceBudgetFromScores(
         gated.filter(col("split") === "train").select("doc_id")
@@ -163,7 +166,8 @@ object DedupQs {
     * (doc_id, source, split, n_tokens) — c2/c3/c4 diverge only in how the
     * train budget is spent. */
   private def gatedFrame(s: org.apache.spark.sql.SparkSession, d: String,
-      containment: Boolean): org.apache.spark.sql.DataFrame = {
+      containment: Boolean)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import graft.ops.TextAnalysis
     val docs = Tables.documents(s, d)
     // ONE corpus explode for all three word-side consumers: the shared
@@ -221,7 +225,7 @@ object DedupQs {
       .withColumn("n_tokens", TextAnalysis.wsTokens(col("text")))
       .select(col("doc_id"), col("source"), col("split"), col("n_tokens"))
       .localCheckpoint(true)
-    gated
+    (gated, dw)
   }
 
   /** DuckDB oracle for [[curationStack]] — same gates, same thresholds;
