@@ -900,6 +900,29 @@ object TextAnalysis {
     * and it shrinks with dedup quality. */
   def dupSubstringRuns(df: DataFrame, idCol: String, textCol: String,
       k: Int, heavyFrac: Double = 0.5): DataFrame = {
+    val segs = dupSpanSegs(df, idCol, textCol, k)
+    val perDoc = segs.groupBy(col(idCol)).agg(
+      sum(col("__grams")).as("n_dup_grams"),
+      count(lit(1)).as("n_dup_spans"),
+      max(col("__cover")).as("longest_dup_span"),
+      sum(col("__cover")).as("__covered"))
+    df.select(col(idCol), wsTokens(col(textCol)).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("longest_dup_span"), lit(0L)).as("longest_dup_span"),
+        round(coalesce(col("__covered"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_token_frac"))
+      .withColumn("dup_heavy", col("dup_token_frac") >= heavyFrac)
+  }
+
+  /** Shared span machinery for [[dupSubstringRuns]] / [[scrubDupSpans]]:
+    * per doc, the maximal merged intervals of token positions whose k-gram
+    * occurs >= 2 times corpus-wide. One row per span:
+    * (idCol, __seg, __s, __e, __grams, __cover). */
+  private def dupSpanSegs(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
     val sh = df.select(col(idCol), split(col(textCol), " ").as("__words"))
       .filter(size(col("__words")) >= k)
       .select(col(idCol), posexplode(expr(
@@ -920,24 +943,50 @@ object TextAnalysis {
           .otherwise(0L))
       .withColumn("__seg", sum(col("__new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val segs = spans.groupBy(col(idCol), col("__seg"))
+    spans.groupBy(col(idCol), col("__seg"))
       .agg(min(col("__pos")).as("__s"), max(col("__end")).as("__e"),
         count(lit(1)).as("__grams"))
       .withColumn("__cover", col("__e") - col("__s") + 1L)
-    val perDoc = segs.groupBy(col(idCol)).agg(
-      sum(col("__grams")).as("n_dup_grams"),
-      count(lit(1)).as("n_dup_spans"),
-      max(col("__cover")).as("longest_dup_span"),
-      sum(col("__cover")).as("__covered"))
+  }
+
+  /** Corpus duplicated-span SCRUB — the rewrite half of [[dupSubstringRuns]]:
+    * where t22 only MEASURES exact-substring duplication (Lee et al. '21),
+    * this removes it, emitting each document's text with every token inside
+    * a corpus-duplicated span deleted (the aggressive remove-all-occurrences
+    * policy: a span is boilerplate evidence wherever it appears, including
+    * its first occurrence). Docs with < k tokens or no duplicated grams pass
+    * through verbatim; a fully-covered doc comes back as the empty string —
+    * downstream gates (t2/c2) drop it by length, which is the pipeline's
+    * decision, not this operator's.
+    *
+    * Returns one row per input doc: (idCol, n_tokens, n_removed, clean_text).
+    *
+    * Scale shape: t22's machinery (one shingle explode, md5-key frequency
+    * shuffle, per-doc interval-union window) plus three doc-local stages —
+    * spans explode back to covered positions (bounded by doc length), an
+    * anti-join on (doc, pos), and one per-doc reassembly agg whose
+    * collect_list state is a single document's tokens (docs are KB-sized by
+    * contract; the corpus never concentrates in one group). No global order
+    * anywhere. */
+  def scrubDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val covered = dupSpanSegs(df, idCol, textCol, k)
+      .select(col(idCol), explode(sequence(col("__s"), col("__e"))).as("__pos"))
+    val words = df
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("__pos", "__word")))
+      .select(col(idCol), col("__pos").cast("long").as("__pos"), col("__word"))
+    val kept = words.join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__word")))),
+          x => x.getField("__word")), " ").as("clean_text"))
     df.select(col(idCol), wsTokens(col(textCol)).as("n_tokens"))
-      .join(perDoc, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-        coalesce(col("longest_dup_span"), lit(0L)).as("longest_dup_span"),
-        round(coalesce(col("__covered"), lit(0L)).cast("double") /
-          col("n_tokens"), 6).as("dup_token_frac"))
-      .withColumn("dup_heavy", col("dup_token_frac") >= heavyFrac)
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Corpus vocabulary heavy hitters via a COUNT-MIN sketch (Cormode &

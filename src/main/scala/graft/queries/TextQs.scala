@@ -304,6 +304,53 @@ object TextQs {
              |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin),
       bench = true),
 
+    // T30: corpus duplicated-span SCRUB — the rewrite half of t22: every
+    // token inside a corpus-duplicated 8-gram span (merged per doc) is
+    // DELETED and the document re-emitted (remove-all-occurrences policy;
+    // Lee et al. '21 exact-substring dedup as a text transform, not just a
+    // signal). The oracle rebuilds clean_text with the same interval union
+    // + ordered string_agg, so the hash gate covers the rewritten TEXT
+    // itself, not only the counts.
+    Q("t30_dup_span_scrub",
+      (s, d) => TextAnalysis.scrubDupSpans(
+        Tables.documents(s, d), "doc_id", "text", k = 8),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(range(len(w) - 7)) AS pos,
+             |    unnest(list_transform(range(len(w) - 7),
+             |      i -> array_to_string(w[i+1:i+8], ' '))) AS gram
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             |  WHERE len(w) >= 8),
+             |freq AS (SELECT gram FROM sh GROUP BY 1 HAVING COUNT(*) >= 2),
+             |sp AS (
+             |  SELECT doc_id, pos, pos + 7 AS e,
+             |    max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |  FROM sh JOIN freq USING (gram)),
+             |seg AS (
+             |  SELECT doc_id, pos, e,
+             |    SUM(CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+             |  FROM sp),
+             |segs AS (
+             |  SELECT doc_id, seg_id, MIN(pos) AS s, MAX(e) AS e
+             |  FROM seg GROUP BY 1, 2),
+             |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM segs),
+             |wrd AS (
+             |  SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS word
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             |agg AS (
+             |  SELECT w.doc_id, string_agg(w.word, ' ' ORDER BY w.pos) AS clean_text,
+             |    COUNT(*) AS n_kept
+             |  FROM wrd w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.pos = c.pos
+             |  WHERE c.pos IS NULL GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(len(string_split(d.text, ' ')) - COALESCE(n_kept, 0) AS BIGINT)
+             |    AS n_removed,
+             |  COALESCE(clean_text, '') AS clean_text
+             |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
     // T6: benchmark decontamination — per training doc, the share of its
     // distinct 5-gram shingles that appear anywhere in the held-out
     // benchmark slice (here: doc_id % 97 == 0). One shingle equi-join,

@@ -383,6 +383,54 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TextAnalysis.scrubDupSpans rewrites text minus merged dup spans") {
+    val df = Seq(
+      (1L, "a b c d e f g"),          // span [0,3] -> keeps "e f g"
+      (2L, "x a b c d y z"),          // span [1,4] -> keeps "x y z"
+      (3L, "p q"),                    // < k tokens: verbatim
+      (5L, "a b c q r s t a b c")     // spans [0,2],[7,9] -> keeps middle
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubDupSpans(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((7L, 4L, "e f g")))
+    assert(got(2L) == ((7L, 4L, "x y z")))
+    assert(got(3L) == ((2L, 0L, "p q")))
+    assert(got(5L) == ((10L, 6L, "q r s t")))
+  }
+
+  test("TextAnalysis.scrubDupSpans equals a naive reference on random corpora") {
+    val k = 3
+    for (seed <- Seq(4, 5, 6)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("a", "b", "c", "d", "e", "f")
+      val docs = (1 to 30).map(i =>
+        (i.toLong, Seq.fill(rnd.nextInt(18))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      val grams = docs.flatMap { case (_, t) =>
+        val w = t.split(" ")
+        if (w.length < k) Seq.empty
+        else (0 to w.length - k).map(i => w.slice(i, i + k).mkString(" "))
+      }
+      val freq = grams.groupBy(identity).view.mapValues(_.size).toMap
+      val want = docs.map { case (id, t) =>
+        val w = t.split(" ")
+        val covered =
+          if (w.length < k) Set.empty[Int]
+          else (0 to w.length - k)
+            .filter(i => freq(w.slice(i, i + k).mkString(" ")) >= 2)
+            .flatMap(i => i until i + k).toSet
+        val keep = w.indices.filterNot(covered)
+        id -> ((w.length.toLong, covered.size.toLong,
+          keep.map(w(_)).mkString(" ")))
+      }.toMap
+      val got = TextAnalysis.scrubDupSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("TextAnalysis.dupNgramStats measures repetition exactly") {
     val df = Seq(
       (1L, "a b a b a b"),   // 3-grams: aba, bab, aba, bab -> 4 total, 2 distinct
