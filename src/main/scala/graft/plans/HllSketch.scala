@@ -1,0 +1,137 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** HyperLogLog distinct-count sketch as a native Catalyst
+  * `TypedImperativeAggregate` (Flajolet et al. '07), built for CROSS-ENGINE
+  * verifiability rather than raw speed: the hash is md5 of the value's
+  * string form (the repo-wide portable-hash idiom — bit-identical in any
+  * engine with an md5), so a SQL oracle can replay the EXACT register state
+  * with `md5` + string ops and the sketch output hash-matches, not just
+  * tolerance-matches. Unlike `approx_count_distinct` (HLL++ with an opaque
+  * xxhash64 state), every intermediate here is independently recomputable.
+  *
+  * Geometry: p = 8 → m = 256 registers, one byte each. For a value v:
+  * bucket = first 8 bits of md5(v); rho = 1 + number of leading zero bits
+  * in the NEXT 64 bits (65 if that window is all zeros); register =
+  * max(rho) over the group. The state is a 256-byte array — registers are
+  * per-bucket maxima, so update/merge are commutative, associative and
+  * idempotent: the result is partitioning- and order-INDEPENDENT (the
+  * property that makes the exact oracle possible; a t-digest or KLL state
+  * would not have it).
+  *
+  * `eval` returns struct(s DECIMAL(38,0), zeros INT) where
+  * s = Σ_j 2^(65 − M_j) — the harmonic-mean denominator lifted to an EXACT
+  * integer (max 256·2^65 ≈ 9.4e21, well inside DECIMAL(38,0)); zeros is the
+  * empty-register count for the linear-counting small-range correction.
+  * The floating-point estimate (alpha·m²·2^65 / s, or m·ln(m/zeros) below
+  * 2.5m) is left to the caller: it is the only non-exact step, so it stays
+  * OUT of the hash-gated sketch state.
+  *
+  * Scale shape: a grouped aggregation with a fixed 256-byte state per
+  * group — map-side partial merge like any native agg, shuffle carries one
+  * sketch per (partition, group). At 100 TB this is the point: exact
+  * distinct over a high-cardinality key shuffles the key universe; this
+  * shuffles 256 bytes per group. */
+case class HllSketch(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  import HllSketch._
+
+  // Input contract: child MUST be StringType (callers cast; AbstractDataType
+  // is private[sql] in Spark 4, so the check lives here instead).
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hll_sketch expects a STRING child, got ${child.dataType.sql}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("s", DecimalType(38, 0), nullable = false),
+    StructField("zeros", IntegerType, nullable = false)))
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = digest(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .getBytes)
+      val bucket = d(0) & 0xff
+      val rho = rhoOf(d)
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var s = java.math.BigInteger.ZERO
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      val m = buf(i) & 0xff
+      s = s.add(java.math.BigInteger.ONE.shiftLeft(65 - m))
+      if (m == 0) zeros += 1
+      i += 1
+    }
+    InternalRow(Decimal(new java.math.BigDecimal(s), 38, 0), zeros)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllSketch =
+    copy(child = c)
+  override def prettyName: String = "hll_sketch"
+}
+
+object HllSketch {
+  /** Register count (p = 8). */
+  val M = 256
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def digest(bytes: Array[Byte]): Array[Byte] = {
+    val m = md.get(); m.reset(); m.digest(bytes)
+  }
+
+  /** 1 + leading zeros of the 64-bit window in digest bytes 1..8 (hex chars
+    * 3..18 — the window a SQL oracle reads off the md5 hex string); 65 when
+    * the window is all zeros. */
+  private def rhoOf(d: Array[Byte]): Int = {
+    var w = 0L
+    var i = 1
+    while (i <= 8) { w = (w << 8) | (d(i) & 0xffL); i += 1 }
+    if (w == 0L) 65 else java.lang.Long.numberOfLeadingZeros(w) + 1
+  }
+
+  /** Register `hll_sketch(stringExpr)` for SQL/expr use. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_sketch",
+      exprs => HllSketch(exprs.head).toAggregateExpression(),
+      "built-in")
+}

@@ -79,6 +79,81 @@ object Aggregates {
              |COUNT(DISTINCT o_custkey) AS n_exact, true AS within_5pct
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    // A4c: distinct counting via a NATIVE HyperLogLog sketch
+    // (plans/HllSketch.scala, a Catalyst TypedImperativeAggregate with a
+    // 256-byte register state). Unlike a4b's approx_count_distinct (opaque
+    // xxhash64 HLL++ state, tolerance-gated only), the md5-based registers
+    // are exactly replayable in SQL: the oracle rebuilds the register maxima
+    // from md5 hex strings and matches the sketch denominator (s_exact) and
+    // empty-register count BIT-FOR-BIT, then asserts the estimate-error
+    // verdict. Two paths exercised: per-event_type user_id counts hit the
+    // linear-counting small-range correction; the global event_id row takes
+    // the raw harmonic-mean path.
+    Q("a4c_hll_custom",
+      (s, d) => {
+        graft.plans.HllSketch.register(s)
+        val ev = Tables.events(s, d)
+        val perType = ev.groupBy(col("event_type").as("grp"))
+          .agg(expr("hll_sketch(CAST(user_id AS STRING))").as("h"),
+            countDistinct(col("user_id")).as("n_exact"))
+        val global = ev.groupBy(lit("__all_events").as("grp"))
+          .agg(expr("hll_sketch(CAST(event_id AS STRING))").as("h"),
+            countDistinct(col("event_id")).as("n_exact"))
+        // alpha_m·m²·2^65 / s, linear counting below 2.5m — evaluated with
+        // the same literal expression tree as the oracle so the IEEE result
+        // (and hence the verdict) is engine-identical.
+        val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+          lit(65536.0) * lit(math.pow(2.0, 65)) / col("h.s").cast("double")
+        val est = when(raw <= lit(640.0) && col("h.zeros") > 0,
+          lit(256.0) * log(lit(256.0) / col("h.zeros").cast("double")))
+          .otherwise(raw)
+        perType.unionByName(global)
+          .select(col("grp"), col("n_exact"),
+            col("h.s").as("s_exact"), col("h.zeros").as("n_zero"),
+            (abs(est - col("n_exact")) <= col("n_exact") * lit(0.15))
+              .as("err_ok"))
+      },
+      Some("""WITH src AS (
+             |  SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS sv FROM events
+             |  UNION ALL
+             |  SELECT '__all_events' AS grp, CAST(event_id AS VARCHAR) AS sv FROM events),
+             |hx AS (SELECT grp, md5(sv) AS h FROM src WHERE sv IS NOT NULL),
+             |-- bucket = first 8 md5 bits; rho = 1 + leading zero bits of the
+             |-- next 64 (65 if all zero) — read straight off the hex string
+             |reg AS (
+             |  SELECT grp,
+             |    (strpos('0123456789abcdef', substr(h,1,1))-1)*16 +
+             |      strpos('0123456789abcdef', substr(h,2,1))-1 AS bucket,
+             |    CASE WHEN z = 16 THEN 65 ELSE 4*z + 1 +
+             |      (CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
+             |            WHEN dv >= 2 THEN 2 ELSE 3 END) END AS rho
+             |  FROM (SELECT grp, h, z,
+             |          strpos('0123456789abcdef', substr(h, 3+z, 1))-1 AS dv
+             |        FROM (SELECT grp, h,
+             |                length(regexp_extract(substr(h,3,16), '^0*')) AS z
+             |              FROM hx))),
+             |mx AS (SELECT grp, bucket, MAX(rho) AS m FROM reg GROUP BY 1, 2),
+             |sk AS (SELECT grp,
+             |    SUM(1::HUGEINT << (65 - m)) +
+             |      (256 - COUNT(*)) * (1::HUGEINT << 65) AS s,
+             |    256 - COUNT(*) AS zeros
+             |  FROM mx GROUP BY 1),
+             |ex AS (
+             |  SELECT event_type AS grp, COUNT(DISTINCT user_id) AS n_exact
+             |  FROM events GROUP BY 1
+             |  UNION ALL
+             |  SELECT '__all_events', COUNT(DISTINCT event_id) FROM events)
+             |SELECT e.grp, e.n_exact, CAST(s AS DECIMAL(38,0)) AS s_exact,
+             |  CAST(zeros AS INTEGER) AS n_zero,
+             |  CASE WHEN 0.7213/(1.0+1.079/256.0)*65536.0*pow(2,65)
+             |           /CAST(s AS DOUBLE) <= 640.0 AND zeros > 0
+             |    THEN abs(256.0*ln(256.0/CAST(zeros AS DOUBLE)) - e.n_exact)
+             |           <= e.n_exact * 0.15
+             |    ELSE abs(0.7213/(1.0+1.079/256.0)*65536.0*pow(2,65)
+             |           /CAST(s AS DOUBLE) - e.n_exact) <= e.n_exact * 0.15
+             |  END AS err_ok
+             |FROM ex e JOIN sk USING (grp)""".stripMargin)),
+
     // A5: conditional aggregates (gross / discounted / net in one pass).
     // Reference: `dashboard.py:660-684`.
     Q("a5_conditional_agg",
