@@ -599,6 +599,48 @@ object DedupQs {
            |SELECT id AS doc_id, cluster_id, cluster_size, id = cluster_id AS is_keeper
            |FROM comps JOIN sized USING (cluster_id)""".stripMargin)),
 
+    // GR1: PageRank centrality over the d5 near-dup pair graph (symmetrized)
+    // — the canonical-doc-authority signal: inside a duplication cluster the
+    // doc most linked-to by near-dups ranks highest (a graph-global keeper
+    // signal where d6's min-id keeper is arbitrary). 8 power-iteration
+    // rounds in EXACT integer fixed-point (ops/Graph.pageRank), so the
+    // oracle replays all 8 rounds in chained CTEs and the ranks hash-match
+    // bit-for-bit — the BPE-loop oracle pattern applied to a graph operator.
+    Q("gr1_pagerank_neardup",
+      (s, d) => {
+        val pairs = Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id",
+          "text", 3).select(col("id_a"), col("id_b"))
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        graft.ops.Graph.pageRank(edges, "src", "dst", iters = 8)
+          .select(col("node").as("doc_id"), col("rank_e12"))
+      },
+      Some {
+        val rounds = (1 to 8).map { k =>
+          val prev = if (k == 1) "r0" else s"r${k - 1}"
+          s"""r$k AS (
+             |  SELECT nd.node,
+             |    150000000000 // nn.n + COALESCE(s.c, CAST(0 AS BIGINT)) AS r
+             |  FROM nd CROSS JOIN nn
+             |  LEFT JOIN (
+             |    SELECT e.dst AS node,
+             |      CAST(SUM((p.r * 85) // (100 * d.deg)) AS BIGINT) AS c
+             |    FROM $prev p JOIN e ON p.node = e.src
+             |    JOIN deg d ON d.src = e.src
+             |    GROUP BY 1) s ON s.node = nd.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $simhash64CtesSql,
+           |np AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM np
+           |      UNION ALL SELECT id_b, id_a FROM np),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+           |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |nn AS (SELECT COUNT(*) AS n FROM nd),
+           |r0 AS (SELECT node, 1000000000000 // n AS r FROM nd CROSS JOIN nn),
+           |$rounds
+           |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r8""".stripMargin
+      }),
+
     // C1: end-to-end corpus curation — the LLM-training-data pipeline as ONE
     // declared plan: language gate → quality gate → exact-dedup keeper →
     // simhash near-dup removal (keep the lower id) → per-source token budget

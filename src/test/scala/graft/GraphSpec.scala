@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-side reference with the identical integer fixed-point math. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    var r = nodes.map(v => v -> 1000000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => (r(u) * 85L) / (100L * deg(u)) }.sum).toMap
+      r = nodes.map(v => v -> (150000000000L / n + contrib.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int, parts: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst").repartition(parts), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches the driver-side reference on a hand graph") {
+    // star: 1 -> {2,3,4}, all -> 1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L), (4L, 1L))
+    val got = run(edges, 8, 3)
+    assert(got == refPageRank(edges, 8))
+    // hub 1 outranks the leaves and leaves tie by symmetry
+    assert(got(1L) > got(2L) && got(2L) == got(3L) && got(3L) == got(4L))
+  }
+
+  test("matches the reference on random graphs and is partition-invariant") {
+    for (seed <- Seq(1, 2)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 120).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val want = refPageRank(edges, 6)
+      assert(run(edges, 6, 2) == want, s"seed=$seed")
+      assert(run(edges, 6, 7) == want, s"seed=$seed parts=7")
+    }
+  }
+
+  test("total mass stays within floor-truncation loss of 1e12 on a symmetric graph") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val edges = pairs ++ pairs.map(_.swap)
+    val total = run(edges, 8, 4).values.sum
+    // every node has out-edges, so only integer-floor dust is lost
+    assert(total <= 1000000000000L && total > 999999990000L, s"total=$total")
+  }
+}
