@@ -579,6 +579,50 @@ object SimilarityQs {
            |      ORDER BY ${TextAnalysis.hashUnitSql("vec_id", "k7")}, vec_id) AS rnk
            |  FROM sig)
            |WHERE rnk <= 20""".stripMargin
-      })
+      }),
+
+    // K14: PCA dimensionality reduction for the embedding corpus — the
+    // shrink-before-indexing step (float[64] → float[8] feeding ANN /
+    // semantic dedup). The distributed work is exact integer moment
+    // accumulation on the k11 1/1024 grid (one BIGINT Gram/mean partial per
+    // partition, combined by exact addition — partitioning-independent and
+    // SQL-replayable); the d×d eigendecomposition is driver-side Jacobi on
+    // KB-sized state (the BPE-merge-table license). The oracle recomputes
+    // n, per-dimension mean numerators and Gram diagonal EXACTLY with
+    // unnest + integer sums (hash gate on the distributed moments) and
+    // asserts the eigen verdicts: orthonormal components, descending
+    // eigenvalues, Σλ = trace(C).
+    Q("k14_pca_moments",
+      (s, d) => {
+        import s.implicits._
+        val model = graft.ops.Pca.fit(Tables.embeddings(s, d), "embedding",
+          dim = 64, r = 8)
+        val ortho = {
+          val c = model.components
+          val errs = for (k <- c.indices; l <- k until c.length) yield {
+            val dot = (0 until model.dim).map(i => c(k)(i) * c(l)(i)).sum
+            math.abs(dot - (if (k == l) 1.0 else 0.0))
+          }
+          errs.max < 1e-9
+        }
+        val monotone = model.eigvals.zip(model.eigvals.tail)
+          .forall { case (a, b) => a >= b }
+        val eigsum = math.abs(model.eigSum - model.traceC) <=
+          1e-6 * math.max(1.0, math.abs(model.traceC))
+        (0 until model.dim).map(i => (i, model.n, model.meanNum(i),
+            model.gramDiag(i), ortho, monotone, eigsum))
+          .toDF("pos", "n_vectors", "mean_num", "gram_diag",
+            "ortho_ok", "monotone_ok", "eigsum_ok")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id,
+             |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT) AS qv
+             |  FROM embeddings WHERE embedding IS NOT NULL)
+             |SELECT pos, COUNT(*) AS n_vectors,
+             |  CAST(SUM(qv) AS BIGINT) AS mean_num,
+             |  CAST(SUM(qv * qv) AS BIGINT) AS gram_diag,
+             |  true AS ortho_ok, true AS monotone_ok, true AS eigsum_ok
+             |FROM q GROUP BY pos""".stripMargin))
   )
 }
