@@ -63,36 +63,13 @@ case class HllSketch(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
-  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
-    val v = child.eval(input)
-    if (v != null) {
-      val d = digest(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-        .getBytes)
-      val bucket = d(0) & 0xff
-      val rho = rhoOf(d)
-      if (rho > buf(bucket)) buf(bucket) = rho.toByte
-    }
-    buf
-  }
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
+    updateRegisters(buf, child.eval(input))
 
-  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < M) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
-    b1
-  }
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    maxMerge(b1, b2)
 
-  override def eval(buf: Array[Byte]): Any = {
-    var s = java.math.BigInteger.ZERO
-    var zeros = 0
-    var i = 0
-    while (i < M) {
-      val m = buf(i) & 0xff
-      s = s.add(java.math.BigInteger.ONE.shiftLeft(65 - m))
-      if (m == 0) zeros += 1
-      i += 1
-    }
-    InternalRow(Decimal(new java.math.BigDecimal(s), 38, 0), zeros)
-  }
+  override def eval(buf: Array[Byte]): Any = evalStruct(buf)
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
@@ -106,9 +83,122 @@ case class HllSketch(
   override def prettyName: String = "hll_sketch"
 }
 
+/** The PERSISTENCE half of the sketch lifecycle: same update math as
+  * [[HllSketch]], but `eval` returns the raw 256-byte register array
+  * (BinaryType) so partial sketches can be STORED (a per-day mart column)
+  * and unioned later with [[HllMerge]] — the mergeable-sketch warehouse
+  * pattern: at 100 TB you never re-scan history to extend a distinct count,
+  * you max-merge KB-sized states. */
+case class HllState(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  import HllSketch._
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hll_state expects a STRING child, got ${child.dataType.sql}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
+    updateRegisters(buf, child.eval(input))
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    maxMerge(b1, b2)
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def withNewMutableAggBufferOffset(o: Int): HllState =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllState =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllState =
+    copy(child = c)
+  override def prettyName: String = "hll_state"
+}
+
+/** The UNION half: aggregates stored [[HllState]] register arrays by
+  * element-wise max (sketch union is exact — no error compounds on merge)
+  * and evals to the same struct(s, zeros) as [[HllSketch]], so a merge of
+  * per-day states is BIT-IDENTICAL to one sketch over the union of the
+  * underlying values — the property a4d's oracle asserts. */
+case class HllMerge(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  import HllSketch._
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hll_merge expects a BINARY hll_state child, got ${child.dataType.sql}")
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("s", DecimalType(38, 0), nullable = false),
+    StructField("zeros", IntegerType, nullable = false)))
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val st = v.asInstanceOf[Array[Byte]]
+      require(st.length == M, s"hll_state must be $M bytes, got ${st.length}")
+      maxMerge(buf, st)
+    }
+    buf
+  }
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    maxMerge(b1, b2)
+  override def eval(buf: Array[Byte]): Any = evalStruct(buf)
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def withNewMutableAggBufferOffset(o: Int): HllMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMerge =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllMerge =
+    copy(child = c)
+  override def prettyName: String = "hll_merge"
+}
+
 object HllSketch {
   /** Register count (p = 8). */
   val M = 256
+
+  /** Fold one raw value (UTF8String or null) into the register array. */
+  private[plans] def updateRegisters(buf: Array[Byte], v: Any): Array[Byte] = {
+    if (v != null) {
+      val d = digest(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .getBytes)
+      val bucket = d(0) & 0xff
+      val rho = rhoOf(d)
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  private[plans] def maxMerge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  private[plans] def evalStruct(buf: Array[Byte]): InternalRow = {
+    var s = java.math.BigInteger.ZERO
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      val m = buf(i) & 0xff
+      s = s.add(java.math.BigInteger.ONE.shiftLeft(65 - m))
+      if (m == 0) zeros += 1
+      i += 1
+    }
+    InternalRow(Decimal(new java.math.BigDecimal(s), 38, 0), zeros)
+  }
 
   private val md = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
@@ -129,9 +219,18 @@ object HllSketch {
   }
 
   /** Register `hll_sketch(stringExpr)` for SQL/expr use. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_sketch",
       exprs => HllSketch(exprs.head).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_state",
+      exprs => HllState(exprs.head).toAggregateExpression(),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_merge",
+      exprs => HllMerge(exprs.head).toAggregateExpression(),
+      "built-in")
+  }
 }

@@ -154,6 +154,54 @@ object Aggregates {
              |  END AS err_ok
              |FROM ex e JOIN sk USING (grp)""".stripMargin)),
 
+    // A4d: the mergeable-sketch LIFECYCLE — per-day hll_state register
+    // arrays (the storable mart column) max-merged into one corpus sketch
+    // via hll_merge, asserted BIT-IDENTICAL to a direct one-pass hll_sketch
+    // over the same values (sketch union is exact; no error compounds on
+    // merge). This is the 100 TB distinct-count pattern: extend a metric by
+    // merging KB-sized stored states, never by re-scanning history.
+    Q("a4d_hll_merge_daily",
+      (s, d) => {
+        graft.plans.HllSketch.register(s)
+        val ev = Tables.events(s, d)
+        val daily = ev.groupBy(to_date(col("ts")).as("day"))
+          .agg(expr("hll_state(CAST(user_id AS STRING))").as("st"))
+        val merged = daily.agg(count(lit(1)).as("n_days"),
+          expr("hll_merge(st)").as("h"))
+        val direct = ev.agg(expr("hll_sketch(CAST(user_id AS STRING))").as("hd"))
+        merged.crossJoin(broadcast(direct))
+          .select(col("n_days"),
+            col("h.s").as("s_exact"), col("h.zeros").as("n_zero"),
+            (col("h.s") === col("hd.s") && col("h.zeros") === col("hd.zeros"))
+              .as("merge_exact"))
+      },
+      Some("""WITH hx AS (
+             |  SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+             |  WHERE user_id IS NOT NULL),
+             |reg AS (
+             |  SELECT
+             |    (strpos('0123456789abcdef', substr(h,1,1))-1)*16 +
+             |      strpos('0123456789abcdef', substr(h,2,1))-1 AS bucket,
+             |    CASE WHEN z = 16 THEN 65 ELSE 4*z + 1 +
+             |      (CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
+             |            WHEN dv >= 2 THEN 2 ELSE 3 END) END AS rho
+             |  FROM (SELECT h, z,
+             |          strpos('0123456789abcdef', substr(h, 3+z, 1))-1 AS dv
+             |        FROM (SELECT h,
+             |                length(regexp_extract(substr(h,3,16), '^0*')) AS z
+             |              FROM hx))),
+             |mx AS (SELECT bucket, MAX(rho) AS m FROM reg GROUP BY 1),
+             |sk AS (SELECT
+             |    SUM(1::HUGEINT << (65 - m)) +
+             |      (256 - COUNT(*)) * (1::HUGEINT << 65) AS s,
+             |    256 - COUNT(*) AS zeros
+             |  FROM mx),
+             |days AS (SELECT COUNT(*) AS n_days
+             |  FROM (SELECT DISTINCT CAST(ts AS DATE) FROM events))
+             |SELECT n_days, CAST(s AS DECIMAL(38,0)) AS s_exact,
+             |  CAST(zeros AS INTEGER) AS n_zero, true AS merge_exact
+             |FROM days CROSS JOIN sk""".stripMargin)),
+
     // A5: conditional aggregates (gross / discounted / net in one pass).
     // Reference: `dashboard.py:660-684`.
     Q("a5_conditional_agg",

@@ -61,6 +61,26 @@ class HllSketchSpec extends AnyFunSuite {
     assert(math.abs(lc - 100) / 100.0 < 0.10, s"lc=$lc zeros=$zeros")
   }
 
+  test("hll_state + hll_merge over stored partials equals the direct sketch") {
+    HllSketch.register(spark)
+    val df = (1 to 4000).map(i => (i % 7, s"u${i % 900}")).toDF("part", "v")
+    val direct = df.agg(expr("hll_sketch(v)").as("h"))
+      .select(col("h.s").cast("string"), col("h.zeros")).head()
+    // store per-part states through a parquet roundtrip (the mart lifecycle)
+    val dir = java.nio.file.Files.createTempDirectory("hll_states").toString
+    df.groupBy(col("part")).agg(expr("hll_state(v)").as("st"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(expr("hll_merge(st)").as("h"))
+      .select(col("h.s").cast("string"), col("h.zeros")).head()
+    assert(merged == direct)
+    // merge is idempotent: unioning the same states twice changes nothing
+    val doubled = spark.read.parquet(dir).unionAll(spark.read.parquet(dir))
+      .agg(expr("hll_merge(st)").as("h"))
+      .select(col("h.s").cast("string"), col("h.zeros")).head()
+    assert(doubled == direct)
+  }
+
   test("nulls are skipped; empty input is the empty sketch") {
     HllSketch.register(spark)
     val row = Seq(Some("a"), None, Some("b"), None).toDF("v")

@@ -105,7 +105,8 @@ class QueriesSpec extends AnyFunSuite {
     "ml4_nb_calibration",      // inherits ml1's 1-row prior/total broadcasts
     "k12_cluster_quality",     // L-row centroid×centroid separation pairs (L = cell count)
     "t25_bm25_retrieval",      // 1-row avgdl broadcast (same shape as a6)
-    "t26_source_drift"         // 1-row grand-total + 1-row cohort-mean broadcasts
+    "t26_source_drift",        // 1-row grand-total + 1-row cohort-mean broadcasts
+    "a4d_hll_merge_daily"      // 1-row merged × 1-row direct sketch cross
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
