@@ -37,7 +37,8 @@ object Pca {
       eigvals: Array[Double],  // descending, top r
       components: Array[Array[Double]],
       traceC: Double,
-      eigSum: Double)          // Σ of ALL d eigenvalues (= trace, up to fp)
+      eigSum: Double,          // Σ of ALL d eigenvalues (= trace, up to fp)
+      centered: Boolean)
 
   /** Exact integer moments: (n, Σq per dim, upper-triangle Σ q_i·q_j). */
   private def moments(emb: DataFrame, vecCol: String, d: Int)
@@ -83,16 +84,24 @@ object Pca {
     (n, tot("mean", d), tot("gram", tri))
   }
 
-  /** Fit on `vecCol` (float array of length `dim`), keep `r` components. */
-  def fit(emb: DataFrame, vecCol: String, dim: Int, r: Int): PcaModel = {
+  /** Fit on `vecCol` (float array of length `dim`), keep `r` components.
+    *
+    * `centered = true` diagonalizes the covariance (variance-maximizing —
+    * the statistics reading); `centered = false` diagonalizes the raw
+    * second-moment matrix G/n, whose top-r subspace maximizes retained
+    * ENERGY Σ‖x‖² — the right variant before cosine/dot-product ANN, where
+    * subtracting the corpus mean would distort every angle. */
+  def fit(emb: DataFrame, vecCol: String, dim: Int, r: Int,
+      centered: Boolean = true): PcaModel = {
     val (n, m, g) = moments(emb, vecCol, dim)
     require(n > 1, s"PCA needs at least 2 vectors, got $n")
     val d = dim
-    // covariance in grid units: C_ij = G_ij/n − (m_i/n)(m_j/n)
+    // grid units: C_ij = G_ij/n − (m_i/n)(m_j/n), or G_ij/n uncentered
     val c = Array.ofDim[Double](d, d)
     var idx = 0
     for (i <- 0 until d; j <- i until d) {
-      val v = g(idx).toDouble / n - (m(i).toDouble / n) * (m(j).toDouble / n)
+      val v = g(idx).toDouble / n -
+        (if (centered) (m(i).toDouble / n) * (m(j).toDouble / n) else 0.0)
       c(i)(j) = v; c(j)(i) = v
       idx += 1
     }
@@ -103,7 +112,7 @@ object Pca {
       m, Array.tabulate(d)(i => g(i * d - i * (i - 1) / 2)), // diag entries
       order.take(r).map(vals),
       order.take(r).map(k => Array.tabulate(d)(i => vecs(i)(k))),
-      trace, vals.sum)
+      trace, vals.sum, centered)
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix — fixed sweep
@@ -156,7 +165,9 @@ object Pca {
   def project(emb: DataFrame, vecCol: String, model: PcaModel,
       outCol: String): DataFrame = {
     val comps = model.components
-    val meanQ = model.meanNum.map(_.toDouble / model.n)
+    val meanQ =
+      if (model.centered) model.meanNum.map(_.toDouble / model.n)
+      else Array.fill(model.dim)(0.0)
     val d = model.dim
     val f = udf { v: Seq[Float] =>
       val q = Array.tabulate(d)(i =>

@@ -47,6 +47,27 @@ class PcaSpec extends AnyFunSuite {
     assert(a.eigvals.sameElements(b.eigvals)) // same exact moments -> same eig
   }
 
+  test("uncentered fit with r = d is a rotation: dot products preserved") {
+    val rnd = new scala.util.Random(13)
+    val vs = (1 to 60).map(_ => Array.fill(5)(rnd.nextFloat() * 2 - 1))
+    val df = mkEmb(vs)
+    val m = Pca.fit(df, "embedding", 5, 5, centered = false)
+    import org.apache.spark.sql.functions.col
+    val proj = Pca.project(df, "embedding", m, "p")
+      .select(col("vec_id"), col("p")).as[(Long, Array[Float])]
+      .collect().toMap
+    // quantized originals (the space the model lives in)
+    val q = vs.zipWithIndex.map { case (v, i) =>
+      i.toLong -> v.map(x => math.floor(x.toDouble * 1024.0))
+    }.toMap
+    for (a <- 0L to 5L; b <- a to 5L) {
+      val want = q(a).zip(q(b)).map { case (x, y) => x * y }.sum
+      val got = proj(a).zip(proj(b)).map { case (x, y) => x.toDouble * y }.sum
+      assert(math.abs(want - got) < 1e-3 * math.max(1.0, math.abs(want)),
+        s"pair ($a,$b): $want vs $got")
+    }
+  }
+
   test("projected coordinate variance matches the eigenvalues") {
     val rnd = new scala.util.Random(5)
     val vs = (1 to 500).map(_ => Array.fill(6)(rnd.nextGaussian().toFloat))
