@@ -1068,16 +1068,30 @@ object TextAnalysis {
     * `spark.range(B)`, never from corpus data); the corpus baseline is a
     * B-row broadcast. */
   def sourceDrift(df: DataFrame, srcCol: String, textCol: String,
+      buckets: Int = 256, klFactor: Double = 1.5): DataFrame =
+    sourceDriftFromBuckets(
+      sourceBucketCounts(df, srcCol, textCol, buckets).localCheckpoint(true),
+      srcCol, buckets, klFactor)
+
+  /** The drift monitor's STATE spine: per-(source, hashed-unigram-bucket)
+    * word counts — additive, so per-batch partials of this frame land in a
+    * stream's state dir and re-sum to the batch-exact spine
+    * ([[graft.streaming.Streams]] `driftIngest`, the cmsIngest pattern). */
+  def sourceBucketCounts(df: DataFrame, srcCol: String, textCol: String,
+      buckets: Int = 256): DataFrame = df
+    .select(col(srcCol), explode(split(col(textCol), " ")).as("__w"))
+    .filter(col("__w") =!= "")
+    .groupBy(col(srcCol),
+      Normalize.hashBucket(col("__w"), buckets).as("__b"))
+    .agg(count(lit(1)).as("__c"))
+
+  /** Drift report off a prebuilt (srcCol, __b, __c) spine — shared by the
+    * batch path and the streaming merged-state path, so the two cannot
+    * drift from each other. */
+  def sourceDriftFromBuckets(sb: DataFrame, srcCol: String,
       buckets: Int = 256, klFactor: Double = 1.5): DataFrame = {
-    val spark = df.sparkSession
+    val spark = sb.sparkSession
     val dec = DecimalType(18, 8)
-    val sb = df
-      .select(col(srcCol), explode(split(col(textCol), " ")).as("__w"))
-      .filter(col("__w") =!= "")
-      .groupBy(col(srcCol),
-        Normalize.hashBucket(col("__w"), buckets).as("__b"))
-      .agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
     val corpus = sb.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
     val totals = sb.groupBy(col(srcCol)).agg(sum(col("__c")).as("__ns"))
     val grand = sb.agg(sum(col("__c")).as("__n"))

@@ -362,6 +362,25 @@ object StreamQs {
       },
       Some(graft.ops.TextAnalysis.cdcChunkStatsSql("doc_id", "text", "documents"))),
 
+    Q("st12_stream_source_drift",
+      (s, d) => {
+        // t26's drift monitor as an ingest seat: per-batch (source, bucket)
+        // count partials land by batch_id (replay = overwrite, counts
+        // additive), and the KL/TVD report runs off the MERGED spine via
+        // the same sourceDriftFromBuckets code as batch t26 — streamed
+        // monitoring equals the batch report exactly, oracle unchanged.
+        val ss = streamSession(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_st12_").toString
+        Streams.driftIngest(
+            Streams.documentStream(ss, asStreamDir(s"$d/documents.parquet")),
+            s"$base/state", s"$base/ckpt")
+          .awaitTermination()
+        graft.ops.TextAnalysis.sourceDriftFromBuckets(
+          Streams.driftMergedBuckets(ss, s"$base/state").localCheckpoint(true),
+          "source")
+      },
+      Some(graft.ops.TextAnalysis.sourceDriftSql("source", "text", "documents"))),
+
     Q("st10_stream_heavy_hitters",
       (s, d) => {
         val ss = streamSession(s)

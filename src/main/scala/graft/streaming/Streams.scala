@@ -409,6 +409,44 @@ object Streams {
         .groupBy(col("__h")).agg(sum(col("__occ")).as("__occ"))
   }
 
+  /** Streaming corpus-mix drift ingest — t26's monitoring state kept
+    * CURRENT between crawls: each micro-batch reduces to its own
+    * (source, hashed-unigram-bucket) count partial
+    * (`TextAnalysis.sourceBucketCounts` — additive, vocabulary-bounded at
+    * sources × buckets rows per batch) landed at `stateDir/batch_id=<id>/`;
+    * replay overwrites its own batch_id (the cmsIngest idempotence
+    * discipline). The current drift report is `sourceDriftFromBuckets`
+    * over [[driftMergedBuckets]] — the SAME report code as the batch path,
+    * so streamed monitoring equals the batch t26 exactly and its oracle
+    * carries over unchanged. */
+  def driftIngest(stream: DataFrame, stateDir: String, ckptDir: String,
+      srcCol: String = "source", textCol: String = "text",
+      buckets: Int = 256): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        graft.ops.TextAnalysis
+          .sourceBucketCounts(batch.toDF(), srcCol, textCol, buckets)
+          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Merge the per-batch (source, bucket) partials — counts are additive.
+    * Zero-batch ingest = the empty spine. */
+  def driftMergedBuckets(spark: SparkSession, stateDir: String,
+      srcCol: String = "source"): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField(srcCol, StringType), StructField("__b", LongType),
+        StructField("__c", LongType))))
+    else
+      spark.read.parquet(stateDir)
+        .groupBy(col(srcCol), col("__b")).agg(sum(col("__c")).as("__c"))
+  }
+
   /** Gap-based session windows per user: `session_window` keeps a window
     * open while events keep arriving within `gap` of the last one, merging
     * across micro-batches — the streaming form of `ops.Windows.sessionize`

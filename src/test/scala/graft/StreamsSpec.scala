@@ -457,6 +457,53 @@ class StreamsSpec extends AnyFunSuite {
     assert(counters(Streams.cmsMergedCounters(spark, state)) == want)
   }
 
+  test("driftIngest partial spines merge to the batch spine; replay overwrites") {
+    import java.nio.file.Files
+    import graft.ops.TextAnalysis
+    val in = Files.createTempDirectory("graft_drift_in")
+    val state = Files.createTempDirectory("graft_drift_state").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_drift_ckpt").toString
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source", "n_chars").localCheckpoint(true)
+    def arrive(tag: String, part: org.apache.spark.sql.DataFrame): Unit = {
+      val sub = in.resolve(tag)
+      part.coalesce(1).write.parquet(sub.toString)
+      Files.list(sub).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, in.resolve(tag + "_" + p.getFileName.toString))
+      }
+    }
+    def spine(d: org.apache.spark.sql.DataFrame) =
+      d.select("source", "__b", "__c").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = spine(TextAnalysis.sourceBucketCounts(docs, "source", "text"))
+
+    val mid = 250L
+    arrive("a", docs.filter(col("doc_id") < mid))
+    Streams.driftIngest(Streams.documentStream(spark, in.toString),
+      state, ckpt).awaitTermination()
+    arrive("b", docs.filter(col("doc_id") >= mid))
+    Streams.driftIngest(Streams.documentStream(spark, in.toString),
+      state, ckpt).awaitTermination()
+    assert(spine(Streams.driftMergedBuckets(spark, state)) == want,
+      "merged partials must equal the one-shot batch spine")
+
+    // the report off the merged spine equals batch t26 row-for-row
+    def report(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(5))).toSet
+    assert(
+      report(TextAnalysis.sourceDriftFromBuckets(
+        Streams.driftMergedBuckets(spark, state).localCheckpoint(true), "source")) ==
+      report(TextAnalysis.sourceDrift(docs, "source", "text")))
+
+    // crash-replay: re-landing batch 0's partial cannot double-add
+    TextAnalysis.sourceBucketCounts(
+        docs.filter(col("doc_id") < mid), "source", "text")
+      .write.mode("overwrite").parquet(s"$state/batch_id=0")
+    assert(spine(Streams.driftMergedBuckets(spark, state)) == want)
+  }
+
   test("cdcIngest partial censuses merge to the batch census; replay overwrites") {
     import java.nio.file.Files
     import graft.ops.TextAnalysis
