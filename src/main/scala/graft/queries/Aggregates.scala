@@ -513,6 +513,113 @@ object Aggregates {
              |  percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS p50_exact,
              |  percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS p90_exact,
              |  true AS p50_in_rank_band, true AS p90_in_rank_band
-             |FROM customer GROUP BY 1""".stripMargin))
+             |FROM customer GROUP BY 1""".stripMargin)),
+
+    // A18: DETERMINISTIC mergeable quantile-histogram sketch
+    // (ops/QuantileSketch.scala) — the third mergeable sketch next to HLL
+    // (a4c, distincts) and CMS (t24, frequencies). Unlike a17b's
+    // percentile_approx (opaque sampling-dependent state, tolerance-gated
+    // only), the log-bucketed histogram is pure integer/string arithmetic,
+    // so the DuckDB oracle replays the STATE bit-for-bit: picked bucket ids,
+    // bucket counts, and bound doubles all hash-match, and the verdict —
+    // the exact percentile_disc value falls in the picked bucket — is
+    // recomputed independently by both engines. State is <1.3k buckets at
+    // ANY row count; ~10% relative-error bounds by construction.
+    Q("a18_quantile_sketch",
+      (s, d) => {
+        val src = Tables.orders(s, d)
+          .filter(col("o_totalprice").isNotNull && col("o_totalprice") >= 0)
+        val hist = graft.ops.QuantileSketch.histogram(
+          src, Seq("o_orderpriority"), "o_totalprice")
+        val qs = graft.ops.QuantileSketch.quantiles(hist, Seq("o_orderpriority"),
+          Seq(("p50", 1, 2), ("p95", 19, 20)))
+        val exact = graft.ops.Percentiles.disc(src, Seq("o_orderpriority"),
+            "o_totalprice", Seq(("e50", 1, 2), ("e95", 19, 20)))
+          .select(col("o_orderpriority"), col("e50"), col("e95"))
+        import graft.ops.QuantileSketch.{bucketId, qunits}
+        qs.join(exact, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("n"), col("n_buckets"),
+            col("p50_low"), col("p95_low"),
+            (bucketId(qunits(col("e50"))) === col("p50_bucket")).as("p50_brackets"),
+            (bucketId(qunits(col("e95"))) === col("p95_bucket")).as("p95_brackets"))
+      },
+      Some {
+        import graft.ops.QuantileSketch._
+        s"""WITH src AS (
+           |  SELECT o_orderpriority AS grp, ${qunitsSql("o_totalprice")} AS qv
+           |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0),
+           |h AS (SELECT grp, ${bucketIdSql("qv")} AS bucket, COUNT(*) AS cnt
+           |      FROM src GROUP BY 1, 2),
+           |c AS (SELECT grp, bucket,
+           |        SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+           |        SUM(cnt) OVER (PARTITION BY grp) AS n
+           |      FROM h),
+           |pick AS (SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+           |    COUNT(*) AS n_buckets,
+           |    MIN(CASE WHEN cum >= (n * 1 + 1) // 2 THEN bucket END) AS b50,
+           |    MIN(CASE WHEN cum >= (n * 19 + 19) // 20 THEN bucket END) AS b95
+           |  FROM c GROUP BY grp),
+           |e AS (SELECT o_orderpriority AS grp,
+           |    percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS e50,
+           |    percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS e95
+           |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+           |  GROUP BY 1)
+           |SELECT p.grp AS o_orderpriority, p.n, p.n_buckets,
+           |  CAST(${bucketLowSql("b50")} AS DOUBLE) / 10000 AS p50_low,
+           |  CAST(${bucketLowSql("b95")} AS DOUBLE) / 10000 AS p95_low,
+           |  ${bucketIdSql(qunitsSql("e50"))} = b50 AS p50_brackets,
+           |  ${bucketIdSql(qunitsSql("e95"))} = b95 AS p95_brackets
+           |FROM pick p JOIN e ON p.grp = e.grp""".stripMargin
+      }),
+
+    // A18b: the quantile-sketch MERGE LIFECYCLE (the a4d pattern): per-day
+    // histogram states — the storable KB-sized mart column — merged by
+    // bucket-wise count addition, asserted BIT-IDENTICAL to the one-pass
+    // histogram over the same rows (sketch merge is exact; no error
+    // compounds), then quantiles answered from the merged state. The
+    // 100 TB percentile pattern: any date range is a merge of stored
+    // states, never a re-scan of history.
+    Q("a18b_quantile_merge_daily",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull && col("value") >= 0)
+        val daily = graft.ops.QuantileSketch.histogram(
+          ev.withColumn("day", to_date(col("ts"))), Seq("day"), "value")
+        val merged = daily.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+        val direct = graft.ops.QuantileSketch.histogram(ev, Seq.empty, "value")
+        val qs = graft.ops.QuantileSketch.quantiles(
+          merged.withColumn("grp", lit("all")), Seq("grp"),
+          Seq(("p50", 1, 2), ("p95", 19, 20)))
+        val days = daily.agg(countDistinct(col("day")).as("n_days"))
+        val bad = merged.withColumnRenamed("cnt", "cm")
+          .join(direct.withColumnRenamed("cnt", "cd"), Seq("bucket"), "full_outer")
+          .agg(count(when(not(col("cm") <=> col("cd")), lit(1))).as("n_bad"))
+        qs.crossJoin(broadcast(days)).crossJoin(broadcast(bad))
+          .select(col("n_days"), col("n"), col("n_buckets"),
+            col("p50_low"), col("p95_low"),
+            (col("n_bad") === 0).as("merge_exact"))
+      },
+      Some {
+        import graft.ops.QuantileSketch._
+        s"""WITH src AS (
+           |  SELECT ${qunitsSql("value")} AS qv, CAST(ts AS DATE) AS day
+           |  FROM events WHERE value IS NOT NULL AND value >= 0),
+           |h AS (SELECT ${bucketIdSql("qv")} AS bucket, COUNT(*) AS cnt
+           |      FROM src GROUP BY 1),
+           |c AS (SELECT bucket,
+           |        SUM(cnt) OVER (ORDER BY bucket) AS cum,
+           |        SUM(cnt) OVER () AS n
+           |      FROM h),
+           |pick AS (SELECT CAST(MAX(n) AS BIGINT) AS n, COUNT(*) AS n_buckets,
+           |    MIN(CASE WHEN cum >= (n * 1 + 1) // 2 THEN bucket END) AS b50,
+           |    MIN(CASE WHEN cum >= (n * 19 + 19) // 20 THEN bucket END) AS b95
+           |  FROM c),
+           |days AS (SELECT COUNT(DISTINCT day) AS n_days FROM src)
+           |SELECT n_days, n, n_buckets,
+           |  CAST(${bucketLowSql("b50")} AS DOUBLE) / 10000 AS p50_low,
+           |  CAST(${bucketLowSql("b95")} AS DOUBLE) / 10000 AS p95_low,
+           |  true AS merge_exact
+           |FROM days CROSS JOIN pick""".stripMargin
+      })
   )
 }

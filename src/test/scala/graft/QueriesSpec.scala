@@ -106,7 +106,9 @@ class QueriesSpec extends AnyFunSuite {
     "k12_cluster_quality",     // L-row centroid×centroid separation pairs (L = cell count)
     "t25_bm25_retrieval",      // 1-row avgdl broadcast (same shape as a6)
     "t26_source_drift",        // 1-row grand-total + 1-row cohort-mean broadcasts
-    "a4d_hll_merge_daily"      // 1-row merged × 1-row direct sketch cross
+    "a4d_hll_merge_daily",     // 1-row merged × 1-row direct sketch cross
+    "k15_pca_ann",             // k1's 1-row query broadcast, twice (projected + exact)
+    "a18b_quantile_merge_daily" // 1-row day-count × 1-row merge-check crosses
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
