@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators (BASELINE north star: LLM-data-pipeline
@@ -365,5 +366,48 @@ object Dedup {
     val sig = (0 until 16).map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
       .reduce(_ + _).cast("long").as("simhash")
     votes.select(col(idCol), sig)
+  }
+
+  /** EXACT all-pairs Jaccard similarity join with LOSSLESS prefix filtering
+    * (AllPairs, Bayardo et al. WWW '07) — the exact counterpart to the
+    * MinHash-LSH pipeline: where LSH is probabilistic (a qualifying pair can
+    * miss every band), prefix filtering guarantees EVERY pair with word-set
+    * Jaccard >= tau is emitted, yet never compares all O(n²) pairs.
+    *
+    * Order the corpus vocabulary by (document frequency asc, token) — one
+    * global, deterministic total order. A doc of n distinct tokens keeps
+    * only its first n - ceil(tau·n) + 1 tokens under that order (its
+    * PREFIX); two sets with J >= tau must overlap within their prefixes, so
+    * the candidate join on prefix tokens is complete. Because prefixes are
+    * dominated by RARE tokens, per-token fanout is small — the same reason
+    * d9's rare-shingle blocking scales — and a size filter
+    * (tau·|a| <= |b| <= |a|/tau) prunes before verification. Candidates are
+    * then verified EXACTLY by [[jaccardFor]].
+    *
+    * Threshold semantics: pairs with round(jaccard, 6) >= tauNum/tauDen
+    * (the rounding is jaccardFor's cross-engine stabilization).
+    * Every window is partitioned per document (frame = doc token count);
+    * the only corpus-wide shuffles are the two (token) aggregations. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum, s"tau must be in (0,1]: $tauNum/$tauDen")
+    val tok = shingles(df, idCol, textCol, 1)
+    val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n_tok"))
+    val dfreq = tok.groupBy(col("shingle")).agg(count(lit(1)).as("dfq"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("dfq"), col("shingle"))
+    val pref = tok.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(wDoc))
+      .join(sizes, idCol)
+      .filter(col("rn") <=
+        col("n_tok") - expr(s"(n_tok * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+    val a = pref.select(col(idCol).as("id_a"), col("shingle"), col("n_tok").as("na"))
+    val b = pref.select(col(idCol).as("id_b"), col("shingle"), col("n_tok").as("nb"))
+    val cand = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        col("nb") * tauDen >= col("na") * tauNum &&
+        col("na") * tauDen >= col("nb") * tauNum)
+      .select(col("id_a"), col("id_b")).distinct()
+    jaccardFor(cand, tok, idCol)
+      .filter(col("jaccard") >= lit(tauNum.toDouble / tauDen))
   }
 }

@@ -136,6 +136,68 @@ object SetOps {
              |WHERE (CASE WHEN k1 IS NULL THEN 'added'
              |       WHEN k2 IS NULL THEN 'removed'
              |       WHEN val1 <> val2 THEN 'changed'
-             |       ELSE 'unchanged' END) <> 'unchanged'""".stripMargin))
+             |       ELSE 'unchanged' END) <> 'unchanged'""".stripMargin)),
+
+    // O7: SCD2 (type-2 slowly-changing-dimension) history build — compact a
+    // stream of per-key attribute observations into [valid_from, valid_to)
+    // intervals, one row per consecutive run of an unchanged value, open
+    // interval (valid_to NULL) = current. The warehouse-standard dimension
+    // history the reference's daily re-sync overwrites away (snapshots keep
+    // only the latest attribute state; o6 diffs two versions — this is the
+    // accumulated interval form). Observation = each customer's order
+    // priority per order date (same-day ties broken by max o_orderkey);
+    // change-points via lag, run ids via a cumulative sum, bounds via
+    // min/lead — every window partitioned by the dimension key, so the
+    // build is one shuffle on c_custkey at any scale.
+    Q("o7_scd2_history",
+      (s, d) => {
+        val wDay = Window.partitionBy(col("c"), col("dt")).orderBy(col("o_orderkey").desc)
+        val daily = Tables.orders(s, d)
+          .select(col("o_custkey").as("c"), col("o_orderdate").cast("date").as("dt"),
+            col("o_orderpriority").as("prio"), col("o_orderkey"))
+          .withColumn("rn", row_number().over(wDay)).filter(col("rn") === 1)
+        val wOrd = Window.partitionBy(col("c")).orderBy(col("dt"))
+        val runs = daily
+          .withColumn("chg",
+            when(lag(col("prio"), 1).over(wOrd).isNull ||
+              col("prio") =!= lag(col("prio"), 1).over(wOrd), 1).otherwise(0))
+          .withColumn("run_id", sum(col("chg")).over(wOrd))
+        val hist = runs.groupBy(col("c"), col("run_id"), col("prio"))
+          .agg(min(col("dt")).as("valid_from"), count(lit(1)).as("n_obs"))
+        val wRun = Window.partitionBy(col("c")).orderBy(col("run_id"))
+        // open interval = the standard 9999-12-31 sentinel (a NULL valid_to
+        // also breaks the driver's cross-engine null-date compare)
+        hist.withColumn("next_from", lead(col("valid_from"), 1).over(wRun))
+          .select(col("c").as("c_custkey"), col("run_id"),
+            col("prio").as("priority"), col("valid_from"),
+            coalesce(col("next_from"), to_date(lit("9999-12-31"))).as("valid_to"),
+            col("next_from").isNull.as("is_current"), col("n_obs"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS dt,
+             |         o_orderpriority AS prio
+             |  FROM orders
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+             |    ORDER BY o_orderkey DESC) = 1),
+             |chg AS (SELECT c, dt, prio,
+             |    CASE WHEN lag(prio) OVER (PARTITION BY c ORDER BY dt) IS NULL
+             |           OR prio <> lag(prio) OVER (PARTITION BY c ORDER BY dt)
+             |         THEN 1 ELSE 0 END AS is_chg
+             |  FROM daily),
+             |runs AS (SELECT c, dt, prio,
+             |    SUM(is_chg) OVER (PARTITION BY c ORDER BY dt) AS run_id
+             |  FROM chg),
+             |hist AS (SELECT c, run_id, prio, MIN(dt) AS valid_from,
+             |    COUNT(*) AS n_obs
+             |  FROM runs GROUP BY 1, 2, 3)
+             |SELECT c AS c_custkey, CAST(run_id AS BIGINT) AS run_id,
+             |  prio AS priority, valid_from,
+             |  COALESCE(lead(valid_from) OVER (PARTITION BY c ORDER BY run_id),
+             |           DATE '9999-12-31') AS valid_to,
+             |  lead(valid_from) OVER (PARTITION BY c ORDER BY run_id) IS NULL
+             |    AS is_current,
+             |  n_obs
+             |FROM hist""".stripMargin))
   )
 }

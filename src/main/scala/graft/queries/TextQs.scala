@@ -654,6 +654,37 @@ object TextQs {
     Q("t21_bpe_encode",
       (s, d) => graft.ops.Bpe.encodeStats(Tables.documents(s, d), "doc_id", "text",
         merges = 8),
-      Some(graft.ops.Bpe.bpeEncodeSql("doc_id", "text", "documents", merges = 8)))
+      Some(graft.ops.Bpe.bpeEncodeSql("doc_id", "text", "documents", merges = 8))),
+
+    // T31: winnowing fingerprint overlap (Schleimer '03, the MOSS
+    // algorithm; TextAnalysis.winnowFingerprints). Shift-invariant copy
+    // detection with a GUARANTEE the fixed-grid ops lack: any shared run of
+    // w + k - 1 = 11 words between two docs produces >= 1 shared selected
+    // fingerprint, at ~2/(w+1) storage density. Fingerprints with corpus
+    // document-frequency > 32 are dropped before pairing (boilerplate
+    // phrases would otherwise make a hot join key — the d9 df-cap
+    // argument); pairs sharing >= 2 surviving fingerprints are reported.
+    Q("t31_winnow_overlap",
+      (s, d) => {
+        val sel = graft.ops.TextAnalysis.winnowFingerprints(
+          Tables.documents(s, d), "doc_id", "text", k = 4, w = 8)
+        val fps = sel.select(col("doc_id"), col("fp")).distinct()
+        val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("fdf"))
+          .filter(col("fdf") <= 32).select(col("fp"))
+        val kept = fps.join(rare, "fp")
+        val a = kept.toDF("fp", "id_a")
+        val b = kept.toDF("fp2", "id_b")
+        a.join(b, col("fp") === col("fp2") && col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+      },
+      Some(s"""WITH ${graft.ops.TextAnalysis.winnowFingerprintsSql(
+                "doc_id", "text", "documents", 4, 8)},
+              |fps AS (SELECT DISTINCT doc_id, fp FROM wsel),
+              |rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 32),
+              |kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+              |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin))
   )
 }

@@ -1403,4 +1403,75 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
+
+  test("prefixJaccardPairs equals the brute-force quadratic (lossless filter)") {
+    // seeded random corpus over a small vocab so near-threshold overlaps occur
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 't').map(_.toString)
+    val docs = (1 to 40).map { i =>
+      val n = 4 + rnd.nextInt(8)
+      (i.toLong, rnd.shuffle(vocab).take(n).mkString(" "))
+    } ++ Seq((100L, "a b c d e f"), (101L, "a b c d e g"), (102L, "q r s t u v"),
+      (103L, "q r s t u v"), (104L, "a a a b b c")) // dup words collapse to a set
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(df, "doc_id", "text", 1, 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(got == want)
+    // and the reported jaccard values are the exact set jaccards
+    val jac = Dedup.prefixJaccardPairs(df, "doc_id", "text", 1, 2).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    jac.foreach { case ((a, b), j) =>
+      val e = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      assert(math.abs(j - e) < 1e-6, s"($a,$b): $j vs $e")
+    }
+  }
+
+  test("winnowFingerprints: detection guarantee, density bound, rightmost ties") {
+    val (k, w) = (4, 8)
+    // two docs sharing an 11-word (= w + k - 1) run embedded in noise
+    val run = "the quick brown fox jumps over one lazy sleeping old dog"
+    val d1 = s"alpha beta gamma delta $run epsilon zeta eta theta"
+    val d2 = s"iota kappa lambda mu nu xi omicron pi $run rho sigma"
+    val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val sel = TextAnalysis.winnowFingerprints(df, "doc_id", "text", k, w)
+    val byDoc = sel.collect().groupBy(_.getLong(0))
+    val shared = byDoc(1L).map(_.getString(1)).toSet
+      .intersect(byDoc(2L).map(_.getString(1)).toSet)
+    assert(shared.nonEmpty, "shared w+k-1 run must yield a shared fingerprint")
+    // density: selections per doc <= window count, >= windowCount/w
+    for ((id, rows) <- byDoc) {
+      val nGrams = (if (id == 1L) d1 else d2).split(" ").length - k + 1
+      val nWin = nGrams - w + 1
+      assert(rows.length <= nWin && rows.length >= nWin / w,
+        s"doc $id: ${rows.length} picks for $nWin windows")
+    }
+    // full equality against a naive reference (pins min-hash selection AND
+    // the rightmost tie-break, which the repetitive doc 3 exercises heavily)
+    def naive(text: String): Set[(String, Int)] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(s: String) = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val hashes = text.split(" ").sliding(k).map(g => h(g.mkString(" "))).toArray
+      ((w - 1) until hashes.length).map { e =>
+        val idx = (e - w + 1) to e
+        val minH = idx.map(hashes).min
+        val pos = idx.filter(i => hashes(i) == minH).max
+        (hashes(pos), pos)
+      }.toSet
+    }
+    val d3 = Array.fill(12)("x y z w").mkString(" ") // period-4 gram cycle: all ties
+    val all = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(all, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val want = Seq(1L -> d1, 2L -> d2, 3L -> d3)
+      .flatMap { case (id, t) => naive(t).map { case (fp, p) => (id, fp, p) } }.toSet
+    assert(got == want)
+  }
 }
