@@ -755,38 +755,39 @@ object DedupQs {
               |WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.3""".stripMargin)),
 
     // D10: EXACT all-pairs Jaccard join via lossless prefix filtering
-    // (Dedup.prefixJaccardPairs — AllPairs, Bayardo '07). The guarantee d2's
-    // MinHash-LSH cannot give: EVERY word-set pair with J >= 0.5 is found
-    // (LSH misses a qualifying pair whenever it collides on no band), and
-    // every emitted pair is exactly verified, yet no O(n²) comparison —
-    // candidates only where PREFIXES (the rarest n - ceil(τn) + 1 tokens
-    // under the global (df, token) order) intersect, pre-pruned by the
-    // τ·|a| <= |b| <= |a|/τ size filter. OpsSpec pins completeness against
-    // the brute-force quadratic on a synthetic corpus.
+    // (Dedup.prefixJaccardPairs — AllPairs, Bayardo '07) over d2's 3-gram
+    // shingle universe. The guarantee d2's MinHash-LSH cannot give: EVERY
+    // pair with shingle-set J >= 0.5 is found (LSH misses a qualifying pair
+    // whenever it collides on no band), and every emitted pair is exactly
+    // verified, yet no O(n²) comparison — candidates only where PREFIXES
+    // (the rarest n - ceil(τn) + 1 shingles under the global (df, shingle)
+    // order) intersect, pre-pruned by the τ·|a| <= |b| <= |a|/τ size
+    // filter. OpsSpec pins completeness against the brute-force quadratic.
     Q("d10_prefix_jaccard",
-      (s, d) => Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text", 1, 2)
+      (s, d) => Dedup.prefixJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          1, 2, shingleK = 3)
         .select(col("id_a"), col("id_b"), col("n_inter"),
           col("n_a"), col("n_b"), col("jaccard")),
-      Some("""WITH tok AS (
-             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS shingle
-             |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
-             |sz AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY 1),
-             |dfq AS (SELECT shingle, COUNT(*) AS dfq FROM tok GROUP BY 1),
+      Some(s"""WITH $shinglesCte,
+             |sz AS (SELECT doc_id, COUNT(*) AS n_tok FROM sh GROUP BY 1),
+             |dfq AS (SELECT shingle, COUNT(*) AS dfq FROM sh GROUP BY 1),
              |rnk AS (SELECT t.doc_id, t.shingle,
              |    row_number() OVER (PARTITION BY t.doc_id
              |                       ORDER BY f.dfq, t.shingle) AS rn
-             |  FROM tok t JOIN dfq f ON t.shingle = f.shingle),
-             |pref AS (SELECT r.doc_id, r.shingle, s.n_tok
+             |  FROM sh t JOIN dfq f ON t.shingle = f.shingle),
+             |pref AS (SELECT r.doc_id, r.shingle, s.n_tok, r.rn
              |  FROM rnk r JOIN sz s ON r.doc_id = s.doc_id
              |  WHERE r.rn <= s.n_tok - (s.n_tok * 1 + 1) // 2 + 1),
              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              |  FROM pref a JOIN pref b
              |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-             |  WHERE b.n_tok * 2 >= a.n_tok * 1 AND a.n_tok * 2 >= b.n_tok * 1),
+             |  WHERE b.n_tok * 2 >= a.n_tok * 1 AND a.n_tok * 2 >= b.n_tok * 1
+             |    AND least(a.n_tok - a.rn, b.n_tok - b.rn) + 1
+             |        >= ((a.n_tok + b.n_tok) * 1 + 2) // 3),
              |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
              |  FROM cand c
-             |  JOIN tok ta ON ta.doc_id = c.id_a
-             |  JOIN tok tb ON tb.doc_id = c.id_b AND tb.shingle = ta.shingle
+             |  JOIN sh ta ON ta.doc_id = c.id_a
+             |  JOIN sh tb ON tb.doc_id = c.id_b AND tb.shingle = ta.shingle
              |  GROUP BY 1, 2)
              |SELECT c.id_a, c.id_b, i.n_inter, sa.n_tok AS n_a, sb.n_tok AS n_b,
              |  round(i.n_inter / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE), 6)

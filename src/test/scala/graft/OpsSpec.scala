@@ -1431,6 +1431,20 @@ class OpsSpec extends AnyFunSuite {
       val e = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
       assert(math.abs(j - e) < 1e-6, s"($a,$b): $j vs $e")
     }
+    // shingleK = 3 (the document-corpus universe): same lossless property
+    val got3 = Dedup.prefixJaccardPairs(df, "doc_id", "text", 1, 2, shingleK = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets3 = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val want3 = (for {
+      a <- sets3.keys; b <- sets3.keys
+      if a < b && sets3(a).nonEmpty && sets3(b).nonEmpty
+      j = sets3(a).intersect(sets3(b)).size.toDouble / sets3(a).union(sets3(b)).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(got3 == want3)
   }
 
   test("winnowFingerprints: detection guarantee, density bound, rightmost ties") {
