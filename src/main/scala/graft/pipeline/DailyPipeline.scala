@@ -53,6 +53,9 @@ object DailyPipeline {
       // customers who purchased but never produced a visit event — the j10
       // semi+anti composite IS the mart (one definition, no drift)
       materialize("j10_semi_anti", "purchased_not_checkedin"),
+      // SCD2 history of each customer's order priority — the accumulated
+      // interval form of the dimension the daily re-sync would overwrite
+      materialize("o7_scd2_history", "customer_priority_history"),
       materialize("d1_exact_dedup", "document_dedup_groups"),
       materialize("o3_dedup_keepfirst", "transactions_deduped", Seq("combined_transactions")),
       // training-data marts (BASELINE north star): sessionized user journeys,
@@ -257,6 +260,37 @@ object DailyPipeline {
           SimilaritySearch.sq8Codes(Tables.embeddings(s, sfDir),
             "vec_id", "embedding", keep = Seq("label")),
           s"$outDir/ann_sq8_codes")
+      }),
+      // Mergeable quantile-histogram STATE as warehouse state (the a18b
+      // lifecycle): per-day KB-sized bucket histograms of event value, and
+      // a report job that answers quantiles FROM the stored states — the
+      // store-daily/merge-any-range read path, with real lineage.
+      Job("value_quantile_daily", Nil, s => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.events(s, sfDir)
+          .filter(col("value").isNotNull && col("value") >= 0)
+          .withColumn("day", to_date(col("ts")))
+        Tables.write(graft.ops.QuantileSketch.histogram(ev, Seq("day"), "value"),
+          s"$outDir/value_quantile_daily")
+      }),
+      Job("value_quantile_report", Seq("value_quantile_daily"), s => {
+        import org.apache.spark.sql.functions._
+        val merged = s.read.parquet(s"$outDir/value_quantile_daily")
+          .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+          .withColumn("grp", lit("all"))
+        Tables.write(graft.ops.QuantileSketch.quantiles(merged, Seq("grp"),
+            Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))),
+          s"$outDir/value_quantile_report")
+      }),
+      // Winnowed fingerprint INDEX over the curated corpus — the MOSS-style
+      // stored state for incremental copy checks (t31's selection pass,
+      // materialized once per corpus build).
+      Job("winnow_fp_index", Seq("curated_corpus"), s => {
+        val cur = s.read.parquet(s"$outDir/curated_corpus").select(col("doc_id"))
+        Tables.write(graft.ops.TextAnalysis.winnowFingerprints(
+            Tables.documents(s, sfDir).join(cur, "doc_id"), "doc_id", "text",
+            k = 4, w = 8),
+          s"$outDir/winnow_fp_index")
       }),
       // the curated corpus re-clustered on the Morton curve by
       // (source, token count): downstream per-source slices AND

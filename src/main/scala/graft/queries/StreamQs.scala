@@ -395,6 +395,61 @@ object StreamQs {
             graft.core.Tables.documents(ss, d), "text").localCheckpoint(true),
           Streams.cmsMergedCounters(ss, s"$base/state"))
       },
-      Some(graft.ops.TextAnalysis.cmsHeavyHittersSql("text", "documents")))
+      Some(graft.ops.TextAnalysis.cmsHeavyHittersSql("text", "documents"))),
+
+    // ST13: streaming quantile-sketch ingest (Streams.quantileIngest) —
+    // the third sketch's ingest seat next to st10 (CMS) and a4d's batch
+    // merge (HLL): per-batch (bucket, cnt) histogram partials land by
+    // batch_id, the current state is the bucket-wise re-sum, and because
+    // the a18 bucketing is deterministic the merged state must equal the
+    // one-pass batch histogram BIT-FOR-BIT — asserted by the
+    // stream_matches_batch column (a full-outer bucket compare), with
+    // quantiles answered FROM the merged state.
+    Q("st13_stream_value_quantiles",
+      (s, d) => {
+        val ss = streamSession(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_st13_").toString
+        Streams.quantileIngest(
+            Streams.eventStream(ss, asStreamDir(s"$d/events.parquet"))
+              .filter(col("value").isNotNull && col("value") >= 0),
+            s"$base/state", s"$base/ckpt")
+          .awaitTermination()
+        import graft.ops.QuantileSketch
+        val merged = Streams.quantileMergedHistogram(ss, s"$base/state")
+          .localCheckpoint(true)
+        val direct = QuantileSketch.histogram(
+          graft.core.Tables.events(ss, d)
+            .filter(col("value").isNotNull && col("value") >= 0),
+          Seq.empty, "value")
+        val bad = merged.withColumnRenamed("cnt", "cm")
+          .join(direct.withColumnRenamed("cnt", "cd"), Seq("bucket"), "full_outer")
+          .agg(count(when(not(col("cm") <=> col("cd")), lit(1))).as("n_bad"))
+        QuantileSketch.quantiles(merged.withColumn("grp", lit("all")),
+            Seq("grp"), Seq(("p50", 1, 2), ("p95", 19, 20)))
+          .crossJoin(broadcast(bad))
+          .select(col("n"), col("n_buckets"), col("p50_low"), col("p95_low"),
+            (col("n_bad") === 0).as("stream_matches_batch"))
+      },
+      Some {
+        import graft.ops.QuantileSketch._
+        s"""WITH src AS (
+           |  SELECT ${qunitsSql("value")} AS qv
+           |  FROM events WHERE value IS NOT NULL AND value >= 0),
+           |h AS (SELECT ${bucketIdSql("qv")} AS bucket, COUNT(*) AS cnt
+           |      FROM src GROUP BY 1),
+           |c AS (SELECT bucket,
+           |        SUM(cnt) OVER (ORDER BY bucket) AS cum,
+           |        SUM(cnt) OVER () AS n
+           |      FROM h)
+           |SELECT CAST(MAX(n) AS BIGINT) AS n, COUNT(*) AS n_buckets,
+           |  CAST(${bucketLowSql(
+              "MIN(CASE WHEN cum >= (n * 1 + 1) // 2 THEN bucket END)")}
+           |    AS DOUBLE) / 10000 AS p50_low,
+           |  CAST(${bucketLowSql(
+              "MIN(CASE WHEN cum >= (n * 19 + 19) // 20 THEN bucket END)")}
+           |    AS DOUBLE) / 10000 AS p95_low,
+           |  true AS stream_matches_batch
+           |FROM c""".stripMargin
+      })
   )
 }

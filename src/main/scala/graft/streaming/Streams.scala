@@ -376,6 +376,38 @@ object Streams {
         .groupBy(col("__j"), col("__b")).agg(sum(col("__cnt")).as("__cnt"))
   }
 
+  /** Streaming quantile-histogram ingest — a18's deterministic mergeable
+    * quantile sketch as an ingest seat, on the [[cmsIngest]]
+    * partial-landing pattern: each micro-batch lands its OWN (bucket, cnt)
+    * histogram partial at `stateDir/batch_id=<id>/` (a replayed batch
+    * overwrites its dir — idempotent). Bucket counts are additive and the
+    * bucketing is deterministic, so the merged state equals the one-pass
+    * batch histogram BIT-FOR-BIT (the a18b property) — streaming ingest
+    * loses nothing vs a batch rebuild. */
+  def quantileIngest(stream: DataFrame, stateDir: String, ckptDir: String,
+      valueCol: String = "value"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        graft.ops.QuantileSketch.histogram(batch.toDF(), Seq.empty, valueCol)
+          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Merge the per-batch histogram partials into the current sketch state —
+    * bucket-wise addition is the merge. Zero-batch ingest = empty sketch. */
+  def quantileMergedHistogram(spark: SparkSession, stateDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("bucket", IntegerType), StructField("cnt", LongType))))
+    else
+      spark.read.parquet(stateDir)
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Streaming CDC chunk-census ingest — t28's shift-invariant chunk
     * census as an ingest seat, on the [[cmsIngest]] partial-landing
     * pattern: each micro-batch chunks its documents and lands its OWN

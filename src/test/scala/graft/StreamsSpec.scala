@@ -457,6 +457,53 @@ class StreamsSpec extends AnyFunSuite {
     assert(counters(Streams.cmsMergedCounters(spark, state)) == want)
   }
 
+  test("quantileIngest partial histograms merge to the batch sketch; replay overwrites") {
+    import java.nio.file.Files
+    import graft.ops.QuantileSketch
+    val in = Files.createTempDirectory("graft_qs_in")
+    val state = Files.createTempDirectory("graft_qs_state").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_qs_ckpt").toString
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("value").isNotNull && col("value") >= 0).localCheckpoint(true)
+    def arrive(tag: String, part: org.apache.spark.sql.DataFrame): Unit = {
+      val sub = in.resolve(tag)
+      part.coalesce(1).write.parquet(sub.toString)
+      Files.list(sub).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, in.resolve(tag + "_" + p.getFileName.toString))
+      }
+    }
+    def hist(d: org.apache.spark.sql.DataFrame) =
+      d.select("bucket", "cnt").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val want = hist(QuantileSketch.histogram(ev, Seq.empty, "value"))
+
+    // zero-batch ingest reads as the EMPTY sketch, not an error
+    assert(Streams.quantileMergedHistogram(spark, state).count() == 0)
+
+    val mid = 500L
+    arrive("a", ev.filter(col("event_id") < mid))
+    Streams.quantileIngest(Streams.eventStream(spark, in.toString)
+        .filter(col("value").isNotNull && col("value") >= 0), state, ckpt)
+      .awaitTermination()
+    val partials1 = spark.read.parquet(state)
+      .select("batch_id").distinct().count()
+    arrive("b", ev.filter(col("event_id") >= mid))
+    Streams.quantileIngest(Streams.eventStream(spark, in.toString)
+        .filter(col("value").isNotNull && col("value") >= 0), state, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(state)
+      .select("batch_id").distinct().count() > partials1)
+    assert(hist(Streams.quantileMergedHistogram(spark, state)) == want,
+      "merged partials must equal the one-pass batch histogram bit-for-bit")
+
+    // crash-replay: the partial is a pure function of the batch, landed by
+    // OVERWRITE of its batch_id dir — re-running cannot double-count
+    QuantileSketch.histogram(ev.filter(col("event_id") < mid), Seq.empty, "value")
+      .write.mode("overwrite").parquet(s"$state/batch_id=0")
+    assert(hist(Streams.quantileMergedHistogram(spark, state)) == want)
+  }
+
   test("driftIngest partial spines merge to the batch spine; replay overwrites") {
     import java.nio.file.Files
     import graft.ops.TextAnalysis
