@@ -82,5 +82,27 @@ object MlQs {
     Q("ml4_nb_calibration",
       (s, d) => Classifier.nbCalibration(scored(s, d), bins = 10),
       Some(Classifier.nbCalibrationSql("doc_id", "text", "documents",
-        labelSql, holdoutSql, B, bins = 10))))
+        labelSql, holdoutSql, B, bins = 10))),
+
+    // ML5: closed-form OLS — the LINEAR PROBE training pattern
+    // (ops/Regression.scala): one corpus pass of exact BIGINT moment sums
+    // (map-side combinable, order-independent), then the 3×3 normal
+    // equations solved by Cramer's rule INSIDE the plan through one fixed
+    // IEEE expression tree mirrored verbatim in the oracle — so the
+    // coefficients and R² hash-match exactly (the a4c precedent). Probe:
+    // n_chars ~ 1 + token_count + distinct_token_count; fit_ok asserts a
+    // real fit (chars are near-linear in tokens by construction). No SGD,
+    // no iterations — at 100 TB this trains in exactly one aggregation.
+    Q("ml5_linreg_probe",
+      (s, d) => graft.ops.Regression.olsSolve(
+          graft.ops.Regression.olsMoments(Tables.documents(s, d),
+            size(split(col("text"), " ")),
+            size(array_distinct(split(col("text"), " "))),
+            col("n_chars")))
+        .withColumn("fit_ok", col("r2") > 0.5 && col("r2") <= 1.0),
+      Some(s"""SELECT s.*, s.r2 > 0.5 AND s.r2 <= 1.0 AS fit_ok
+              |FROM (${graft.ops.Regression.olsSql(
+                "len(string_split(text, ' '))",
+                "len(list_distinct(string_split(text, ' ')))",
+                "n_chars", "documents")}) s""".stripMargin)))
 }

@@ -1447,6 +1447,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got3 == want3)
   }
 
+  test("Regression.olsSolve recovers an exact linear relation and is partition-invariant") {
+    // y = 3 + 2*x1 - x2 exactly → beta recovered, r2 == 1
+    val rows = for (x1 <- 1 to 20; x2 <- 1 to 5) yield (x1.toLong, x2.toLong, 3L + 2 * x1 - x2)
+    val df = rows.toDF("a", "b", "y")
+    val r = Regression.olsSolve(Regression.olsMoments(df, col("a"), col("b"), col("y")))
+      .collect().head
+    assert(math.abs(r.getAs[Double]("beta0") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("beta1") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("beta2") + 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+    // noisy relation: moments (hence betas) identical under any partitioning
+    val noisy = rows.map { case (a, b, y) => (a, b, y + (a * 7 + b * 3) % 5 - 2) }
+      .toDF("a", "b", "y")
+    def solved(d: org.apache.spark.sql.DataFrame) =
+      Regression.olsSolve(Regression.olsMoments(d, col("a"), col("b"), col("y")))
+        .collect().head.toSeq
+    assert(solved(noisy.repartition(1)) == solved(noisy.repartition(13)))
+    val r2 = Regression.olsSolve(
+      Regression.olsMoments(noisy, col("a"), col("b"), col("y")))
+      .collect().head.getAs[Double]("r2")
+    assert(r2 > 0.9 && r2 < 1.0, s"noisy r2 = $r2")
+  }
+
   test("winnowFingerprints: detection guarantee, density bound, rightmost ties") {
     val (k, w) = (4, 8)
     // two docs sharing an 11-word (= w + k - 1) run embedded in noise
