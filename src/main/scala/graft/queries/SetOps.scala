@@ -138,17 +138,16 @@ object SetOps {
              |       WHEN val1 <> val2 THEN 'changed'
              |       ELSE 'unchanged' END) <> 'unchanged'""".stripMargin)),
 
-    // O7: SCD2 (type-2 slowly-changing-dimension) history build — compact a
-    // stream of per-key attribute observations into [valid_from, valid_to)
-    // intervals, one row per consecutive run of an unchanged value, open
-    // interval (valid_to NULL) = current. The warehouse-standard dimension
-    // history the reference's daily re-sync overwrites away (snapshots keep
-    // only the latest attribute state; o6 diffs two versions — this is the
-    // accumulated interval form). Observation = each customer's order
-    // priority per order date (same-day ties broken by max o_orderkey);
-    // change-points via lag, run ids via a cumulative sum, bounds via
-    // min/lead — every window partitioned by the dimension key, so the
-    // build is one shuffle on c_custkey at any scale.
+    // O7: SCD2 DIMENSION-TABLE build — w10_scd2_history's interval
+    // compaction (the shared lag/run/lead pattern), taken to the warehouse
+    // form a dimension load needs and w10's event-stream versioning does
+    // not: (1) a same-day KEEPER ELECTION first (multiple observations per
+    // (key, date) → one, max-o_orderkey wins) so the history is
+    // date-grained; (2) the 9999-12-31 open-interval sentinel +
+    // `is_current` flag (the lookup-friendly encoding: BETWEEN works
+    // without null checks); (3) per-run observation counts. Materialized
+    // as the customer_priority_history mart. Every window partitioned by
+    // the dimension key — one shuffle on c_custkey at any scale.
     Q("o7_scd2_history",
       (s, d) => {
         val wDay = Window.partitionBy(col("c"), col("dt")).orderBy(col("o_orderkey").desc)
