@@ -570,7 +570,8 @@ object Aggregates {
            |  ${bucketIdSql(qunitsSql("e50"))} = b50 AS p50_brackets,
            |  ${bucketIdSql(qunitsSql("e95"))} = b95 AS p95_brackets
            |FROM pick p JOIN e ON p.grp = e.grp""".stripMargin
-      }),
+      },
+      bench = true),
 
     // A18b: the quantile-sketch MERGE LIFECYCLE (the a4d pattern): per-day
     // histogram states — the storable KB-sized mart column — merged by

@@ -797,6 +797,7 @@ object DedupQs {
              |JOIN sz sa ON sa.doc_id = c.id_a
              |JOIN sz sb ON sb.doc_id = c.id_b
              |WHERE round(i.n_inter / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE), 6)
-             |      >= 0.5""".stripMargin))
+             |      >= 0.5""".stripMargin),
+      bench = true)
   )
 }

@@ -685,6 +685,7 @@ object TextQs {
               |kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
               |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
               |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-              |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin))
+              |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin),
+      bench = true)
   )
 }
