@@ -76,6 +76,27 @@ object RefreshPipeline {
       Seq(idCol), "left_anti")
   }
 
+  /** Incremental maintenance of a per-key MERGEABLE aggregate: the new
+    * state is merge(stored_state, aggregate(delta)) — the fact history is
+    * never re-scanned. Exact because every column of a1's order-stats agg
+    * is mergeable algebra: counts/sums add, min/max combine — the same
+    * property the sketch lifecycles (a4d HLL, a18b quantile histogram)
+    * exploit for distincts/quantiles. The money column merges through
+    * DECIMAL(18,4) (4-dp values round-trip doubles exactly below 15
+    * significant digits), so the merged state equals the full rebuild
+    * BIT-FOR-BIT — asserted by the refresh run and `RefreshSpec`.
+    *
+    * Columns: (o_custkey, n_orders, first_order, last_order, lifetime_value)
+    * — a1_multi_agg's shape, the customer_order_stats mart. */
+  def mergeOrderStats(stored: DataFrame, deltaAgg: DataFrame): DataFrame =
+    stored.unionByName(deltaAgg)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        min(col("first_order")).as("first_order"),
+        max(col("last_order")).as("last_order"),
+        sum(col("lifetime_value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("lifetime_value"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val whDir = if (args.length > 1) args(1) else "/tmp/graft_warehouse"
@@ -153,6 +174,29 @@ object RefreshPipeline {
         val st = Tables.compact(spark, s"$whDir/$t")
         s"$t:${st.filesBefore}->${st.filesAfter}"
       }.mkString(" ")
+
+    // 7: incremental AGGREGATE maintenance — customer_order_stats advanced
+    // from yesterday's state + today's delta alone (no fact re-scan), then
+    // proved equal to the full rebuild before the atomic swap publishes it.
+    // (o_orderkey % 7 == 0 stands in for today's new orders.)
+    val a1 = graft.queries.Registry.all.find(_.name == "a1_multi_agg").get
+    def orderStatsOver(pred: org.apache.spark.sql.Column): DataFrame = {
+      val orders = Tables.orders(spark, sfDir).filter(pred)
+      orders.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderdate")).cast("date").as("first_order"),
+          max(col("o_orderdate")).cast("date").as("last_order"),
+          graft.queries.Q.dsum(col("o_totalprice")).as("lifetime_value"))
+    }
+    val yesterdayState = orderStatsOver(col("o_orderkey") % 7 =!= 0)
+    val deltaAgg = orderStatsOver(col("o_orderkey") % 7 === 0)
+    val advanced = mergeOrderStats(yesterdayState, deltaAgg)
+    val fullRebuild = a1.run(spark, sfDir)
+    val nFull = fullRebuild.count()
+    require(advanced.count() == nFull &&
+        advanced.unionByName(fullRebuild).distinct().count() == nFull,
+      "incremental order-stats diverged from the full rebuild")
+    Tables.write(advanced, s"$whDir/customer_order_stats", atomic = true)
 
     val nEvents = spark.read.parquet(s"$whDir/events_current").count()
     val nFlags = spark.read.parquet(s"$whDir/customer_flags_current").count()

@@ -64,6 +64,12 @@ class DagSpec extends AnyFunSuite {
     // mart — training runs once, not once per consumer
     assert(jobs.find(_.name == "nb_model_eval").get.deps == Seq("nb_quality_scores"))
     assert(jobs.find(_.name == "nb_calibration").get.deps == Seq("nb_quality_scores"))
+    // quantile report answers FROM the stored daily states (the a18b
+    // lifecycle as lineage); the winnow index runs over the curated corpus
+    assert(jobs.find(_.name == "value_quantile_report").get.deps ==
+      Seq("value_quantile_daily"))
+    assert(jobs.find(_.name == "winnow_fp_index").get.deps == Seq("curated_corpus"))
+    assert(names.contains("customer_priority_history"))
     // embedding health pair + CDC census + weighted sample are declared marts
     assert(Set("embedding_outliers", "cluster_quality", "cdc_chunk_report",
       "corpus_weighted_sample").subsetOf(names.toSet))

@@ -53,6 +53,36 @@ class RefreshSpec extends AnyFunSuite {
     assert(got == Set(11L, 13L))
   }
 
+  test("mergeOrderStats(state, delta-agg) equals the full rebuild bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    def statsOver(pred: org.apache.spark.sql.Column) =
+      graft.core.Tables.orders(spark, sf).filter(pred)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderdate")).cast("date").as("first_order"),
+          max(col("o_orderdate")).cast("date").as("last_order"),
+          graft.queries.Q.dsum(col("o_totalprice")).as("lifetime_value"))
+    // arbitrary split: the merge must not care where yesterday ended
+    for (m <- Seq(2, 7)) {
+      val merged = RefreshPipeline.mergeOrderStats(
+          statsOver(col("o_orderkey") % m =!= 0),
+          statsOver(col("o_orderkey") % m === 0))
+        .collect().map(_.toSeq).toSet
+      val full = statsOver(lit(true)).collect().map(_.toSeq).toSet
+      assert(merged == full, s"split % $m diverged") // incl. exact doubles
+    }
+    // a key seen only in the delta appears; a key only in state survives
+    val tiny = RefreshPipeline.mergeOrderStats(
+      Seq((1L, 2L, java.sql.Date.valueOf("2024-01-01"),
+        java.sql.Date.valueOf("2024-01-05"), 10.5))
+        .toDF("o_custkey", "n_orders", "first_order", "last_order", "lifetime_value"),
+      Seq((2L, 1L, java.sql.Date.valueOf("2024-02-01"),
+        java.sql.Date.valueOf("2024-02-01"), 3.25))
+        .toDF("o_custkey", "n_orders", "first_order", "last_order", "lifetime_value"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiny == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("mergeFlags keeps newest per (user, type), TTL-expires, persists carve-outs") {
     val day = 86400000000L
     val asOf = 100L * day
