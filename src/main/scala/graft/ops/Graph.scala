@@ -63,4 +63,69 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank_e12"))
   }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC '14) — the general-graph scale path next to
+    * [[Identity.connectedComponents]]'s min-label propagation:
+    *
+    *  - propagation runs O(graph diameter) rounds — ideal for the engine's
+    *    near-dup/identity clusters (tiny diameter), degenerate on chain
+    *    topologies (a 256-node path needs 255 rounds);
+    *  - star contraction converges in O(log n) rounds on ANY topology
+    *    (GraphSpec: the same 256-node path closes in <= 10), each round two
+    *    groupBy-min aggregations + joins on node id, edge-set-sized state.
+    *
+    * Per round: LARGE-STAR connects every neighbor v > u to
+    * m = min(N(u) ∪ {u}); SMALL-STAR re-centers each node's smaller
+    * neighborhood on its minimum. The fixpoint is a forest of depth-1
+    * stars rooted at component minima. Both phases keep the canonical
+    * (min, max) edge orientation, so the invariant u < v holds everywhere
+    * and self-loops never materialize.
+    *
+    * Returns (id, comp_id), comp_id = the component's minimum node id —
+    * the same contract (and tie-break) as the propagation version. */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    var e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct().localCheckpoint(true)
+    var iter = 0
+    var converged = e.head(1).isEmpty
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR over both orientations: center c, neighbors n;
+      // m = min(min(N(c)), c); emit (m, n) for n > c (m < c < n, so the
+      // canonical orientation is free of self-loops by construction).
+      val bidir = e.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(e.select(col("v").as("c"), col("u").as("n")))
+      val mins = bidir.groupBy(col("c"))
+        .agg(least(min(col("n")), col("c")).as("m"))
+      val ls = bidir.join(mins, "c").filter(col("n") > col("c"))
+        .select(col("m").as("u"), col("n").as("v")).distinct()
+      // SMALL-STAR: orient to the larger endpoint as center (all n < c);
+      // m = min(N(c)); re-emit (m, n) for n != m plus the (m, c) spoke.
+      val or2 = ls.select(col("v").as("c"), col("u").as("n"))
+      val mins2 = or2.groupBy(col("c")).agg(min(col("n")).as("m"))
+      val next = or2.join(mins2, "c").filter(col("n") =!= col("m"))
+        .select(col("m").as("u"), col("n").as("v"))
+        .unionByName(mins2.select(col("m").as("u"), col("c").as("v")))
+        .distinct().localCheckpoint(true)
+      converged = next.count() == e.count() && next.except(e).head(1).isEmpty
+      e = next
+      iter += 1
+    }
+    if (iter == maxIter && !converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter rounds " +
+          "(O(log n) expected — raise maxIter only for astronomically large n)")
+    // at the fixpoint e is a star forest (one spoke per non-root node); the
+    // min-agg is insurance that the (id, comp_id) contract holds row-exactly
+    val lab = e.select(col("v").as("id"), col("u").as("comp"))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+    nodes.select(col("id")).distinct()
+      .join(lab, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp_id"))
+  }
 }

@@ -641,6 +641,44 @@ object DedupQs {
            |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r8""".stripMargin
       }),
 
+    // GR2: connected components by LARGE-STAR/SMALL-STAR contraction
+    // (Graph.connectedComponentsStar, Kiveris '14) over the same d5
+    // near-dup graph d6 clusters by min-label propagation. Propagation is
+    // O(diameter) rounds — right for these shallow dup clusters, degenerate
+    // on chains; star contraction is O(log n) on ANY topology (GraphSpec:
+    // a 256-node path closes in <= 10 rounds where propagation needs 255).
+    // The query runs BOTH and emits the per-node agreement verdict — the
+    // oracle independently recomputes components by recursive transitive
+    // closure and asserts agreement must hold.
+    Q("gr2_cc_star",
+      (s, d) => {
+        import graft.ops.{Graph, Identity}
+        val pairs = Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3)
+          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+        val nodes = pairs.select(col("id_a").as("id"))
+          .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        val star = Graph.connectedComponentsStar(nodes, edges)
+        val prop = Identity.connectedComponents(nodes, edges)
+          .select(col("id"), col("comp_id").as("prop_comp"))
+        star.join(prop, "id")
+          .select(col("id").as("doc_id"), col("comp_id").as("cluster_id"),
+            (col("comp_id") === col("prop_comp")).as("algorithms_agree"))
+      },
+      Some(
+        s"""WITH RECURSIVE $simhash64CtesSql,
+           |np AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+           |uedges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM np
+           |  UNION SELECT id_b, id_a FROM np),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM uedges
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN uedges e ON reach.r = e.src),
+           |comps AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+           |SELECT id AS doc_id, cluster_id, true AS algorithms_agree
+           |FROM comps""".stripMargin)),
+
     // C1: end-to-end corpus curation — the LLM-training-data pipeline as ONE
     // declared plan: language gate → quality gate → exact-dedup keeper →
     // simhash near-dup removal (keep the lower id) → per-source token budget

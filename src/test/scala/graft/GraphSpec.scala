@@ -54,4 +54,48 @@ class GraphSpec extends AnyFunSuite {
     // every node has out-edges, so only integer-floor dust is lost
     assert(total <= 1000000000000L && total > 999999990000L, s"total=$total")
   }
+
+  private def starCC(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      maxIter: Int = 20): Map[Long, Long] =
+    Graph.connectedComponentsStar(nodes.toDF("id"),
+        edges.toDF("src", "dst"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side union-find reference. */
+  private def refCC(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(v => v -> v): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.map(v => v -> find(v)).toMap
+  }
+
+  test("connectedComponentsStar equals union-find and min-label propagation") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val nodes = (1L to 60L)
+      val edges = Seq.fill(50)((rnd.nextInt(60) + 1L, rnd.nextInt(60) + 1L))
+        .filter(e => e._1 != e._2)
+      val want = refCC(nodes, edges)
+      assert(starCC(nodes, edges) == want, s"trial=$trial vs union-find")
+      val prop = graft.ops.Identity.connectedComponents(
+          nodes.toDF("id"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prop == want, s"trial=$trial vs propagation")
+    }
+    // isolated nodes are their own component; empty edge set is fine
+    assert(starCC(Seq(7L, 9L), Seq.empty) == Map(7L -> 7L, 9L -> 9L))
+  }
+
+  test("star contraction closes a 256-node path in O(log n) rounds") {
+    // diameter 255: min-label propagation needs ~255 rounds (its maxIter=25
+    // would NOT converge); star contraction must finish in <= 10
+    val nodes = (0L until 256L)
+    val edges = (0L until 255L).map(i => (i, i + 1))
+    val got = starCC(nodes, edges, maxIter = 10) // throws if not converged
+    assert(got == nodes.map(_ -> 0L).toMap)
+  }
 }
