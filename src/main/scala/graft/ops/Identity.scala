@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   * distributed rounds, each a shuffle-join, with localCheckpoint to keep the
   * plan from growing. Identity graphs are near-bipartite clusters with tiny
   * diameter, so this converges in a handful of rounds at any scale.
+  * For general topologies (where diameter can be O(n)) use
+  * [[Graph.connectedComponentsStar]] — O(log n) rounds on any graph, same
+  * min-id contract (gr2 proves agreement on the near-dup graph).
   */
 object Identity extends org.apache.spark.internal.Logging {
 
