@@ -81,4 +81,50 @@ object Percentiles {
       .groupBy(g: _*)
       .agg(pickCols.head, pickCols.tail: _*)
   }
+
+  /** WEIGHTED exact discrete percentiles: the value at which the running
+    * WEIGHT (not row count) first reaches ceil(p·W) — e.g. the
+    * quantity-weighted median price, where a 50-unit line item counts 50×.
+    * Same machinery as [[disc]] with the histogram counting integer weight
+    * sums: state stays distinct-value-sized, the two-level prefix sum keeps
+    * every window partitioned, and integer weights keep ranks exact (no
+    * double accumulation — the reason `weight` must be integral).
+    *
+    * @return one row per group: groupCols ++ (total_weight, ...) ++ the
+    *         requested percentile columns. */
+  def discWeighted(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      weight: Column, fracs: Seq[(String, Int, Int)],
+      band: Column => Column = v => floor(v / 100).cast("long")): DataFrame = {
+    require(fracs.nonEmpty, "at least one percentile fraction required")
+    val g = groupCols.map(col)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .withColumn("__w", weight.cast("long"))
+      .filter(col("__w").isNotNull && col("__w") > 0)
+    val hist = rows
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(col("__w")).as("__hc"))
+      .withColumn("__band", band(col("__v")))
+    val bandW = Window.partitionBy(g: _*).orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bandTot = hist.groupBy(g :+ col("__band"): _*)
+      .agg(sum(col("__hc")).as("__bt"))
+      .withColumn("__bprev", coalesce(sum(col("__bt")).over(bandW), lit(0L)))
+      .select(g :+ col("__band") :+ col("__bprev"): _*)
+    val inBand = Window.partitionBy(g :+ col("__band"): _*).orderBy(col("__v"))
+    val cum = hist.join(bandTot, groupCols :+ "__band")
+      .withColumn("__cum", col("__bprev") + sum(col("__hc")).over(inBand))
+    val ranks = fracs.foldLeft(
+        rows.groupBy(g: _*).agg(sum(col("__w")).as("__tw"))) {
+      case (acc, (nm, num, den)) =>
+        acc.withColumn(s"__r_$nm", expr(s"(__tw * $num + ${den - 1}) div $den"))
+    }
+    val pickCols =
+      max(col("__tw")).as("total_weight") +:
+      fracs.map { case (nm, _, _) =>
+        min(when(col("__cum") >= col(s"__r_$nm"), col("__v"))).as(nm)
+      }
+    cum.join(ranks, groupCols)
+      .groupBy(g: _*)
+      .agg(pickCols.head, pickCols.tail: _*)
+  }
 }

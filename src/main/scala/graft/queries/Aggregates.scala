@@ -573,6 +573,34 @@ object Aggregates {
       },
       bench = true),
 
+    // A19: WEIGHTED exact discrete percentiles (Percentiles.discWeighted) —
+    // the value at which the running WEIGHT first reaches ceil(p·W): the
+    // quantity-weighted median price treats a 50-unit line item as 50
+    // observations. No engine built-in does weighted percentile_disc; both
+    // sides run the same histogram + prefix-sum + integer-ceil rank pick
+    // (weights integral, so ranks are exact and the picked data values
+    // hash-match with zero arithmetic).
+    Q("a19_weighted_percentiles",
+      (s, d) => graft.ops.Percentiles.discWeighted(
+          Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice",
+          col("l_quantity"), Seq(("p50_w", 1, 2), ("p90_w", 9, 10)))
+        .select(col("l_returnflag"), col("total_weight"),
+          col("p50_w"), col("p90_w")),
+      Some("""WITH h AS (
+             |  SELECT l_returnflag AS g, l_extendedprice AS v,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL AND l_quantity >= 1
+             |  GROUP BY 1, 2),
+             |c AS (SELECT g, v,
+             |    SUM(wt) OVER (PARTITION BY g ORDER BY v) AS cum,
+             |    SUM(wt) OVER (PARTITION BY g) AS tw
+             |  FROM h)
+             |SELECT g AS l_returnflag, CAST(MAX(tw) AS BIGINT) AS total_weight,
+             |  MIN(CASE WHEN cum >= (tw * 1 + 1) // 2 THEN v END) AS p50_w,
+             |  MIN(CASE WHEN cum >= (tw * 9 + 9) // 10 THEN v END) AS p90_w
+             |FROM c GROUP BY g""".stripMargin)),
+
     // A18b: the quantile-sketch MERGE LIFECYCLE (the a4d pattern): per-day
     // histogram states — the storable KB-sized mart column — merged by
     // bucket-wise count addition, asserted BIT-IDENTICAL to the one-pass

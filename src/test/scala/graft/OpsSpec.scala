@@ -1447,6 +1447,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got3 == want3)
   }
 
+  test("Percentiles.discWeighted equals percentile_disc over weight-expanded rows") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 120).map(i =>
+      (s"g${i % 3}", (rnd.nextInt(40) + 1) * 1.25, rnd.nextInt(5) + 1L))
+    val df = rows.toDF("g", "v", "w")
+    val got = Percentiles.discWeighted(df, Seq("g"), "v", col("w"),
+        Seq(("p50", 1, 2), ("p90", 9, 10))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val expanded = rs.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+      def pick(num: Int, den: Int) = expanded((expanded.size * num + den - 1) / den - 1)
+      g -> ((expanded.size.toLong, pick(1, 2), pick(9, 10)))
+    }
+    assert(got == want)
+  }
+
   test("Regression.olsSolve recovers an exact linear relation and is partition-invariant") {
     // y = 3 + 2*x1 - x2 exactly → beta recovered, r2 == 1
     val rows = for (x1 <- 1 to 20; x2 <- 1 to 5) yield (x1.toLong, x2.toLong, 3L + 2 * x1 - x2)
