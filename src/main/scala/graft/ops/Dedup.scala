@@ -384,8 +384,10 @@ object Dedup {
     * (tau·|a| <= |b| <= |a|/tau) prunes before verification. Candidates are
     * then verified EXACTLY by [[jaccardFor]].
     *
-    * Threshold semantics: pairs with round(jaccard, 6) >= tauNum/tauDen
-    * (the rounding is jaccardFor's cross-engine stabilization).
+    * Threshold semantics: EXACT — the filter is the integer cross-product
+    * n_inter·tauDen >= |union|·tauNum (never the rounded double jaccard
+    * column, which would drop boundary pairs for any tau not representable
+    * in 6 decimals, e.g. 1/3).
     * Every window is partitioned per document (frame = doc token count);
     * the only corpus-wide shuffles are the two (token) aggregations.
     *
@@ -425,6 +427,7 @@ object Dedup {
           expr(s"((na + nb) * $tauNum + ${sumND - 1}) div $sumND"))
       .select(col("id_a"), col("id_b")).distinct()
     jaccardFor(cand, tok, idCol)
-      .filter(col("jaccard") >= lit(tauNum.toDouble / tauDen))
+      .filter(coalesce(col("n_inter"), lit(0L)) * tauDen >=
+        (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))) * tauNum)
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed EXACT discrete percentiles (percentile_disc semantics: the
-  * first data value whose cumulative row count reaches ceil(p·n)) without
+  * first data value whose cumulative count reaches ceil(p·n)) without
   * ever buffering a group's values in one aggregator.
   *
   * `percentile_disc` is exact but its Spark implementation collects every
@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   *     engines pick the identical element of the identical value set, so
   *     doubles hash-match with no interpolation arithmetic.
   *
+  * One core serves both measures: [[disc]] counts rows (weight 1);
+  * [[discWeighted]] accumulates an integer weight column — the value at
+  * which the running WEIGHT first reaches ceil(p·W).
+  *
   * Reference semantics: `membership_stats.py` medians and the SQL-standard
   * WITHIN GROUP (ORDER BY …) discrete percentile.
   */
@@ -45,13 +49,42 @@ object Percentiles {
     */
   def disc(df: DataFrame, groupCols: Seq[String], valueCol: String,
       fracs: Seq[(String, Int, Int)],
-      band: Column => Column = v => floor(v / 100).cast("long")): DataFrame = {
+      band: Column => Column = v => floor(v / 100).cast("long")): DataFrame =
+    rankPick(df.filter(col(valueCol).isNotNull).withColumn("__w", lit(1L)),
+      groupCols, valueCol, fracs, band, totalAlias = "n",
+      extras = Seq(min(col("__v")).as("min_val"), max(col("__v")).as("max_val")))
+
+  /** WEIGHTED exact discrete percentiles: the value at which the running
+    * WEIGHT (not row count) first reaches ceil(p·W) — e.g. the
+    * quantity-weighted median price, where a 50-unit line item counts 50×.
+    * Weights go through floor-then-cast to BIGINT (ONE fractional-weight
+    * semantics across engines: DuckDB CAST(double AS BIGINT) rounds where
+    * Spark's cast truncates) and non-positive weights are excluded;
+    * integer weights keep the ranks exact — no double accumulation.
+    *
+    * @return one row per group: groupCols ++ (total_weight) ++ the
+    *         requested percentile columns. */
+  def discWeighted(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      weight: Column, fracs: Seq[(String, Int, Int)],
+      band: Column => Column = v => floor(v / 100).cast("long")): DataFrame =
+    rankPick(
+      df.filter(col(valueCol).isNotNull)
+        .withColumn("__w", floor(weight).cast("long"))
+        .filter(col("__w").isNotNull && col("__w") > 0),
+      groupCols, valueCol, fracs, band, totalAlias = "total_weight",
+      extras = Seq.empty)
+
+  /** The shared machinery: `rows` must carry the integer measure column
+    * `__w`; emits groupCols ++ (totalAlias ++ extras) ++ fracs picks. */
+  private def rankPick(rows: DataFrame, groupCols: Seq[String],
+      valueCol: String, fracs: Seq[(String, Int, Int)],
+      band: Column => Column, totalAlias: String,
+      extras: Seq[Column]): DataFrame = {
     require(fracs.nonEmpty, "at least one percentile fraction required")
     val g = groupCols.map(col)
-    val rows = df.filter(col(valueCol).isNotNull)
     val hist = rows
       .groupBy(g :+ col(valueCol).as("__v"): _*)
-      .agg(count(lit(1)).as("__hc"))
+      .agg(sum(col("__w")).as("__hc"))
       .withColumn("__band", band(col("__v")))
     // level 1: running sum over the per-group band frame (bounded rows)
     val bandW = Window.partitionBy(g: _*).orderBy(col("__band"))
@@ -64,62 +97,14 @@ object Percentiles {
     val inBand = Window.partitionBy(g :+ col("__band"): _*).orderBy(col("__v"))
     val cum = hist.join(bandTot, groupCols :+ "__band")
       .withColumn("__cum", col("__bprev") + sum(col("__hc")).over(inBand))
-    // integer-ceil ranks off the per-group count
-    val ranks = fracs.foldLeft(
-        rows.groupBy(g: _*).agg(count(lit(1)).as("__n"))) {
-      case (acc, (nm, num, den)) =>
-        acc.withColumn(s"__r_$nm", expr(s"(__n * $num + ${den - 1}) div $den"))
-    }
-    val pickCols =
-      max(col("__n")).as("n") +:
-      min(col("__v")).as("min_val") +:
-      max(col("__v")).as("max_val") +:
-      fracs.map { case (nm, _, _) =>
-        min(when(col("__cum") >= col(s"__r_$nm"), col("__v"))).as(nm)
-      }
-    cum.join(ranks, groupCols)
-      .groupBy(g: _*)
-      .agg(pickCols.head, pickCols.tail: _*)
-  }
-
-  /** WEIGHTED exact discrete percentiles: the value at which the running
-    * WEIGHT (not row count) first reaches ceil(p·W) — e.g. the
-    * quantity-weighted median price, where a 50-unit line item counts 50×.
-    * Same machinery as [[disc]] with the histogram counting integer weight
-    * sums: state stays distinct-value-sized, the two-level prefix sum keeps
-    * every window partitioned, and integer weights keep ranks exact (no
-    * double accumulation — the reason `weight` must be integral).
-    *
-    * @return one row per group: groupCols ++ (total_weight, ...) ++ the
-    *         requested percentile columns. */
-  def discWeighted(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      weight: Column, fracs: Seq[(String, Int, Int)],
-      band: Column => Column = v => floor(v / 100).cast("long")): DataFrame = {
-    require(fracs.nonEmpty, "at least one percentile fraction required")
-    val g = groupCols.map(col)
-    val rows = df.filter(col(valueCol).isNotNull)
-      .withColumn("__w", weight.cast("long"))
-      .filter(col("__w").isNotNull && col("__w") > 0)
-    val hist = rows
-      .groupBy(g :+ col(valueCol).as("__v"): _*)
-      .agg(sum(col("__w")).as("__hc"))
-      .withColumn("__band", band(col("__v")))
-    val bandW = Window.partitionBy(g: _*).orderBy(col("__band"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bandTot = hist.groupBy(g :+ col("__band"): _*)
-      .agg(sum(col("__hc")).as("__bt"))
-      .withColumn("__bprev", coalesce(sum(col("__bt")).over(bandW), lit(0L)))
-      .select(g :+ col("__band") :+ col("__bprev"): _*)
-    val inBand = Window.partitionBy(g :+ col("__band"): _*).orderBy(col("__v"))
-    val cum = hist.join(bandTot, groupCols :+ "__band")
-      .withColumn("__cum", col("__bprev") + sum(col("__hc")).over(inBand))
+    // integer-ceil ranks off the per-group measure total
     val ranks = fracs.foldLeft(
         rows.groupBy(g: _*).agg(sum(col("__w")).as("__tw"))) {
       case (acc, (nm, num, den)) =>
         acc.withColumn(s"__r_$nm", expr(s"(__tw * $num + ${den - 1}) div $den"))
     }
     val pickCols =
-      max(col("__tw")).as("total_weight") +:
+      (max(col("__tw")).as(totalAlias) +: extras) ++
       fracs.map { case (nm, _, _) =>
         min(when(col("__cum") >= col(s"__r_$nm"), col("__v"))).as(nm)
       }

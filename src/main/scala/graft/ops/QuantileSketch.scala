@@ -94,12 +94,20 @@ object QuantileSketch {
        | ELSE CAST(CAST(($be) % 100 + 1 AS VARCHAR) || repeat('0', ($be) // 100 - 2) AS BIGINT) END)"""
       .stripMargin.replace("\n", " ")
 
+  /** The sketch's value domain: [0, 10^14) — DECIMAL(18,4) holds 14 integer
+    * digits, so a larger value would overflow the qunits cast (an error
+    * under ANSI, a silently mis-sorted NULL bucket otherwise). The
+    * histogram enforces it as a filter, mirrored in every oracle. */
+  val MaxValue: Double = 1e14
+
   /** The SKETCH STATE: per-group bucket histogram (groupCols*, bucket, cnt).
-    * One map-side-combinable aggregation; rows with NULL or negative values
-    * are excluded (the sketch domain is money-like non-negatives). */
+    * One map-side-combinable aggregation; rows with NULL, negative, or
+    * >= [[MaxValue]] values are excluded (the sketch domain is money-like
+    * non-negatives). */
   def histogram(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val g = groupCols.map(col)
-    df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+    df.filter(col(valueCol).isNotNull && col(valueCol) >= 0 &&
+        col(valueCol) < MaxValue)
       .select(g :+ bucketId(qunits(col(valueCol))).as("bucket"): _*)
       .groupBy(g :+ col("bucket"): _*)
       .agg(count(lit(1)).as("cnt"))

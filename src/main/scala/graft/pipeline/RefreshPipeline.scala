@@ -190,8 +190,10 @@ object RefreshPipeline {
     }
     val yesterdayState = orderStatsOver(col("o_orderkey") % 7 =!= 0)
     val deltaAgg = orderStatsOver(col("o_orderkey") % 7 === 0)
-    val advanced = mergeOrderStats(yesterdayState, deltaAgg)
-    val fullRebuild = a1.run(spark, sfDir)
+    // both frames feed three consumers (count, equality check, write) —
+    // checkpoint once instead of re-aggregating orders per consumer
+    val advanced = mergeOrderStats(yesterdayState, deltaAgg).localCheckpoint(true)
+    val fullRebuild = a1.run(spark, sfDir).localCheckpoint(true)
     val nFull = fullRebuild.count()
     require(advanced.count() == nFull &&
         advanced.unionByName(fullRebuild).distinct().count() == nFull,

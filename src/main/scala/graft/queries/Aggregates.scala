@@ -528,7 +528,8 @@ object Aggregates {
     Q("a18_quantile_sketch",
       (s, d) => {
         val src = Tables.orders(s, d)
-          .filter(col("o_totalprice").isNotNull && col("o_totalprice") >= 0)
+          .filter(col("o_totalprice").isNotNull && col("o_totalprice") >= 0 &&
+            col("o_totalprice") < graft.ops.QuantileSketch.MaxValue)
         val hist = graft.ops.QuantileSketch.histogram(
           src, Seq("o_orderpriority"), "o_totalprice")
         val qs = graft.ops.QuantileSketch.quantiles(hist, Seq("o_orderpriority"),
@@ -547,7 +548,8 @@ object Aggregates {
         import graft.ops.QuantileSketch._
         s"""WITH src AS (
            |  SELECT o_orderpriority AS grp, ${qunitsSql("o_totalprice")} AS qv
-           |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0),
+           |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+           |    AND o_totalprice < 100000000000000.0),
            |h AS (SELECT grp, ${bucketIdSql("qv")} AS bucket, COUNT(*) AS cnt
            |      FROM src GROUP BY 1, 2),
            |c AS (SELECT grp, bucket,
@@ -563,6 +565,7 @@ object Aggregates {
            |    percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS e50,
            |    percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS e95
            |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0
+           |    AND o_totalprice < 100000000000000.0
            |  GROUP BY 1)
            |SELECT p.grp AS o_orderpriority, p.n, p.n_buckets,
            |  CAST(${bucketLowSql("b50")} AS DOUBLE) / 10000 AS p50_low,
@@ -586,11 +589,15 @@ object Aggregates {
           col("l_quantity"), Seq(("p50_w", 1, 2), ("p90_w", 9, 10)))
         .select(col("l_returnflag"), col("total_weight"),
           col("p50_w"), col("p90_w")),
-      Some("""WITH h AS (
+      Some("""WITH w0 AS (
+             |  -- floor-then-cast mirrors Percentiles.discWeighted exactly
+             |  -- (DuckDB CAST(double AS BIGINT) rounds; Spark truncates)
              |  SELECT l_returnflag AS g, l_extendedprice AS v,
-             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
-             |  FROM lineitem
-             |  WHERE l_extendedprice IS NOT NULL AND l_quantity >= 1
+             |    CAST(floor(l_quantity) AS BIGINT) AS w
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |h AS (
+             |  SELECT g, v, CAST(SUM(w) AS BIGINT) AS wt
+             |  FROM w0 WHERE w IS NOT NULL AND w > 0
              |  GROUP BY 1, 2),
              |c AS (SELECT g, v,
              |    SUM(wt) OVER (PARTITION BY g ORDER BY v) AS cum,
@@ -632,7 +639,8 @@ object Aggregates {
         import graft.ops.QuantileSketch._
         s"""WITH src AS (
            |  SELECT ${qunitsSql("value")} AS qv, CAST(ts AS DATE) AS day
-           |  FROM events WHERE value IS NOT NULL AND value >= 0),
+           |  FROM events
+           |  WHERE value IS NOT NULL AND value >= 0 AND value < 100000000000000.0),
            |h AS (SELECT ${bucketIdSql("qv")} AS bucket, COUNT(*) AS cnt
            |      FROM src GROUP BY 1),
            |c AS (SELECT bucket,

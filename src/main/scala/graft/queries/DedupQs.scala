@@ -834,8 +834,7 @@ object DedupQs {
              |JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
              |JOIN sz sa ON sa.doc_id = c.id_a
              |JOIN sz sb ON sb.doc_id = c.id_b
-             |WHERE round(i.n_inter / CAST(sa.n_tok + sb.n_tok - i.n_inter AS DOUBLE), 6)
-             |      >= 0.5""".stripMargin),
+             |WHERE i.n_inter * 2 >= (sa.n_tok + sb.n_tok - i.n_inter) * 1""".stripMargin),
       bench = true)
   )
 }

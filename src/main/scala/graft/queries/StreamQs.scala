@@ -434,7 +434,8 @@ object StreamQs {
         import graft.ops.QuantileSketch._
         s"""WITH src AS (
            |  SELECT ${qunitsSql("value")} AS qv
-           |  FROM events WHERE value IS NOT NULL AND value >= 0),
+           |  FROM events
+           |  WHERE value IS NOT NULL AND value >= 0 AND value < 100000000000000.0),
            |h AS (SELECT ${bucketIdSql("qv")} AS bucket, COUNT(*) AS cnt
            |      FROM src GROUP BY 1),
            |c AS (SELECT bucket,
