@@ -597,6 +597,73 @@ object SimilaritySearch {
         col("cluster_size"), (col("id") === col("__min_id")).as("is_keeper"))
   }
 
+  /** Incremental SEMANTIC dedup — the embedding-side twin of
+    * `Dedup.incrementalNearDup` (d8): match a DELTA batch of vectors
+    * against an already-indexed corpus, paying only for the delta's own
+    * signatures plus a banded join against the index — never a corpus
+    * re-scan. The corpus SRP band signatures are the persisted index in
+    * production (recomputed here because the testdata stores none; the
+    * band subtree is identical to a parquet scan of a signature table).
+    *
+    * A delta vector is REJECTED when it has a cosine near-dup at
+    * >= `threshold` in the corpus, or a LOWER-ID near-dup inside the delta
+    * itself (greedy min-id-wins — two copies arriving in one batch keep
+    * one, the `acceptNonDup` intra-batch discipline; greedy by id, not CC:
+    * a chain a~b~c with a<b<c keeps only a, documented semantics).
+    * Candidates are band collisions only; exact cosine verifies every
+    * candidate. PRECONDITION: disjoint id spaces (enforced — shared ids
+    * would corrupt the verify joins).
+    *
+    * Returns one row per delta vector:
+    * (idCol, n_corpus_dups, n_delta_dups, accepted). */
+  def incrementalSemanticAccept(delta: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, bands: Int, bits: Int,
+      threshold: Double): DataFrame = {
+    registerFns(delta)
+    val sigD = delta.select(col(idCol) +: srpBandCols(vecCol, bands, bits, dim): _*)
+      .localCheckpoint(true)
+    val sigC = corpus.select(col(idCol) +: srpBandCols(vecCol, bands, bits, dim): _*)
+      .localCheckpoint(true)
+    val shared = sigD.select(col(idCol)).distinct()
+      .join(sigC.select(col(idCol)).distinct(), Seq(idCol)).limit(1).count()
+    require(shared == 0L, s"incrementalSemanticAccept: delta and corpus " +
+      s"share $idCol values — id spaces must be disjoint")
+    def banded(sig: DataFrame) = sig.select(col(idCol), expr(
+        s"explode(array(${(0 until bands).map(b => s"struct($b AS band, b$b AS sig)").mkString(", ")}))").as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bd = banded(sigD)
+    val candCross = bd.toDF("id_a", "band", "sig")
+      .join(banded(sigC).toDF("id_b", "band2", "sig2"),
+        col("band") === col("band2") && col("sig") === col("sig2"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val candIntra = bd.toDF("id_a", "band", "sig")
+      .join(bd.toDF("id_b", "band2", "sig2"),
+        col("band") === col("band2") && col("sig") === col("sig2") &&
+          col("id_b") < col("id_a"))
+      .select(col("id_a"), col("id_b")).distinct()
+    def withNorm(df: DataFrame, i: String, v: String, n: String) =
+      df.select(col(idCol).as(i), col(vecCol).as(v),
+        sqrt(expr(normSqExpr(vecCol)).cast("double")).as(n))
+    def dupCounts(cand: DataFrame, rightSide: DataFrame, as: String) =
+      cand.join(withNorm(delta, "ja", "vec_a", "norm_a"), col("id_a") === col("ja"))
+        .join(withNorm(rightSide, "jb", "vec_b", "norm_b"), col("id_b") === col("jb"))
+        .withColumn("cos_sim", round(
+          expr(dotExpr("vec_a", "vec_b")).cast("double") /
+            (col("norm_a") * col("norm_b")), 6))
+        .filter(col("cos_sim") >= threshold)
+        .groupBy(col("id_a")).agg(count(lit(1)).as(as))
+    delta.select(col(idCol))
+      .join(dupCounts(candCross, corpus, "n_corpus_dups")
+        .withColumnRenamed("id_a", idCol), Seq(idCol), "left")
+      .join(dupCounts(candIntra, delta, "n_delta_dups")
+        .withColumnRenamed("id_a", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        coalesce(col("n_delta_dups"), lit(0L)).as("n_delta_dups"))
+      .withColumn("accepted",
+        col("n_corpus_dups") === 0 && col("n_delta_dups") === 0)
+  }
+
   /** k-NN JOIN under the SRP-LSH candidate graph: top-`k` cosine neighbors
     * for EVERY vector at once (vs [[topKNeighbors]]' single query), ranked
     * `cos_sim` desc then neighbor id among band-collision candidates. The

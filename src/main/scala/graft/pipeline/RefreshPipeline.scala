@@ -163,6 +163,16 @@ object RefreshPipeline {
       "doc_id", "text", threshold = 0.5)
     Tables.write(accepted, s"$whDir/documents_ingested", atomic = true)
 
+    // 5b: incremental EMBEDDING ingest — the semantic twin of step 5: new
+    // vectors pay their own SRP signatures + a banded join vs the corpus
+    // index, accepted only with no cosine near-dup (k16's operator).
+    val emb = Tables.embeddings(spark, sfDir)
+    val accEmb = graft.ops.SimilaritySearch.incrementalSemanticAccept(
+      emb.filter(col("vec_id") % 5 === 0), emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", dim = 64, bands = 4, bits = 6, threshold = 0.4)
+    Tables.write(accEmb.filter(col("accepted")),
+      s"$whDir/embeddings_ingested", atomic = true)
+
     // 6: maintenance — repeated refreshes fragment the refreshed tables
     // into per-run small files; bin-pack them back to scan-efficient sizes
     // under the atomic swap. The rewrites above use `atomic = true` so every
@@ -203,8 +213,10 @@ object RefreshPipeline {
     val nEvents = spark.read.parquet(s"$whDir/events_current").count()
     val nFlags = spark.read.parquet(s"$whDir/customer_flags_current").count()
     val nDocs = spark.read.parquet(s"$whDir/documents_ingested").count()
+    val nEmb = spark.read.parquet(s"$whDir/embeddings_ingested").count()
     println(s"[refresh] events_current=$nEvents customer_flags_current=$nFlags " +
-      s"documents_ingested=$nDocs compact[$compacted] -> $whDir")
+      s"documents_ingested=$nDocs embeddings_ingested=$nEmb " +
+      s"compact[$compacted] -> $whDir")
     spark.stop()
   }
 }

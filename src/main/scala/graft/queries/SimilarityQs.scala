@@ -72,17 +72,21 @@ object SimilarityQs {
       .mkString("    (", " + ", ")")
   }
 
-  private def srpCandCtes(bands: Int, bits: Int): String = {
+  private def srpSigCte(bands: Int, bits: Int): String = {
     val bandCols = (0 until bands).map { b =>
       s"${srpBandSql(bands, bits, b)} AS b$b"
     }.mkString(",\n")
-    val bandJoins = (0 until bands).map(k =>
-      s"    SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a JOIN sig b ON a.b$k = b.b$k AND a.vec_id < b.vec_id")
-      .mkString("\n    UNION ALL\n")
     s"""sig AS (
        |  SELECT vec_id,
        |$bandCols
-       |  FROM embeddings),
+       |  FROM embeddings)""".stripMargin
+  }
+
+  private def srpCandCtes(bands: Int, bits: Int): String = {
+    val bandJoins = (0 until bands).map(k =>
+      s"    SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sig a JOIN sig b ON a.b$k = b.b$k AND a.vec_id < b.vec_id")
+      .mkString("\n    UNION ALL\n")
+    s"""${srpSigCte(bands, bits)},
        |cand AS (
        |  SELECT id_a, id_b, COUNT(*) AS n_bands FROM (
        |$bandJoins)
@@ -653,6 +657,56 @@ object SimilarityQs {
             queryId = 0L, k = 10),
           k = 10, minHit = 4)
       },
-      Some(recallVerdictSql(10, 4)))
+      Some(recallVerdictSql(10, 4))),
+
+    // K16: incremental SEMANTIC dedup — the embedding-side d8
+    // (SimilaritySearch.incrementalSemanticAccept): a delta batch
+    // (vec_id % 5 == 0 stands in for today's new vectors) pays its own SRP
+    // signatures plus a banded join against the corpus index — never a
+    // corpus re-scan — and is accepted only with no cosine near-dup
+    // >= 0.4 in the corpus NOR at a lower id within the batch (greedy
+    // min-id intra-batch collapse). Exact cosine verifies every band
+    // collision, so the whole decision is oracle-replayable.
+    Q("k16_incremental_embed_dedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        SimilaritySearch.incrementalSemanticAccept(
+          emb.filter(col("vec_id") % 5 === 0),
+          emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", dim, bands = 4, bits = 6, threshold = 0.4)
+      },
+      Some {
+        val bandJoinsCross = (0 until 4).map(k =>
+          s"    SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM ds a JOIN cs b ON a.b$k = b.b$k")
+          .mkString("\n    UNION ALL\n")
+        val bandJoinsIntra = (0 until 4).map(k =>
+          s"    SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM ds a JOIN ds b ON a.b$k = b.b$k AND b.vec_id < a.vec_id")
+          .mkString("\n    UNION ALL\n")
+        s"""WITH ${srpSigCte(4, 6)},
+           |ds AS (SELECT * FROM sig WHERE vec_id % 5 = 0),
+           |cs AS (SELECT * FROM sig WHERE vec_id % 5 <> 0),
+           |cc AS (SELECT DISTINCT id_a, id_b FROM (
+           |$bandJoinsCross)),
+           |ci AS (SELECT DISTINCT id_a, id_b FROM (
+           |$bandJoinsIntra)),
+           |nc AS (SELECT id_a, COUNT(*) AS n FROM cc
+           |  JOIN embeddings a ON a.vec_id = id_a
+           |  JOIN embeddings b ON b.vec_id = id_b
+           |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+           |  GROUP BY 1),
+           |nd AS (SELECT id_a, COUNT(*) AS n FROM ci
+           |  JOIN embeddings a ON a.vec_id = id_a
+           |  JOIN embeddings b ON b.vec_id = id_b
+           |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4
+           |  GROUP BY 1)
+           |SELECT e.vec_id,
+           |  CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_corpus_dups,
+           |  CAST(COALESCE(nd.n, 0) AS BIGINT) AS n_delta_dups,
+           |  COALESCE(nc.n, 0) = 0 AND COALESCE(nd.n, 0) = 0 AS accepted
+           |FROM embeddings e
+           |LEFT JOIN nc ON nc.id_a = e.vec_id
+           |LEFT JOIN nd ON nd.id_a = e.vec_id
+           |WHERE e.vec_id % 5 = 0""".stripMargin
+      })
   )
 }

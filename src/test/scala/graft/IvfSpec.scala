@@ -309,4 +309,26 @@ class IvfSpec extends AnyFunSuite {
     assert(rows.last._2._1 > rows.head._2._1)
     rows.foreach { case (_, (_, h, rec)) => assert(rec == h / 5.0) }
   }
+
+  test("incrementalSemanticAccept: corpus dup rejected, novel kept, min-id intra wins") {
+    import spark.implicits._
+    def vdf(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+    val corpus = vdf(0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0f, 0f, 1f, 0f))
+    val delta = vdf(
+      100L -> Array(1f, 0f, 0f, 0f),   // exact corpus dup → rejected
+      101L -> Array(0f, 1f, 0f, 0f),   // novel direction → accepted
+      102L -> Array(0f, 1f, 0f, 0f))   // intra dup of 101 (higher id) → rejected
+    val got = SimilaritySearch.incrementalSemanticAccept(delta, corpus,
+        "vec_id", "embedding", dim = 4, bands = 4, bits = 6, threshold = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(100L)._1 >= 1 && !got(100L)._3, s"100 should be a corpus dup: $got")
+    assert(got(101L) == ((0L, 0L, true)), s"101 should be accepted: $got")
+    assert(got(102L)._2 >= 1 && !got(102L)._3, s"102 should be an intra dup: $got")
+    // disjoint-id guard
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.incrementalSemanticAccept(delta, delta,
+        "vec_id", "embedding", dim = 4, bands = 4, bits = 6, threshold = 0.4)
+    }
+  }
 }
