@@ -93,7 +93,11 @@ object Graph {
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct().localCheckpoint(true)
     var iter = 0
-    var converged = e.head(1).isEmpty
+    // carry the edge count across rounds: the convergence check is then one
+    // count + one anti-join emptiness probe per round, not three jobs (the
+    // gr1 per-round fixed-scheduler-cost lesson)
+    var eCount = e.count()
+    var converged = eCount == 0L
     while (!converged && iter < maxIter) {
       // LARGE-STAR over both orientations: center c, neighbors n;
       // m = min(min(N(c)), c); emit (m, n) for n > c (m < c < n, so the
@@ -112,8 +116,10 @@ object Graph {
         .select(col("m").as("u"), col("n").as("v"))
         .unionByName(mins2.select(col("m").as("u"), col("c").as("v")))
         .distinct().localCheckpoint(true)
-      converged = next.count() == e.count() && next.except(e).head(1).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(e).head(1).isEmpty
       e = next
+      eCount = nextCount
       iter += 1
     }
     if (iter == maxIter && !converged)

@@ -72,6 +72,10 @@ object Pca {
         }
         Iterator.single((n, m.toSeq, g.toSeq))
       }.toDF("n", "mean", "gram")
+      // three consumers (n, mean, gram) — without this checkpoint each one
+      // re-executes the whole O(n·d²/2) corpus pass; the partials frame is
+      // one row per partition, so the materialization is KB-sized
+      .localCheckpoint(true)
     // exact integer reduce of the per-partition partials (rows = partition
     // count, so these aggs are tiny; sums are order-independent)
     val n = partials.agg(sum(col("n"))).head.getLong(0)

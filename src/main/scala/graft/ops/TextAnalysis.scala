@@ -1428,6 +1428,10 @@ object TextAnalysis {
     val u = (hashUnit(col(idCol), salt) + 1).cast("double") / (1L << 24).toDouble
     val keyed = df
       .withColumn("samp_weight", weight)
+      // A-ES keys are only meaningful for w > 0: a negative w flips
+      // ln(u)/w's sign (ranking the LEAST desirable rows first) and w = 0
+      // can yield NaN. Drawing weight 0 rows with probability 0 = drop.
+      .filter(col("samp_weight") > 0)
       .withColumn("samp_key", round(log(u) / col("samp_weight"), 8))
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("samp_key").desc, col(idCol))
@@ -1444,7 +1448,7 @@ object TextAnalysis {
        |  SELECT $strataExpr, $idExpr, ($weightExpr) AS samp_weight,
        |    round(ln((${hashUnitSql(idExpr, salt)} + 1) / ${(1L << 24).toDouble}) /
        |      ($weightExpr), 8) AS samp_key
-       |  FROM $table),
+       |  FROM $table WHERE ($weightExpr) > 0),
        |r AS (
        |  SELECT *, CAST(row_number() OVER (
        |    PARTITION BY $strataExpr ORDER BY samp_key DESC, $idExpr)

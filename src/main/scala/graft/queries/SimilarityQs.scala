@@ -72,6 +72,34 @@ object SimilarityQs {
       .mkString("    (", " + ", ")")
   }
 
+  /** Shared k11/k12 oracle chain: per-cell integer-quantized (1/1024 grid)
+    * centroid SUM vectors and each member's exact-integer cosine to its own
+    * centroid, ending in CTE `cs` (vec_id, label, cos_centroid). One copy so
+    * the grid constant / rounding / zero-norm guard cannot drift between
+    * the two hash gates (both mirror SimilaritySearch.quantizedCentroidScores). */
+  private def centroidCosCtes: String =
+    s"""q AS (
+       |  SELECT vec_id, label, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |cpos AS (
+       |  SELECT label, i AS pos, CAST(SUM(qv[i + 1]) AS BIGINT) AS s
+       |  FROM q, range($dim) t(i) GROUP BY 1, 2),
+       |cent AS (SELECT label, list(s ORDER BY pos) AS c FROM cpos GROUP BY 1),
+       |sc AS (
+       |  SELECT vec_id, q.label AS label,
+       |    CAST((SELECT SUM(qv[i + 1] * c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS dot,
+       |    CAST((SELECT SUM(qv[i + 1] * qv[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS nv,
+       |    CAST((SELECT SUM(c[i + 1] * c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS nc
+       |  FROM q JOIN cent USING (label)),
+       |cs AS (
+       |  SELECT vec_id, label,
+       |    CASE WHEN nv = 0 OR nc = 0 THEN 0.0
+       |      ELSE round(CAST(dot AS DOUBLE) /
+       |        (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 6)
+       |    END AS cos_centroid
+       |  FROM sc)""".stripMargin
+
   private def srpSigCte(bands: Int, bits: Int): String = {
     val bandCols = (0 until bands).map { b =>
       s"${srpBandSql(bands, bits, b)} AS b$b"
@@ -192,27 +220,7 @@ object SimilarityQs {
     Q("k11_embedding_outliers",
       (s, d) => SimilaritySearch.centroidOutliers(
         Tables.embeddings(s, d), "vec_id", "embedding", "label"),
-      Some(s"""WITH q AS (
-              |  SELECT vec_id, label, list_transform(embedding,
-              |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
-              |  FROM embeddings),
-              |cpos AS (
-              |  SELECT label, i AS pos, CAST(SUM(qv[i + 1]) AS BIGINT) AS s
-              |  FROM q, range($dim) t(i) GROUP BY 1, 2),
-              |cent AS (SELECT label, list(s ORDER BY pos) AS c FROM cpos GROUP BY 1),
-              |sc AS (
-              |  SELECT vec_id, q.label AS label,
-              |    CAST((SELECT SUM(qv[i + 1] * c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS dot,
-              |    CAST((SELECT SUM(qv[i + 1] * qv[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS nv,
-              |    CAST((SELECT SUM(c[i + 1] * c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS nc
-              |  FROM q JOIN cent USING (label)),
-              |cs AS (
-              |  SELECT vec_id, label,
-              |    CASE WHEN nv = 0 OR nc = 0 THEN 0.0
-              |      ELSE round(CAST(dot AS DOUBLE) /
-              |        (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 6)
-              |    END AS cos_centroid
-              |  FROM sc),
+      Some(s"""WITH ${centroidCosCtes},
               |p AS (
               |  SELECT label, percentile_disc(0.05) WITHIN GROUP (ORDER BY cos_centroid) AS p05
               |  FROM cs GROUP BY 1)
@@ -230,27 +238,7 @@ object SimilarityQs {
     Q("k12_cluster_quality",
       (s, d) => SimilaritySearch.clusterQuality(
         Tables.embeddings(s, d), "vec_id", "embedding", "label"),
-      Some(s"""WITH q AS (
-              |  SELECT vec_id, label, list_transform(embedding,
-              |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
-              |  FROM embeddings),
-              |cpos AS (
-              |  SELECT label, i AS pos, CAST(SUM(qv[i + 1]) AS BIGINT) AS s
-              |  FROM q, range($dim) t(i) GROUP BY 1, 2),
-              |cent AS (SELECT label, list(s ORDER BY pos) AS c FROM cpos GROUP BY 1),
-              |sc AS (
-              |  SELECT vec_id, q.label AS label,
-              |    CAST((SELECT SUM(qv[i + 1] * c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS dot,
-              |    CAST((SELECT SUM(qv[i + 1] * qv[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS nv,
-              |    CAST((SELECT SUM(c[i + 1] * c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS nc
-              |  FROM q JOIN cent USING (label)),
-              |cs AS (
-              |  SELECT vec_id, label,
-              |    CASE WHEN nv = 0 OR nc = 0 THEN 0.0
-              |      ELSE round(CAST(dot AS DOUBLE) /
-              |        (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))), 6)
-              |    END AS cos_centroid
-              |  FROM sc),
+      Some(s"""WITH ${centroidCosCtes},
               |coh AS (
               |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
               |    round(CAST(SUM(CAST(cos_centroid AS DECIMAL(18,6))) AS DOUBLE)

@@ -29,18 +29,27 @@ object StreamQs {
     * per-table temp dir holding symlinks to the actual part file(s)
     * (cheap, idempotent) and stream from that. */
   private def asStreamDir(path: String): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
+    def listed(p: Path): Seq[Path] = {
+      val s = Files.list(p) // Files.list streams must be closed (fd leak)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
     val src0 = Paths.get(path)
     val dir = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_stream_${Integer.toHexString(path.hashCode)}")
     Files.createDirectories(dir)
     val parts =
       if (Files.isDirectory(src0))
-        Files.list(src0).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        listed(src0).filter(_.getFileName.toString.endsWith(".parquet"))
       else Seq(src0)
     for (src <- parts) linkOne(dir, src)
+    // a REWRITTEN parquet directory gets fresh UUID part names, so links
+    // staged for the previous write would dangle (the file source stats
+    // them and dies) — drop any link not in the current part set
+    val current = parts.map(_.getFileName.toString).toSet
+    for (link <- listed(dir) if !current.contains(link.getFileName.toString))
+      Files.deleteIfExists(link)
     dir.toString
   }
 

@@ -364,17 +364,26 @@ object Streams {
     * counter table — addition is the sketch's merge operator. An ingest
     * that saw zero batches has no state dir yet; that is the EMPTY sketch,
     * not an error. */
-  def cmsMergedCounters(spark: SparkSession, stateDir: String): DataFrame = {
+  /** Shared merged-state reader for the partial-landing ingest seats: read
+    * every batch_id partial under `stateDir` and re-SUM `sumCol` per
+    * `keyCols` (addition is each state's merge operator); a missing state
+    * dir = an ingest that saw zero batches = the EMPTY state, not an error. */
+  private def mergedState(spark: SparkSession, stateDir: String,
+      emptySchema: StructType, keyCols: Seq[String], sumCol: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
-        StructField("__j", IntegerType), StructField("__b", LongType),
-        StructField("__cnt", LongType))))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], emptySchema)
     else
       spark.read.parquet(stateDir)
-        .groupBy(col("__j"), col("__b")).agg(sum(col("__cnt")).as("__cnt"))
+        .groupBy(keyCols.map(col): _*).agg(sum(col(sumCol)).as(sumCol))
   }
+
+  def cmsMergedCounters(spark: SparkSession, stateDir: String): DataFrame =
+    mergedState(spark, stateDir, StructType(Seq(
+        StructField("__j", IntegerType), StructField("__b", LongType),
+        StructField("__cnt", LongType))),
+      Seq("__j", "__b"), "__cnt")
 
   /** Streaming quantile-histogram ingest — a18's deterministic mergeable
     * quantile sketch as an ingest seat, on the [[cmsIngest]]
@@ -397,16 +406,10 @@ object Streams {
 
   /** Merge the per-batch histogram partials into the current sketch state —
     * bucket-wise addition is the merge. Zero-batch ingest = empty sketch. */
-  def quantileMergedHistogram(spark: SparkSession, stateDir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
-        StructField("bucket", IntegerType), StructField("cnt", LongType))))
-    else
-      spark.read.parquet(stateDir)
-        .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
-  }
+  def quantileMergedHistogram(spark: SparkSession, stateDir: String): DataFrame =
+    mergedState(spark, stateDir, StructType(Seq(
+        StructField("bucket", IntegerType), StructField("cnt", LongType))),
+      Seq("bucket"), "cnt")
 
   /** Streaming CDC chunk-census ingest — t28's shift-invariant chunk
     * census as an ingest seat, on the [[cmsIngest]] partial-landing
@@ -430,16 +433,10 @@ object Streams {
 
   /** Merge the per-batch partial censuses into the current chunk census —
     * summation is the merge. Zero-batch ingest = the empty census. */
-  def cdcMergedCensus(spark: SparkSession, stateDir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
-        StructField("__h", StringType), StructField("__occ", LongType))))
-    else
-      spark.read.parquet(stateDir)
-        .groupBy(col("__h")).agg(sum(col("__occ")).as("__occ"))
-  }
+  def cdcMergedCensus(spark: SparkSession, stateDir: String): DataFrame =
+    mergedState(spark, stateDir, StructType(Seq(
+        StructField("__h", StringType), StructField("__occ", LongType))),
+      Seq("__h"), "__occ")
 
   /** Streaming corpus-mix drift ingest — t26's monitoring state kept
     * CURRENT between crawls: each micro-batch reduces to its own
@@ -467,17 +464,11 @@ object Streams {
   /** Merge the per-batch (source, bucket) partials — counts are additive.
     * Zero-batch ingest = the empty spine. */
   def driftMergedBuckets(spark: SparkSession, stateDir: String,
-      srcCol: String = "source"): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+      srcCol: String = "source"): DataFrame =
+    mergedState(spark, stateDir, StructType(Seq(
         StructField(srcCol, StringType), StructField("__b", LongType),
-        StructField("__c", LongType))))
-    else
-      spark.read.parquet(stateDir)
-        .groupBy(col(srcCol), col("__b")).agg(sum(col("__c")).as("__c"))
-  }
+        StructField("__c", LongType))),
+      Seq(srcCol, "__b"), "__c")
 
   /** Gap-based session windows per user: `session_window` keeps a window
     * open while events keep arriving within `gap` of the last one, merging
