@@ -776,6 +776,34 @@ object TextAnalysis {
     * explode across the word-side gates and the DSIR model. `flags` is
     * (idCol, `__t` boolean), the doc-level target predicate evaluated
     * ONCE per doc. */
+  /** Oracle-side DSIR MODEL chain (hashed-unigram LLR, Xie '23): CTEs
+    * `{p}w → {p}db → {p}bc → {p}tot → {p}lam` with every constant (bucket
+    * count, +1/+B smoothing, 4-dp DECIMAL pin) stated ONCE — t23, t29, and
+    * c4's oracles all compose this builder, so the model arithmetic cannot
+    * drift between their hash gates. Consumers read `{p}db` (doc, t, b,
+    * cnt) and `{p}lam` (b, lam). */
+  def dsirModelCtesSql(p: String, labelSql: String, table: String,
+      buckets: Int = 1024): String =
+    s"""${p}w AS (
+       |  SELECT doc_id,
+       |    ($labelSql) AS t,
+       |    unnest(string_split(text, ' ')) AS word
+       |  FROM $table),
+       |${p}db AS (
+       |  SELECT doc_id, t, ${Normalize.hashBucketSql("word", buckets)} AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM ${p}w WHERE word <> '' GROUP BY 1, 2, 3),
+       |${p}bc AS (
+       |  SELECT b, SUM(CASE WHEN t THEN cnt ELSE 0 END) AS ct,
+       |    SUM(CASE WHEN NOT t THEN cnt ELSE 0 END) AS cr
+       |  FROM ${p}db GROUP BY 1),
+       |${p}tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM ${p}bc),
+       |${p}lam AS (
+       |  SELECT b, CAST(round(
+       |    ln((ct + 1) / CAST(tt + $buckets AS DOUBLE)) -
+       |    ln((cr + 1) / CAST(tr + $buckets AS DOUBLE)), 4) AS DECIMAL(18,4)) AS lam
+       |  FROM ${p}bc CROSS JOIN ${p}tot)""".stripMargin
+
   def dsirScoresFromCounts(dw: DataFrame, flags: DataFrame, idCol: String,
       buckets: Int = 1024): DataFrame = {
     // Two profiled traps shape this plan (3.2 s → ~1 s at sf0.1):

@@ -40,40 +40,43 @@ import org.apache.spark.sql.types._
   * sketch per (partition, group). At 100 TB this is the point: exact
   * distinct over a high-cardinality key shuffles the key universe; this
   * shuffles 256 bytes per group. */
+/** Shared shell of the three HLL aggregates: 256-byte register buffer,
+  * identity serialization, element-wise-max partial merge, and the
+  * STRING/BINARY input contract — the genuine differences (what `update`
+  * folds and what `eval` returns) stay in the concrete classes. */
+abstract class HllAggBase
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  import HllSketch._
+  /** Required input type of `child` (callers cast; AbstractDataType is
+    * private[sql] in Spark 4, so the check lives here). */
+  protected def expectedInput: DataType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == expectedInput)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a ${expectedInput.sql} child, got ${child.dataType.sql}")
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    maxMerge(b1, b2)
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+}
+
 case class HllSketch(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
-
+  extends HllAggBase {
   import HllSketch._
-
-  // Input contract: child MUST be StringType (callers cast; AbstractDataType
-  // is private[sql] in Spark 4, so the check lives here instead).
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"hll_sketch expects a STRING child, got ${child.dataType.sql}")
-  override def nullable: Boolean = false
+  override protected def expectedInput: DataType = StringType
   override def dataType: DataType = StructType(Seq(
     StructField("s", DecimalType(38, 0), nullable = false),
     StructField("zeros", IntegerType, nullable = false)))
-
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
-
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
     updateRegisters(buf, child.eval(input))
-
-  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
-    maxMerge(b1, b2)
-
   override def eval(buf: Array[Byte]): Any = evalStruct(buf)
-
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
-
   override def withNewMutableAggBufferOffset(o: Int): HllSketch =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): HllSketch =
@@ -93,24 +96,13 @@ case class HllState(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  extends HllAggBase {
   import HllSketch._
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"hll_state expects a STRING child, got ${child.dataType.sql}")
-  override def nullable: Boolean = false
+  override protected def expectedInput: DataType = StringType
   override def dataType: DataType = BinaryType
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
     updateRegisters(buf, child.eval(input))
-  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
-    maxMerge(b1, b2)
   override def eval(buf: Array[Byte]): Any = buf.clone()
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
   override def withNewMutableAggBufferOffset(o: Int): HllState =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): HllState =
@@ -129,19 +121,12 @@ case class HllMerge(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+  extends HllAggBase {
   import HllSketch._
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == BinaryType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"hll_merge expects a BINARY hll_state child, got ${child.dataType.sql}")
-  override def nullable: Boolean = false
+  override protected def expectedInput: DataType = BinaryType
   override def dataType: DataType = StructType(Seq(
     StructField("s", DecimalType(38, 0), nullable = false),
     StructField("zeros", IntegerType, nullable = false)))
-  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
@@ -151,11 +136,7 @@ case class HllMerge(
     }
     buf
   }
-  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
-    maxMerge(b1, b2)
   override def eval(buf: Array[Byte]): Any = evalStruct(buf)
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
   override def withNewMutableAggBufferOffset(o: Int): HllMerge =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): HllMerge =

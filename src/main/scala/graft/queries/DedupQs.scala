@@ -325,25 +325,9 @@ object DedupQs {
          |    AND doc_id IN (SELECT doc_id FROM surp WHERE NOT unusual)
          |    AND doc_id NOT IN (SELECT doc_id FROM near_drop)""".stripMargin
     s"""WITH ${curationGateCtes(s"gated AS (\n  $gateSelect)")},
-       |dw2 AS (
-       |  SELECT doc_id,
-       |    (lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8) AS t,
-       |    unnest(string_split(text, ' ')) AS word
-       |  FROM documents),
-       |ddb AS (
-       |  SELECT doc_id, t, ${Normalize.hashBucketSql("word", 1024)} AS b,
-       |    CAST(COUNT(*) AS BIGINT) AS cnt
-       |  FROM dw2 WHERE word <> '' GROUP BY 1, 2, 3),
-       |dbc AS (
-       |  SELECT b, SUM(CASE WHEN t THEN cnt ELSE 0 END) AS ct,
-       |    SUM(CASE WHEN NOT t THEN cnt ELSE 0 END) AS cr
-       |  FROM ddb GROUP BY 1),
-       |dtot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM dbc),
-       |dlam AS (
-       |  SELECT b, CAST(round(
-       |    ln((ct + 1) / CAST(tt + 1024 AS DOUBLE)) -
-       |    ln((cr + 1) / CAST(tr + 1024 AS DOUBLE)), 4) AS DECIMAL(18,4)) AS lam
-       |  FROM dbc CROSS JOIN dtot),
+       |${TextAnalysis.dsirModelCtesSql("d",
+            s"lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8",
+            "documents")},
        |dd AS (
        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
        |    round(CAST(SUM(cnt * lam) AS DOUBLE), 6) AS dsir_score

@@ -389,25 +389,9 @@ object TextQs {
     Q("t23_dsir_importance",
       (s, d) => TextAnalysis.dsirScores(Tables.documents(s, d), "doc_id", "text",
         col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8),
-      Some(s"""WITH w AS (
-              |  SELECT doc_id,
-              |    (lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8) AS t,
-              |    unnest(string_split(text, ' ')) AS word
-              |  FROM documents),
-              |db AS (
-              |  SELECT doc_id, t, ${graft.ops.Normalize.hashBucketSql("word", 1024)} AS b,
-              |    CAST(COUNT(*) AS BIGINT) AS cnt
-              |  FROM w WHERE word <> '' GROUP BY 1, 2, 3),
-              |bc AS (
-              |  SELECT b, SUM(CASE WHEN t THEN cnt ELSE 0 END) AS ct,
-              |    SUM(CASE WHEN NOT t THEN cnt ELSE 0 END) AS cr
-              |  FROM db GROUP BY 1),
-              |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bc),
-              |lam AS (
-              |  SELECT b, CAST(round(
-              |    ln((ct + 1) / CAST(tt + 1024 AS DOUBLE)) -
-              |    ln((cr + 1) / CAST(tr + 1024 AS DOUBLE)), 4) AS DECIMAL(18,4)) AS lam
-              |  FROM bc CROSS JOIN tot)
+      Some(s"""WITH ${TextAnalysis.dsirModelCtesSql("",
+                s"lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8",
+                "documents")}
               |SELECT doc_id, bool_or(t) AS is_target,
               |  CAST(SUM(cnt) AS BIGINT) AS n_words,
               |  round(CAST(SUM(cnt * lam) AS DOUBLE), 6) AS dsir_score,
@@ -485,25 +469,9 @@ object TextQs {
         "doc_id", "text",
         col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8,
         budget = 12000L),
-      Some(s"""WITH w AS (
-              |  SELECT doc_id,
-              |    (lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8) AS t,
-              |    unnest(string_split(text, ' ')) AS word
-              |  FROM documents),
-              |db AS (
-              |  SELECT doc_id, t, ${graft.ops.Normalize.hashBucketSql("word", 1024)} AS b,
-              |    CAST(COUNT(*) AS BIGINT) AS cnt
-              |  FROM w WHERE word <> '' GROUP BY 1, 2, 3),
-              |bc AS (
-              |  SELECT b, SUM(CASE WHEN t THEN cnt ELSE 0 END) AS ct,
-              |    SUM(CASE WHEN NOT t THEN cnt ELSE 0 END) AS cr
-              |  FROM db GROUP BY 1),
-              |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bc),
-              |lam AS (
-              |  SELECT b, CAST(round(
-              |    ln((ct + 1) / CAST(tt + 1024 AS DOUBLE)) -
-              |    ln((cr + 1) / CAST(tr + 1024 AS DOUBLE)), 4) AS DECIMAL(18,4)) AS lam
-              |  FROM bc CROSS JOIN tot),
+      Some(s"""WITH ${TextAnalysis.dsirModelCtesSql("",
+                s"lang = 'en' AND ${TextAnalysis.qualityScoreSql("text")} >= 0.8",
+                "documents")},
               |d AS (
               |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
               |    round(CAST(SUM(cnt * lam) AS DOUBLE), 6) AS dsir_score
