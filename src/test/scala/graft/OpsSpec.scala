@@ -1445,6 +1445,27 @@ class OpsSpec extends AnyFunSuite {
       if j >= 0.5
     } yield (a, b)).toSet
     assert(got3 == want3)
+    // taus NOT representable in 6 decimals (1/3, 2/3): the threshold filter
+    // is the exact integer cross-product, so boundary pairs (J == tau
+    // exactly) must be INCLUDED — the round-6 review regression
+    for ((num, den) <- Seq((1, 3), (2, 3), (3, 4))) {
+      val tau = num.toDouble / den
+      val got = Dedup.prefixJaccardPairs(df, "doc_id", "text", num, den)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = sets(a).intersect(sets(b)).size
+        uni = sets(a).union(sets(b)).size
+        if inter.toLong * den >= uni.toLong * num
+      } yield (a, b)).toSet
+      assert(got == want, s"tau=$num/$den")
+      // and a constructed exact-boundary pair: J(6-set, 6-set sharing 3) = 1/3
+      val bdf = Seq((1L, "a b c d e f"), (2L, "a b c p q r")).toDF("doc_id", "text")
+      val bpair = Dedup.prefixJaccardPairs(bdf, "doc_id", "text", 1, 3)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bpair == Set((1L, 2L)), s"exact J=1/3 boundary pair must survive tau=1/3: $bpair")
+    }
   }
 
   test("Percentiles.discWeighted equals percentile_disc over weight-expanded rows") {

@@ -68,6 +68,32 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(qs.getAs[Long]("n") == values.size)
   }
 
+  test("decade and mantissa boundaries bucket exactly (and the 1e14 domain holds)") {
+    // values AT bucket boundaries: powers of 10, two-digit-head steps, and
+    // the DECIMAL(18,4) rounding edge x.99995 (rounds up into the next head)
+    val edges = Seq(0.0, 0.0001, 0.0009999, 0.001, 9.9999, 9.99995, 10.0,
+      99.99995, 100.0, 0.99995, 1.0, 12.0, 12.99995, 13.0, 9999999999.9999)
+    val got = edges.toDF("v")
+      .select(col("v"), QuantileSketch.qunits(col("v")).as("q"))
+      .select(col("v"), col("q"), QuantileSketch.bucketId(col("q")).as("b"))
+      .select(col("q"), col("b"),
+        QuantileSketch.bucketLow(col("b")).as("lo"),
+        QuantileSketch.bucketHigh(col("b")).as("hi"))
+      .collect()
+    got.foreach { r =>
+      val (q, lo, hi) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(lo <= q && q < hi, s"q=$q outside [$lo,$hi)")
+    }
+    // 9.99995 rounds to qunits 100000 → the 10.0 bucket, same as 10.0
+    val byV = edges.zip(got).toMap
+    assert(byV(9.99995).getInt(1) == byV(10.0).getInt(1))
+    // histogram drops values outside [0, 1e14) on BOTH nullable paths
+    val dom = QuantileSketch.histogram(
+      Seq(Some(5.0), Some(-1.0), None, Some(1e14), Some(2e15)).toDF("v"),
+      Seq.empty, "v")
+    assert(dom.agg(sum(col("cnt"))).head.getLong(0) == 1L)
+  }
+
   test("state stays bounded: 5k distinct values over 8 decades < 1.3k buckets") {
     val wide = (1 to 5000).map(i => math.pow(10, (i % 80) / 10.0) * (1 + i % 97 / 100.0))
     val hist = QuantileSketch.histogram(wide.toDF("v"), Seq.empty, "v")
