@@ -630,24 +630,29 @@ object DedupQs {
     // near-dup graph d6 clusters by min-label propagation. Propagation is
     // O(diameter) rounds — right for these shallow dup clusters, degenerate
     // on chains; star contraction is O(log n) on ANY topology (GraphSpec:
-    // a 256-node path closes in <= 10 rounds where propagation needs 255).
-    // The query runs BOTH and emits the per-node agreement verdict — the
-    // oracle independently recomputes components by recursive transitive
-    // closure and asserts agreement must hold.
+    // a 256-node path closes in <= 10 rounds where propagation needs 255,
+    // and pins equality against union-find AND propagation on random
+    // graphs). In-query the labels carry the EDGE-CONSISTENCY verdict —
+    // every edge's endpoints share a component (one join, no second CC) —
+    // while the oracle independently recomputes the components by recursive
+    // transitive closure: the hash gate IS the cross-algorithm check.
     Q("gr2_cc_star",
       (s, d) => {
-        import graft.ops.{Graph, Identity}
+        import graft.ops.Graph
         val pairs = Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3)
           .select(col("id_a"), col("id_b")).localCheckpoint(true)
         val nodes = pairs.select(col("id_a").as("id"))
           .unionByName(pairs.select(col("id_b").as("id"))).distinct()
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        val star = Graph.connectedComponentsStar(nodes, edges)
-        val prop = Identity.connectedComponents(nodes, edges)
-          .select(col("id"), col("comp_id").as("prop_comp"))
-        star.join(prop, "id")
+        val star = Graph.connectedComponentsStar(nodes, edges).localCheckpoint(true)
+        val lab = star.select(col("id"), col("comp_id"))
+        val badEdges = edges
+          .join(lab.toDF("id", "ca"), col("src") === col("id")).drop("id")
+          .join(lab.toDF("id", "cb"), col("dst") === col("id")).drop("id")
+          .agg(count(when(col("ca") =!= col("cb"), lit(1))).as("n_bad"))
+        star.crossJoin(broadcast(badEdges))
           .select(col("id").as("doc_id"), col("comp_id").as("cluster_id"),
-            (col("comp_id") === col("prop_comp")).as("algorithms_agree"))
+            (col("n_bad") === 0 && col("comp_id") <= col("id")).as("edges_consistent"))
       },
       Some(
         s"""WITH RECURSIVE $simhash64CtesSql,
@@ -660,7 +665,7 @@ object DedupQs {
            |  UNION
            |  SELECT reach.id, e.dst FROM reach JOIN uedges e ON reach.r = e.src),
            |comps AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
-           |SELECT id AS doc_id, cluster_id, true AS algorithms_agree
+           |SELECT id AS doc_id, cluster_id, true AS edges_consistent
            |FROM comps""".stripMargin)),
 
     // C1: end-to-end corpus curation — the LLM-training-data pipeline as ONE

@@ -108,7 +108,8 @@ class QueriesSpec extends AnyFunSuite {
     "t26_source_drift",        // 1-row grand-total + 1-row cohort-mean broadcasts
     "a4d_hll_merge_daily",     // 1-row merged × 1-row direct sketch cross
     "k15_pca_ann",             // k1's 1-row query broadcast, twice (projected + exact)
-    "a18b_quantile_merge_daily" // 1-row day-count × 1-row merge-check crosses
+    "a18b_quantile_merge_daily", // 1-row day-count × 1-row merge-check crosses
+    "gr2_cc_star"              // 1-row edge-consistency verdict broadcast
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
