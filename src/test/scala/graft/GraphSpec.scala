@@ -90,6 +90,26 @@ class GraphSpec extends AnyFunSuite {
     assert(starCC(Seq(7L, 9L), Seq.empty) == Map(7L -> 7L, 9L -> 9L))
   }
 
+  test("star contraction on adversarial topologies: ring, clique, forest, hub") {
+    // ring (propagation worst case after the path), one shared component
+    val ringN = 128L
+    val ring = (0L until ringN).map(i => (i, (i + 1) % ringN))
+    assert(starCC(0L until ringN, ring, maxIter = 10) ==
+      (0L until ringN).map(_ -> 0L).toMap)
+    // clique: densest candidate set, closes immediately
+    val k = (0L until 20L)
+    val clique = for (a <- k; b <- k if a < b) yield (a, b)
+    assert(starCC(k, clique) == k.map(_ -> 0L).toMap)
+    // forest of many small components + isolated nodes
+    val forest = (0L until 300L by 3).flatMap(i => Seq((i, i + 1), (i + 1, i + 2)))
+    val wantF = (0L until 300L).map(i => i -> (i / 3 * 3)).toMap ++
+      Map(1000L -> 1000L)
+    assert(starCC((0L until 300L) :+ 1000L, forest) == wantF)
+    // hub: one node connected to everything (max-degree center)
+    val hub = (1L to 200L).map(i => (i, 0L))
+    assert(starCC(0L to 200L, hub) == (0L to 200L).map(_ -> 0L).toMap)
+  }
+
   test("star contraction closes a 256-node path in O(log n) rounds") {
     // diameter 255: min-label propagation needs ~255 rounds (its maxIter=25
     // would NOT converge); star contraction must finish in <= 10
