@@ -214,6 +214,45 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_bands"))
   }
 
+  /** [[lshCandidates]] with a PER-BUCKET OCCUPANCY CAP — the
+    * pathological-corpus guard a production dedup needs at 100 TB: one
+    * degenerate band signature (mass-produced boilerplate, empty-ish docs,
+    * an adversarial shingle) puts m documents in one bucket and makes the
+    * self-join emit m(m−1)/2 pairs — a single hot key that can kill the
+    * job no matter how many executors exist.
+    *
+    * Buckets at or under `maxBucket` pair exhaustively (bit-identical to
+    * [[lshCandidates]]); an OVERSIZED bucket instead emits STAR edges from
+    * its minimum id to every other member — m−1 pairs, linear in bucket
+    * size. The star preserves the bucket's CONNECTIVITY (a CC consumer
+    * still merges the cluster when the hub verifies against members — the
+    * all-identical-boilerplate case that creates such buckets), at the
+    * documented recall trade: member↔member pairs of an oversized bucket
+    * that would verify only through each other are not emitted. This is
+    * the standard capped-bucket discipline (same family as d9's df≤4
+    * blocking and t31's fingerprint df-cap); leave uncapped only when the
+    * corpus is known boilerplate-free.
+    *
+    * `n_bands` counts the bands in which the pair was generated (through
+    * either path). */
+  def lshCandidatesCapped(bands: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
+    val occ = bands.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__occ"), min(col(idCol)).as("__hub"))
+    val withOcc = bands.join(occ, Seq("band", "sig"))
+    val smallPairs = lshCandidates(
+      withOcc.filter(col("__occ") <= maxBucket)
+        .select(col(idCol), col("band"), col("sig")), idCol)
+    val starPairs = withOcc
+      .filter(col("__occ") > maxBucket && col(idCol) =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col(idCol).as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_bands"))
+    smallPairs.unionByName(starPairs)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("n_bands")).as("n_bands"))
+  }
+
   /** Exact shingle-set Jaccard for given candidate pairs (verification stage
     * of the LSH pipeline). `shRaw` may contain duplicates — it's semi-filtered
     * to the candidate docs FIRST, then deduped and sized (tiny), so the full

@@ -1468,6 +1468,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lshCandidatesCapped: exhaustive under the cap, star above it, CC-connected") {
+    // bands: (id, band, sig) — two normal buckets + one degenerate bucket
+    val normal = Seq((1L, 0, "x"), (2L, 0, "x"), (3L, 0, "y"), (4L, 0, "y"), (5L, 0, "y"))
+    val hot = (100L until 150L).map(i => (i, 1, "BOILERPLATE"))
+    val bands = (normal ++ hot).toDF("id", "band", "sig")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap above every occupancy → bit-identical to the uncapped join
+    assert(pairs(Dedup.lshCandidatesCapped(bands, "id", 1000)) ==
+      pairs(Dedup.lshCandidates(bands, "id")))
+    // cap at 8: normal buckets exhaustive, hot bucket stars on min id 100
+    val capped = pairs(Dedup.lshCandidatesCapped(bands, "id", 8))
+    assert(capped == Set((1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)) ++
+      (101L until 150L).map(i => (100L, i)).toSet)
+    assert(capped.size == 4 + 49) // not 4 + 50*49/2
+    // connectivity survives: CC over the star edges keeps one cluster
+    val nodes = hot.map(_._1).toDF("id")
+    val edges = Dedup.lshCandidatesCapped(bands, "id", 8)
+      .filter(col("id_a") >= 100L)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comps = graft.ops.Graph.connectedComponentsStar(nodes, edges)
+      .select("comp_id").distinct().count()
+    assert(comps == 1L)
+  }
+
   test("Percentiles.discWeighted equals percentile_disc over weight-expanded rows") {
     val rnd = new scala.util.Random(3)
     val rows = (1 to 120).map(i =>
