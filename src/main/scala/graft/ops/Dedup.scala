@@ -75,16 +75,35 @@ object Dedup {
     * silently corrupt n_a/n_b/jaccard. Enforced below with an emptiness
     * check over the (already-materialized) band tables' ids, which covers
     * exactly the docs that can become candidates.
+    *
+    * `maxBucket` caps CORPUS-side bucket occupancy (the lshCandidatesCapped
+    * discipline, cross-side form): a degenerate corpus signature bucket of
+    * m docs otherwise multiplies every colliding delta doc by m. Oversized
+    * buckets keep their `maxBucket` minimum-id rows as REPRESENTATIVES — a
+    * delta copy of the boilerplate still collides and verifies against a
+    * representative, at the trade that a delta doc near-dupping ONLY a
+    * dropped member goes unmatched (such buckets are near-identical
+    * content by construction). Default = uncapped, bit-identical behavior.
     * Returns (id_a = delta doc, id_b = corpus doc, n_bands, jaccard). */
   def incrementalNearDup(delta: DataFrame, corpus: DataFrame, idCol: String,
-      textCol: String, k: Int, numHashes: Int, bandSize: Int): DataFrame = {
+      textCol: String, k: Int, numHashes: Int, bandSize: Int,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val shDelta = shingles(delta, idCol, textCol, k, dedup = false)
     val shCorpus = shingles(corpus, idCol, textCol, k, dedup = false)
     // each side's signature table materializes once (same frontier as d2)
     val bDelta = lshBands(minhash(shDelta, idCol, numHashes).localCheckpoint(true),
       idCol, bandSize, numHashes)
-    val bCorpus = lshBands(minhash(shCorpus, idCol, numHashes).localCheckpoint(true),
+    val bCorpusRaw = lshBands(minhash(shCorpus, idCol, numHashes).localCheckpoint(true),
       idCol, bandSize, numHashes)
+    val bCorpus =
+      if (maxBucket == Int.MaxValue) bCorpusRaw
+      else {
+        // keep the bucket's maxBucket smallest ids as representatives; the
+        // rank window serializes only the oversized bucket's rows (linear)
+        val w = Window.partitionBy(col("band"), col("sig")).orderBy(col(idCol))
+        bCorpusRaw.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucket).drop("__rn")
+      }
     // disjoint-id guard: delta's distinct ids are batch-sized, and both
     // band tables sit on eager checkpoints — one cheap id-only pass
     val shared = bDelta.select(col(idCol)).distinct()

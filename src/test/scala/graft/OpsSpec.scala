@@ -543,6 +543,27 @@ class OpsSpec extends AnyFunSuite {
       case ((a, b), v) if b % 5 == 0 && a % 5 != 0 => (b, a) -> v
     }.toMap
     assert(inc == crossFull)
+    // a generous maxBucket (no bucket exceeds it) is bit-identical
+    val capped = Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", 3, numHashes = 8, bandSize = 2, maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(r.fieldIndex("jaccard"))))).toMap
+    assert(capped == inc)
+  }
+
+  test("incrementalNearDup maxBucket: boilerplate delta still caught via representatives") {
+    val boiler = "the same boilerplate paragraph repeated across many pages " * 3
+    val corpus = (100L until 140L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val delta = Seq((1L, boiler), (2L, "a completely different unique document text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(delta, corpus, "doc_id", "text",
+        3, numHashes = 8, bandSize = 2, maxBucket = 4)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the boilerplate copy matches only the <= 4 representatives (min ids)
+    assert(got.nonEmpty && got.forall { case (a, b) => a == 1L && b < 104L },
+      s"got $got")
   }
 
   test("TextAnalysis.globalTokenBudget = naive global cumsum, boundary-exact") {
