@@ -42,6 +42,9 @@ object DailyPipeline {
       // evidence, so it runs after both are materialized
       materialize("dq1_data_questions", "data_questions",
         Seq("customer_master", "family_edges")),
+      // the Deequ-style publish gate over the raw tables — first in spirit,
+      // no deps: constraint violations surface even if mart jobs fail
+      materialize("dq2_constraint_report", "constraint_report"),
       materialize("cv2_conversion_cohorts", "conversion_funnel",
         Seq("day_pass_visits_enriched")),
       materialize("j4_interval_active", "daily_active_timeline"),

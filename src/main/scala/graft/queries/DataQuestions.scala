@@ -135,6 +135,101 @@ object DataQuestions {
            |    AND contact_email IS NOT NULL)
            |SELECT * FROM q1
            |UNION ALL SELECT * FROM q2
-           |UNION ALL SELECT * FROM q3""".stripMargin))
+           |UNION ALL SELECT * FROM q3""".stripMargin)),
+
+    // DQ2: declarative CONSTRAINT SUITE over the raw warehouse tables — the
+    // Deequ-style publish gate dq1's CRM queue doesn't cover: uniqueness,
+    // completeness, value-range, set-membership, and referential-integrity
+    // checks, each reported as (table, constraint, violations, ok). The
+    // Deequ core trick applies: ALL of a table's metrics compute in ONE
+    // aggregation pass (violations are conditional counts), plus one
+    // anti-join per referential rule — so the suite costs one scan per
+    // table regardless of how many constraints it carries. At 100 TB this
+    // is the nightly load's go/no-go before marts publish.
+    Q("dq2_constraint_report",
+      (s, d) => {
+        import graft.core.Tables
+        val knownTypes = Seq("click", "error", "purchase", "signup", "view")
+        val o = Tables.orders(s, d).agg(
+          count(lit(1)).as("o_n"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("o_dup_key"),
+          count(when(col("o_custkey").isNull, 1)).as("o_null_cust"),
+          count(when(col("o_totalprice") <= 0, 1)).as("o_bad_price"))
+        val orphans = Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("o_orphans"))
+        val e = Tables.events(s, d).agg(
+          count(lit(1)).as("e_n"),
+          (count(lit(1)) - countDistinct(col("event_id"))).as("e_dup_key"),
+          count(when(col("event_type").isNull, 1)).as("e_null_type"),
+          count(when(not(col("event_type").isin(knownTypes: _*)), 1)).as("e_bad_type"),
+          count(when(col("value") < 0, 1)).as("e_neg_value"))
+        val c = Tables.customer(s, d).agg(
+          count(lit(1)).as("c_n"),
+          (count(lit(1)) - countDistinct(col("c_custkey"))).as("c_dup_key"),
+          count(when(col("c_mktsegment").isNull, 1)).as("c_null_seg"))
+        val m = o.crossJoin(broadcast(orphans)).crossJoin(broadcast(e))
+          .crossJoin(broadcast(c))
+        def row(t: String, cn: String, v: String, n: String) =
+          s"struct('$t' AS table_name, '$cn' AS constraint_name, " +
+            s"CAST($n AS BIGINT) AS n_checked, CAST($v AS BIGINT) AS violations)"
+        m.select(explode(expr(s"array(${Seq(
+            row("orders", "unique:o_orderkey", "o_dup_key", "o_n"),
+            row("orders", "complete:o_custkey", "o_null_cust", "o_n"),
+            row("orders", "range:o_totalprice>0", "o_bad_price", "o_n"),
+            row("orders", "ref:o_custkey->customer", "o_orphans", "o_n"),
+            row("events", "unique:event_id", "e_dup_key", "e_n"),
+            row("events", "complete:event_type", "e_null_type", "e_n"),
+            row("events", "in_set:event_type", "e_bad_type", "e_n"),
+            row("events", "range:value>=0", "e_neg_value", "e_n"),
+            row("customer", "unique:c_custkey", "c_dup_key", "c_n"),
+            row("customer", "complete:c_mktsegment", "c_null_seg", "c_n")).mkString(", ")})"))
+            .as("r"))
+          .select(col("r.table_name"), col("r.constraint_name"),
+            col("r.n_checked"), col("r.violations"),
+            (col("r.violations") === 0).as("ok"))
+      },
+      Some("""WITH o AS (
+             |  SELECT COUNT(*) AS n, COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_key,
+             |    COUNT(*) FILTER (WHERE o_custkey IS NULL) AS null_cust,
+             |    COUNT(*) FILTER (WHERE o_totalprice <= 0) AS bad_price
+             |  FROM orders),
+             |orph AS (
+             |  SELECT COUNT(*) AS orphans FROM orders
+             |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+             |e AS (
+             |  SELECT COUNT(*) AS n, COUNT(*) - COUNT(DISTINCT event_id) AS dup_key,
+             |    COUNT(*) FILTER (WHERE event_type IS NULL) AS null_type,
+             |    COUNT(*) FILTER (WHERE event_type NOT IN
+             |      ('click','error','purchase','signup','view')) AS bad_type,
+             |    COUNT(*) FILTER (WHERE value < 0) AS neg_value
+             |  FROM events),
+             |c AS (
+             |  SELECT COUNT(*) AS n, COUNT(*) - COUNT(DISTINCT c_custkey) AS dup_key,
+             |    COUNT(*) FILTER (WHERE c_mktsegment IS NULL) AS null_seg
+             |  FROM customer)
+             |SELECT 'orders' AS table_name, 'unique:o_orderkey' AS constraint_name,
+             |  CAST(o.n AS BIGINT) AS n_checked,
+             |  CAST(o.dup_key AS BIGINT) AS violations, o.dup_key = 0 AS ok FROM o
+             |UNION ALL SELECT 'orders', 'complete:o_custkey', CAST(o.n AS BIGINT),
+             |  CAST(o.null_cust AS BIGINT), o.null_cust = 0 FROM o
+             |UNION ALL SELECT 'orders', 'range:o_totalprice>0', CAST(o.n AS BIGINT),
+             |  CAST(o.bad_price AS BIGINT), o.bad_price = 0 FROM o
+             |UNION ALL SELECT 'orders', 'ref:o_custkey->customer',
+             |  (SELECT CAST(n AS BIGINT) FROM o),
+             |  CAST(orph.orphans AS BIGINT), orph.orphans = 0 FROM orph
+             |UNION ALL SELECT 'events', 'unique:event_id', CAST(e.n AS BIGINT),
+             |  CAST(e.dup_key AS BIGINT), e.dup_key = 0 FROM e
+             |UNION ALL SELECT 'events', 'complete:event_type', CAST(e.n AS BIGINT),
+             |  CAST(e.null_type AS BIGINT), e.null_type = 0 FROM e
+             |UNION ALL SELECT 'events', 'in_set:event_type', CAST(e.n AS BIGINT),
+             |  CAST(e.bad_type AS BIGINT), e.bad_type = 0 FROM e
+             |UNION ALL SELECT 'events', 'range:value>=0', CAST(e.n AS BIGINT),
+             |  CAST(e.neg_value AS BIGINT), e.neg_value = 0 FROM e
+             |UNION ALL SELECT 'customer', 'unique:c_custkey', CAST(c.n AS BIGINT),
+             |  CAST(c.dup_key AS BIGINT), c.dup_key = 0 FROM c
+             |UNION ALL SELECT 'customer', 'complete:c_mktsegment', CAST(c.n AS BIGINT),
+             |  CAST(c.null_seg AS BIGINT), c.null_seg = 0 FROM c""".stripMargin))
   )
 }

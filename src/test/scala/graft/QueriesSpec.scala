@@ -109,7 +109,8 @@ class QueriesSpec extends AnyFunSuite {
     "a4d_hll_merge_daily",     // 1-row merged × 1-row direct sketch cross
     "k15_pca_ann",             // k1's 1-row query broadcast, twice (projected + exact)
     "a18b_quantile_merge_daily", // 1-row day-count × 1-row merge-check crosses
-    "gr2_cc_star"              // 1-row edge-consistency verdict broadcast
+    "gr2_cc_star",             // 1-row edge-consistency verdict broadcast
+    "dq2_constraint_report"    // 1-row per-table metric crosses (Deequ suite)
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
