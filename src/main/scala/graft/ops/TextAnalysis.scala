@@ -1281,6 +1281,80 @@ object TextAnalysis {
        |QUALIFY row_number() OVER (ORDER BY bm25 DESC, id) <= $k""".stripMargin
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty
+    * '01) — the LM-based scorer next to [[bm25TopK]]'s tf-idf family:
+    * score(d) = Σ_t ln((tf_{t,d} + μ·P(t|C)) / (dl_d + μ)), P(t|C) the
+    * corpus unigram probability. EVERY doc scores (absent terms get the
+    * smoothing mass), so the scored frame is corpus × |terms| — linear.
+    *
+    * Determinism: tf/dl/ctf/|C| are exact BIGINTs and each per-term addend
+    * runs through ONE fixed double expression tree then pins to
+    * DECIMAL(18,6) before the order-free per-doc sum (the bm25 contract).
+    * Top-k is TakeOrderedAndProject; rank a post-limit bounded window. */
+  def qlTopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, mu: Double = 2000.0): DataFrame = {
+    val dl = df.select(col(idCol), wsTokens(col(textCol)).as("__dl"))
+      .localCheckpoint(true)
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("__t"))
+    val corp = dl.agg(sum(col("__dl")).as("__ct"))
+    val ctf = toks.filter(col("__t").isInCollection(terms))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__ctf"))
+    val spine = toks.filter(col("__t").isInCollection(terms))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val perTerm = dl
+      .select(col(idCol), col("__dl"),
+        explode(array(terms.map(lit): _*)).as("__t"))
+      .join(spine, Seq(idCol, "__t"), "left")
+      .join(broadcast(ctf), Seq("__t"))
+      .crossJoin(broadcast(corp))
+      .select(col(idCol), round(
+        log((coalesce(col("__tf"), lit(0L)) +
+          lit(mu) * (col("__ctf").cast("double") / col("__ct").cast("double"))) /
+          (col("__dl") + lit(mu))), 6)
+        .cast(DecimalType(18, 6)).as("__a"))
+    val scored = perTerm.groupBy(col(idCol))
+      .agg(sum(col("__a")).cast("double").as("ql"))
+      .orderBy(col("ql").desc, col(idCol)).limit(k)
+    scored.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("ql").desc, col(idCol))).cast("long"))
+  }
+
+  /** Oracle-side spelling of [[qlTopK]]. */
+  def qlSql(idExpr: String, textExpr: String, table: String,
+      terms: Seq[String], k: Int, mu: Double = 2000.0): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val termRows = terms.map(t => s"('$t')").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT $idExpr AS id,
+       |    CAST(len(string_split($textExpr, ' ')) AS BIGINT) AS dl
+       |  FROM $table),
+       |corp AS (SELECT CAST(SUM(dl) AS BIGINT) AS ct FROM dl),
+       |toks AS (
+       |  SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS t
+       |  FROM $table),
+       |ctf AS (
+       |  SELECT t, CAST(COUNT(*) AS BIGINT) AS ctf FROM toks
+       |  WHERE t IN ($termList) GROUP BY 1),
+       |spine AS (
+       |  SELECT id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       |  WHERE t IN ($termList) GROUP BY 1, 2),
+       |per_term AS (
+       |  SELECT dl.id, CAST(round(
+       |    ln((COALESCE(s.tf, 0) + $mu * (CAST(c.ctf AS DOUBLE) / CAST(corp.ct AS DOUBLE)))
+       |       / (dl.dl + $mu)), 6) AS DECIMAL(18,6)) AS a
+       |  FROM dl CROSS JOIN (VALUES $termRows) q(t)
+       |  LEFT JOIN spine s ON s.id = dl.id AND s.t = q.t
+       |  JOIN ctf c ON c.t = q.t
+       |  CROSS JOIN corp),
+       |scored AS (
+       |  SELECT id, CAST(SUM(a) AS DOUBLE) AS ql FROM per_term GROUP BY 1)
+       |SELECT id AS $idExpr, ql,
+       |  CAST(row_number() OVER (ORDER BY ql DESC, id) AS BIGINT) AS rank
+       |FROM scored
+       |QUALIFY row_number() OVER (ORDER BY ql DESC, id) <= $k""".stripMargin
+  }
+
   def cmsHeavyHitters(df: DataFrame, textCol: String, depth: Int = 3,
       width: Int = 1024, den: Int = 100): DataFrame = {
     // The vocabulary spine feeds three consumers (counters, total, the

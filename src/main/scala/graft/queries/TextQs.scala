@@ -624,6 +624,56 @@ object TextQs {
         merges = 8),
       Some(graft.ops.Bpe.bpeEncodeSql("doc_id", "text", "documents", merges = 8))),
 
+    // T32: HYBRID retrieval fusion — BM25 (t25's tf-idf family) and
+    // Dirichlet query-likelihood (Zhai & Lafferty '01; TextAnalysis.qlTopK)
+    // rank the same query independently, then Reciprocal Rank Fusion
+    // (Cormack '09, k0 = 60) merges the lists: score = Σ 1/(60 + rank) over
+    // the lists that returned the doc. The standard hybrid-search pattern
+    // (lexical + second scorer fused by rank, not by incomparable scores);
+    // both scorers and the fusion are deterministic, so the full pipeline
+    // hash-matches. Ranks of 0 = absent from that scorer's top-20.
+    Q("t32_hybrid_rrf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val terms = Seq("spark", "window", "merge")
+        val a = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 20)
+          .select(col("doc_id"), col("rank").as("bm25_rank"))
+        val b = TextAnalysis.qlTopK(docs, "doc_id", "text", terms, k = 20)
+          .select(col("doc_id"), col("rank").as("ql_rank"))
+        val fused = a.join(b, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+            coalesce(col("ql_rank"), lit(0L)).as("ql_rank"))
+          .withColumn("rrf_score", round(
+            when(col("bm25_rank") > 0,
+              lit(1.0) / (lit(60) + col("bm25_rank"))).otherwise(lit(0.0)) +
+            when(col("ql_rank") > 0,
+              lit(1.0) / (lit(60) + col("ql_rank"))).otherwise(lit(0.0)), 8))
+          .orderBy(col("rrf_score").desc, col("doc_id")).limit(10)
+        fused.withColumn("rrf_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      },
+      Some {
+        val terms = Seq("spark", "window", "merge")
+        s"""SELECT doc_id, bm25_rank, ql_rank, rrf_score,
+           |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+           |    AS BIGINT) AS rrf_rank
+           |FROM (
+           |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           |    COALESCE(a.r, 0) AS bm25_rank, COALESCE(b.r, 0) AS ql_rank,
+           |    round(CASE WHEN a.r IS NOT NULL THEN 1.0 / (60 + a.r) ELSE 0.0 END +
+           |          CASE WHEN b.r IS NOT NULL THEN 1.0 / (60 + b.r) ELSE 0.0 END,
+           |      8) AS rrf_score
+           |  FROM (SELECT doc_id, rank AS r FROM (
+           |    ${TextAnalysis.bm25Sql("doc_id", "text", "documents", terms, 20)})) a
+           |  FULL JOIN (SELECT doc_id, rank AS r FROM (
+           |    ${TextAnalysis.qlSql("doc_id", "text", "documents", terms, 20)})) b
+           |    ON a.doc_id = b.doc_id)
+           |QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id) <= 10"""
+          .stripMargin
+      }),
+
     // T31: winnowing fingerprint overlap (Schleimer '03, the MOSS
     // algorithm; TextAnalysis.winnowFingerprints). Shift-invariant copy
     // detection with a GUARANTEE the fixed-grid ops lack: any shared run of

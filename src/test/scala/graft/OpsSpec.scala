@@ -1489,6 +1489,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("qlTopK matches a driver-side Dirichlet query-likelihood reference") {
+    val rows = Seq((1L, "a b a c"), (2L, "b b d"), (3L, "a a a a"),
+      (4L, "c d e f g h"))
+    val docs = rows.toDF("doc_id", "text")
+    val terms = Seq("a", "b")
+    val mu = 10.0
+    val got = TextAnalysis.qlTopK(docs, "doc_id", "text", terms, k = 4, mu = mu)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val words = rows.map { case (id, t) => id -> t.split(" ") }
+    val ct = words.map(_._2.length).sum.toDouble
+    val ctf = terms.map(t => t -> words.map(_._2.count(_ == t)).sum.toDouble).toMap
+    def score(id: Long): Double = {
+      val w = words.find(_._1 == id).get._2
+      terms.map { t =>
+        val a = math.log((w.count(_ == t) + mu * (ctf(t) / ct)) / (w.length + mu))
+        BigDecimal(a).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sum
+    }
+    val want = rows.map(_._1).map(id => id -> score(id))
+      .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, s), i) => (id, s, i + 1L) }
+    got.zip(want).foreach { case ((gi, gs, gr), (wi, ws, wr)) =>
+      assert(gi == wi && gr == wr && math.abs(gs - ws) < 1e-9,
+        s"got ($gi,$gs,$gr) want ($wi,$ws,$wr)")
+    }
+    // doc 3 (pure 'a' mass) must outrank doc 4 (no query terms at all)
+    assert(got.map(_._1).indexOf(3L) < got.map(_._1).indexOf(4L))
+  }
+
   test("lshCandidatesCapped: exhaustive under the cap, star above it, CC-connected") {
     // bands: (id, band, sig) — two normal buckets + one degenerate bucket
     val normal = Seq((1L, 0, "x"), (2L, 0, "x"), (3L, 0, "y"), (4L, 0, "y"), (5L, 0, "y"))
