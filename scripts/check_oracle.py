@@ -63,9 +63,21 @@ def main():
         mismatched = []
         for c in g.columns:
             a, b = g[c], w[c]
+            # Canonical-STRING compare on every column, like the driver's
+            # hash gate. No numeric branch: a numeric `Decimal == float`
+            # compare silently passes when a wider-than-int64 value (e.g.
+            # DECIMAL(38,0) ~ 9e21) survives Spark's parquet exactly but
+            # degrades to float64 in DuckDB's pandas path — exactly the
+            # divergence the driver fails on (round-6 a4c/a4d lesson).
             try:
-                if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    ok = ((a.isna() & b.isna()) | (a == b)).all()
+                if a.dtype.kind == "f" and b.dtype.kind == "f":
+                    # BOTH float: float64-normalize so float32 vs float64
+                    # repr noise doesn't mask a bit-level compare. One-sided
+                    # float (e.g. exact Decimal vs degraded float64) falls
+                    # through to the raw string compare and FAILS, as the
+                    # driver's gate does.
+                    ok = a.astype("float64").astype(str).equals(
+                        b.astype("float64").astype(str))
                 else:
                     ok = a.astype(str).fillna("\0").equals(b.astype(str).fillna("\0"))
             except Exception:

@@ -1290,7 +1290,15 @@ object TextAnalysis {
     * Determinism: tf/dl/ctf/|C| are exact BIGINTs and each per-term addend
     * runs through ONE fixed double expression tree then pins to
     * DECIMAL(18,6) before the order-free per-doc sum (the bm25 contract).
-    * Top-k is TakeOrderedAndProject; rank a post-limit bounded window. */
+    * Top-k is TakeOrderedAndProject; rank a post-limit bounded window.
+    *
+    * Zero-ctf terms: a query term with ZERO corpus occurrences is DROPPED
+    * from every doc's score (the inner join to `ctf` below; `qlSql` joins
+    * the same way). This is intentional — true Dirichlet QL with P(t|C)=0
+    * gives ln(tf/(dl+μ)) = −inf for docs lacking the term, which poisons
+    * every score — but it means scores are only comparable across queries
+    * whose terms ALL appear in the corpus; callers comparing absolute QL
+    * scores across different term sets should pre-check corpus presence. */
   def qlTopK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int, mu: Double = 2000.0): DataFrame = {
     val dl = df.select(col(idCol), wsTokens(col(textCol)).as("__dl"))

@@ -27,10 +27,15 @@ import org.apache.spark.sql.types._
   * property that makes the exact oracle possible; a t-digest or KLL state
   * would not have it).
   *
-  * `eval` returns struct(s DECIMAL(38,0), zeros INT) where
-  * s = Σ_j 2^(65 − M_j) — the harmonic-mean denominator lifted to an EXACT
-  * integer (max 256·2^65 ≈ 9.4e21, well inside DECIMAL(38,0)); zeros is the
-  * empty-register count for the linear-counting small-range correction.
+  * `eval` returns struct(s_hi BIGINT, s_lo BIGINT, zeros INT) where
+  * s_hi·2^36 + s_lo = Σ_j 2^(65 − M_j) — the harmonic-mean denominator
+  * lifted to an EXACT integer (max 256·2^65 = 2^73, so s_hi ≤ 2^37 and
+  * s_lo < 2^36, both int64-safe); zeros is the empty-register count for the
+  * linear-counting small-range correction. The hi/lo split (not a single
+  * DECIMAL(38,0)) is deliberate: values ≈ 9e21 survive Spark's parquet as
+  * exact Decimal but degrade to float64 in DuckDB's pandas conversion, so a
+  * canonical-string hash gate sees `6.48e+21` vs the exact digits and
+  * fails — every hash-gated output column must stay inside int64.
   * The floating-point estimate (alpha·m²·2^65 / s, or m·ln(m/zeros) below
   * 2.5m) is left to the caller: it is the only non-exact step, so it stays
   * OUT of the hash-gated sketch state.
@@ -71,9 +76,7 @@ case class HllSketch(
   extends HllAggBase {
   import HllSketch._
   override protected def expectedInput: DataType = StringType
-  override def dataType: DataType = StructType(Seq(
-    StructField("s", DecimalType(38, 0), nullable = false),
-    StructField("zeros", IntegerType, nullable = false)))
+  override def dataType: DataType = HllSketch.outputType
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
     updateRegisters(buf, child.eval(input))
   override def eval(buf: Array[Byte]): Any = evalStruct(buf)
@@ -124,9 +127,7 @@ case class HllMerge(
   extends HllAggBase {
   import HllSketch._
   override protected def expectedInput: DataType = BinaryType
-  override def dataType: DataType = StructType(Seq(
-    StructField("s", DecimalType(38, 0), nullable = false),
-    StructField("zeros", IntegerType, nullable = false)))
+  override def dataType: DataType = HllSketch.outputType
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
@@ -149,6 +150,12 @@ case class HllMerge(
 object HllSketch {
   /** Register count (p = 8). */
   val M = 256
+
+  /** The int64-safe sketch readout: s_hi·2^36 + s_lo = Σ 2^(65−M_j). */
+  val outputType: StructType = StructType(Seq(
+    StructField("s_hi", LongType, nullable = false),
+    StructField("s_lo", LongType, nullable = false),
+    StructField("zeros", IntegerType, nullable = false)))
 
   /** Fold one raw value (UTF8String or null) into the register array. */
   private[plans] def updateRegisters(buf: Array[Byte], v: Any): Array[Byte] = {
@@ -178,7 +185,12 @@ object HllSketch {
       if (m == 0) zeros += 1
       i += 1
     }
-    InternalRow(Decimal(new java.math.BigDecimal(s), 38, 0), zeros)
+    // Split at 2^36: max s = 2^73 so hi ≤ 2^37 — both halves int64-safe
+    // (a DECIMAL(38,0) here degrades to float64 in DuckDB's pandas path and
+    // breaks the cross-engine canonical-string hash).
+    val hi = s.shiftRight(36).longValueExact()
+    val lo = s.and(java.math.BigInteger.valueOf((1L << 36) - 1)).longValue()
+    InternalRow(hi, lo, zeros)
   }
 
   private val md = new ThreadLocal[MessageDigest] {

@@ -84,7 +84,9 @@ object Aggregates {
     // 256-byte register state). Unlike a4b's approx_count_distinct (opaque
     // xxhash64 HLL++ state, tolerance-gated only), the md5-based registers
     // are exactly replayable in SQL: the oracle rebuilds the register maxima
-    // from md5 hex strings and matches the sketch denominator (s_exact) and
+    // from md5 hex strings and matches the sketch denominator (as the
+    // int64-safe halves s_hi/s_lo = s divmod 2^36 — wider-than-int64 output
+    // columns degrade to float64 in the gate's pandas path) and the
     // empty-register count BIT-FOR-BIT, then asserts the estimate-error
     // verdict. Two paths exercised: per-event_type user_id counts hit the
     // linear-counting small-range correction; the global event_id row takes
@@ -101,15 +103,20 @@ object Aggregates {
             countDistinct(col("event_id")).as("n_exact"))
         // alpha_m·m²·2^65 / s, linear counting below 2.5m — evaluated with
         // the same literal expression tree as the oracle so the IEEE result
-        // (and hence the verdict) is engine-identical.
+        // (and hence the verdict) is engine-identical. s is reconstructed
+        // in DOUBLE from the int64-safe hi/lo halves (s_hi·2^36 + s_lo)
+        // with the identical multiply-add on both engines.
+        val sD = col("h.s_hi").cast("double") * lit(68719476736.0) +
+          col("h.s_lo").cast("double")
         val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-          lit(65536.0) * lit(math.pow(2.0, 65)) / col("h.s").cast("double")
+          lit(65536.0) * lit(math.pow(2.0, 65)) / sD
         val est = when(raw <= lit(640.0) && col("h.zeros") > 0,
           lit(256.0) * log(lit(256.0) / col("h.zeros").cast("double")))
           .otherwise(raw)
         perType.unionByName(global)
           .select(col("grp"), col("n_exact"),
-            col("h.s").as("s_exact"), col("h.zeros").as("n_zero"),
+            col("h.s_hi").as("s_hi"), col("h.s_lo").as("s_lo"),
+            col("h.zeros").as("n_zero"),
             (abs(est - col("n_exact")) <= col("n_exact") * lit(0.15))
               .as("err_ok"))
       },
@@ -138,21 +145,31 @@ object Aggregates {
              |      (256 - COUNT(*)) * (1::HUGEINT << 65) AS s,
              |    256 - COUNT(*) AS zeros
              |  FROM mx GROUP BY 1),
+             |-- int64-safe hi/lo split of s (s = s_hi*2^36 + s_lo): a
+             |-- DECIMAL(38,0) ~ 9e21 degrades to float64 in the pandas path
+             |sk2 AS (SELECT grp,
+             |    CAST(s // 68719476736 AS BIGINT) AS s_hi,
+             |    CAST(s % 68719476736 AS BIGINT) AS s_lo,
+             |    zeros
+             |  FROM sk),
              |ex AS (
              |  SELECT event_type AS grp, COUNT(DISTINCT user_id) AS n_exact
              |  FROM events GROUP BY 1
              |  UNION ALL
              |  SELECT '__all_events', COUNT(DISTINCT event_id) FROM events)
-             |SELECT e.grp, e.n_exact, CAST(s AS DECIMAL(38,0)) AS s_exact,
+             |SELECT e.grp, e.n_exact, s_hi, s_lo,
              |  CAST(zeros AS INTEGER) AS n_zero,
              |  CASE WHEN 0.7213/(1.0+1.079/256.0)*65536.0*pow(2,65)
-             |           /CAST(s AS DOUBLE) <= 640.0 AND zeros > 0
+             |           /(CAST(s_hi AS DOUBLE)*68719476736.0
+             |             + CAST(s_lo AS DOUBLE)) <= 640.0 AND zeros > 0
              |    THEN abs(256.0*ln(256.0/CAST(zeros AS DOUBLE)) - e.n_exact)
              |           <= e.n_exact * 0.15
              |    ELSE abs(0.7213/(1.0+1.079/256.0)*65536.0*pow(2,65)
-             |           /CAST(s AS DOUBLE) - e.n_exact) <= e.n_exact * 0.15
+             |           /(CAST(s_hi AS DOUBLE)*68719476736.0
+             |             + CAST(s_lo AS DOUBLE)) - e.n_exact)
+             |           <= e.n_exact * 0.15
              |  END AS err_ok
-             |FROM ex e JOIN sk USING (grp)""".stripMargin)),
+             |FROM ex e JOIN sk2 USING (grp)""".stripMargin)),
 
     // A4d: the mergeable-sketch LIFECYCLE — per-day hll_state register
     // arrays (the storable mart column) max-merged into one corpus sketch
@@ -171,8 +188,11 @@ object Aggregates {
         val direct = ev.agg(expr("hll_sketch(CAST(user_id AS STRING))").as("hd"))
         merged.crossJoin(broadcast(direct))
           .select(col("n_days"),
-            col("h.s").as("s_exact"), col("h.zeros").as("n_zero"),
-            (col("h.s") === col("hd.s") && col("h.zeros") === col("hd.zeros"))
+            col("h.s_hi").as("s_hi"), col("h.s_lo").as("s_lo"),
+            col("h.zeros").as("n_zero"),
+            (col("h.s_hi") === col("hd.s_hi") &&
+              col("h.s_lo") === col("hd.s_lo") &&
+              col("h.zeros") === col("hd.zeros"))
               .as("merge_exact"))
       },
       Some("""WITH hx AS (
@@ -198,7 +218,9 @@ object Aggregates {
              |  FROM mx),
              |days AS (SELECT COUNT(*) AS n_days
              |  FROM (SELECT DISTINCT CAST(ts AS DATE) FROM events))
-             |SELECT n_days, CAST(s AS DECIMAL(38,0)) AS s_exact,
+             |SELECT n_days,
+             |  CAST(s // 68719476736 AS BIGINT) AS s_hi,
+             |  CAST(s % 68719476736 AS BIGINT) AS s_lo,
              |  CAST(zeros AS INTEGER) AS n_zero, true AS merge_exact
              |FROM days CROSS JOIN sk""".stripMargin)),
 

@@ -155,8 +155,14 @@ object DataQuestions {
           (count(lit(1)) - countDistinct(col("o_orderkey"))).as("o_dup_key"),
           count(when(col("o_custkey").isNull, 1)).as("o_null_cust"),
           count(when(col("o_totalprice") <= 0, 1)).as("o_bad_price"))
+        // NULL-key rows are the `complete:` constraint's business, not the
+        // `ref:` one — filter them EXPLICITLY so both engines agree when the
+        // constraint fires (a bare NOT IN oracle would return NULL for a
+        // NULL o_custkey and collapse to 0 rows if any c_custkey were NULL;
+        // the anti-join would count them — divergent exactly on dirty data).
         val orphans = Tables.orders(s, d)
-          .join(Tables.customer(s, d),
+          .filter(col("o_custkey").isNotNull)
+          .join(Tables.customer(s, d).filter(col("c_custkey").isNotNull),
             col("o_custkey") === col("c_custkey"), "left_anti")
           .agg(count(lit(1)).as("o_orphans"))
         val e = Tables.events(s, d).agg(
@@ -196,8 +202,14 @@ object DataQuestions {
              |    COUNT(*) FILTER (WHERE o_totalprice <= 0) AS bad_price
              |  FROM orders),
              |orph AS (
-             |  SELECT COUNT(*) AS orphans FROM orders
-             |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+             |  -- NOT EXISTS + explicit NULL guards: NULL keys are the
+             |  -- complete: constraint's business; NOT IN would silently
+             |  -- diverge from the engine's anti-join on dirty data
+             |  SELECT COUNT(*) AS orphans FROM orders o2
+             |  WHERE o2.o_custkey IS NOT NULL AND NOT EXISTS (
+             |    SELECT 1 FROM customer c2
+             |    WHERE c2.c_custkey IS NOT NULL
+             |      AND c2.c_custkey = o2.o_custkey)),
              |e AS (
              |  SELECT COUNT(*) AS n, COUNT(*) - COUNT(DISTINCT event_id) AS dup_key,
              |    COUNT(*) FILTER (WHERE event_type IS NULL) AS null_type,

@@ -25,12 +25,15 @@ class HllSketchSpec extends AnyFunSuite {
     (s, regs.count(_ == 0))
   }
 
+  /** Reassemble s from the int64-safe hi/lo halves (s = s_hi·2^36 + s_lo). */
+  private def readSketch(row: org.apache.spark.sql.Row): (BigInt, Int) =
+    ((BigInt(row.getLong(0)) << 36) + row.getLong(1), row.getInt(2))
+
   private def sketchOf(values: Seq[String], partitions: Int): (BigInt, Int) = {
     HllSketch.register(spark)
-    val row = values.toDF("v").repartition(partitions)
+    readSketch(values.toDF("v").repartition(partitions)
       .agg(expr("hll_sketch(v)").as("h"))
-      .select(col("h.s").cast("string"), col("h.zeros")).head()
-    (BigInt(row.getString(0)), row.getInt(1))
+      .select(col("h.s_hi"), col("h.s_lo"), col("h.zeros")).head())
   }
 
   test("register state matches the driver-side reference exactly") {
@@ -65,19 +68,19 @@ class HllSketchSpec extends AnyFunSuite {
     HllSketch.register(spark)
     val df = (1 to 4000).map(i => (i % 7, s"u${i % 900}")).toDF("part", "v")
     val direct = df.agg(expr("hll_sketch(v)").as("h"))
-      .select(col("h.s").cast("string"), col("h.zeros")).head()
+      .select(col("h.s_hi"), col("h.s_lo"), col("h.zeros")).head()
     // store per-part states through a parquet roundtrip (the mart lifecycle)
     val dir = java.nio.file.Files.createTempDirectory("hll_states").toString
     df.groupBy(col("part")).agg(expr("hll_state(v)").as("st"))
       .write.mode("overwrite").parquet(dir)
     val merged = spark.read.parquet(dir)
       .agg(expr("hll_merge(st)").as("h"))
-      .select(col("h.s").cast("string"), col("h.zeros")).head()
+      .select(col("h.s_hi"), col("h.s_lo"), col("h.zeros")).head()
     assert(merged == direct)
     // merge is idempotent: unioning the same states twice changes nothing
     val doubled = spark.read.parquet(dir).unionAll(spark.read.parquet(dir))
       .agg(expr("hll_merge(st)").as("h"))
-      .select(col("h.s").cast("string"), col("h.zeros")).head()
+      .select(col("h.s_hi"), col("h.s_lo"), col("h.zeros")).head()
     assert(doubled == direct)
   }
 
@@ -85,13 +88,14 @@ class HllSketchSpec extends AnyFunSuite {
     HllSketch.register(spark)
     val row = Seq(Some("a"), None, Some("b"), None).toDF("v")
       .agg(expr("hll_sketch(v)").as("h"))
-      .select(col("h.s").cast("string"), col("h.zeros")).head()
-    assert((BigInt(row.getString(0)), row.getInt(1)) == refSketch(Seq("a", "b")))
+      .select(col("h.s_hi"), col("h.s_lo"), col("h.zeros")).head()
+    assert(readSketch(row) == refSketch(Seq("a", "b")))
     val empty = spark.emptyDataset[String].toDF("v")
       .agg(expr("hll_sketch(v)").as("h"))
-      .select(col("h.s").cast("string"), col("h.zeros")).head()
+      .select(col("h.s_hi"), col("h.s_lo"), col("h.zeros")).head()
     // all 256 registers zero -> s = 256 * 2^65, zeros = 256
-    assert(BigInt(empty.getString(0)) == (BigInt(1) << 65) * 256)
-    assert(empty.getInt(1) == 256)
+    val (es, ez) = readSketch(empty)
+    assert(es == (BigInt(1) << 65) * 256)
+    assert(ez == 256)
   }
 }
