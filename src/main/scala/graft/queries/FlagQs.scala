@@ -249,7 +249,8 @@ object FlagQs {
            |FROM rsvps r JOIN parties p ON r.party_id = p.party_id
            |WHERE r.attending = 'yes' AND p.party_day = ${asOfDay + 7}
            |GROUP BY 1""".stripMargin
-      }),
+      },
+      bench = true),
 
     // U1e: the offer's prior-state guards as anti-join annotations — the
     // 180-day re-flag guard (flag_set lookback) and the 30-day sync
@@ -284,6 +285,7 @@ object FlagQs {
               |         THEN 'sync_30d'
               |       ELSE 'none' END AS suppressed_by
               |FROM cur c LEFT JOIN prior p
-              |  ON c.user_id = p.user_id AND c.flag_type = p.flag_type""".stripMargin))
+              |  ON c.user_id = p.user_id AND c.flag_type = p.flag_type""".stripMargin),
+      bench = true)
   )
 }

@@ -30,4 +30,37 @@ class SurfaceClaimsSpec extends AnyFunSuite {
     val missing = graft.queries.Registry.all.filter(_.oracle.isEmpty).map(_.name)
     assert(missing.isEmpty, s"queries without oracle SQL: ${missing.mkString(",")}")
   }
+
+  // The round-6 "210/210 hash-green" overclaim lived in BENCH_NOTES' end-state
+  // section, not the README — so the end-state's COUNTS are test-enforced too:
+  // the declared-query figure, the denominator of every "a/b ... green" claim,
+  // and the headline-bench set size must all match the registry. (Whether the
+  // numerator is honest is the strict check_oracle replica's job; this test
+  // stops the counts from drifting as queries are added.)
+  test("BENCH_NOTES latest end-state counts match the registry") {
+    val notes = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_NOTES.md")), "UTF-8")
+    val sections = notes.split("""(?m)^## """).filter(_.startsWith("Round"))
+      .filter(_.matches("(?s)Round-\\d+ end-state.*"))
+    assert(sections.nonEmpty, "BENCH_NOTES should carry a '## Round-N end-state' section")
+    val latest = sections.maxBy(s => """Round-(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt)
+    val nReg = graft.queries.Registry.all.size
+    val nBench = graft.queries.Registry.all.count(_.bench)
+
+    val declared = """(\d+) declared queries""".r.findFirstMatchIn(latest)
+    assert(declared.nonEmpty, "end-state should state 'N declared queries'")
+    assert(declared.get.group(1).toInt == nReg,
+      s"end-state claims ${declared.get.group(1)} declared queries; registry has $nReg")
+
+    for (m <- """(\d+)/(\d+)(?=[^/\d][^.;]{0,60}green)""".r.findAllMatchIn(latest)) {
+      assert(m.group(2).toInt == nReg,
+        s"end-state green-claim denominator ${m.group(0)} != registry size $nReg")
+      assert(m.group(1).toInt <= m.group(2).toInt, s"impossible claim ${m.group(0)}")
+    }
+
+    val bench = """headline bench (\d+) queries""".r.findFirstMatchIn(latest)
+    assert(bench.nonEmpty, "end-state should state 'headline bench N queries'")
+    assert(bench.get.group(1).toInt == nBench,
+      s"end-state claims ${bench.get.group(1)} bench queries; registry has $nBench")
+  }
 }
