@@ -83,11 +83,12 @@ object Dedup {
     * delta copy of the boilerplate still collides and verifies against a
     * representative, at the trade that a delta doc near-dupping ONLY a
     * dropped member goes unmatched (such buckets are near-identical
-    * content by construction). Default = uncapped, bit-identical behavior.
+    * content by construction). Default = [[DefaultLshMaxBucket]] — capped
+    * is the production posture; pass Int.MaxValue to opt OUT.
     * Returns (id_a = delta doc, id_b = corpus doc, n_bands, jaccard). */
   def incrementalNearDup(delta: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, k: Int, numHashes: Int, bandSize: Int,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Dedup.DefaultLshMaxBucket): DataFrame = {
     val shDelta = shingles(delta, idCol, textCol, k, dedup = false)
     val shCorpus = shingles(corpus, idCol, textCol, k, dedup = false)
     // each side's signature table materializes once (same frontier as d2)
@@ -221,6 +222,19 @@ object Dedup {
     mh.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
+
+  /** Default per-bucket occupancy cap for the PRODUCTION LSH ingest paths
+    * (d2's corpus pass, d8's incremental form, st7's streaming seat). One
+    * degenerate band signature — mass-produced boilerplate, empty-ish docs,
+    * an adversarial shingle — puts m docs in one bucket and makes the
+    * candidate self-join emit m(m−1)/2 pairs: a single hot key that kills
+    * the job at 100 TB no matter how many executors exist. 1024 is far
+    * above every honestly-similar cluster observed in the synthetic corpus
+    * (bucket max: 3 at sf0.01, 8 at sf0.1 — graft.tools.BucketOcc), so
+    * capped and uncapped candidates are bit-identical at every gated and
+    * probed scale, while a true pathological bucket degrades to 1023 star
+    * edges instead of 500k+ pairs. */
+  val DefaultLshMaxBucket = 1024
 
   /** Candidate pairs sharing >= 1 band signature: (id_a, id_b, n_bands).
     * The equi-join on (band, sig) is what makes this scale: candidates are

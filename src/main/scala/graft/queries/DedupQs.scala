@@ -103,7 +103,11 @@ object DedupQs {
       d: String): org.apache.spark.sql.DataFrame = {
     val shRaw = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3, dedup = false)
     val mh = Dedup.minhash(shRaw, "doc_id", 8).localCheckpoint(true)
-    val cands = Dedup.lshCandidates(Dedup.lshBands(mh, "doc_id", 2, 8), "doc_id")
+    // capped candidate generator is the production default: bit-identical
+    // to uncapped here (bucket max 8 at sf0.1 << 1024 — see
+    // Dedup.DefaultLshMaxBucket), so the uncapped oracle still matches
+    val cands = Dedup.lshCandidatesCapped(Dedup.lshBands(mh, "doc_id", 2, 8),
+        "doc_id", Dedup.DefaultLshMaxBucket)
       .localCheckpoint(true)
     Dedup.jaccardFor(cands, shRaw, "doc_id")
   }

@@ -132,7 +132,8 @@ object Streams {
     * format-agnostic merge (same trade as [[mergeUpsert]]); on an ACID table
     * format the same call site becomes an append + MERGE. */
   def nearDupIngestBatch(batchRaw: DataFrame, stateDir: String,
-      threshold: Double, k: Int = 3, numHashes: Int = 8, bandSize: Int = 2): Unit = {
+      threshold: Double, k: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+      maxBucket: Int = graft.ops.Dedup.DefaultLshMaxBucket): Unit = {
     import graft.ops.Dedup
     val spark = batchRaw.sparkSession
     graft.core.TableSwap.recover(spark, stateDir)
@@ -158,9 +159,25 @@ object Streams {
     val aSide = freshBands.toDF("id_a", "band_a", "sig_a")
     val bFresh = freshBands.toDF("id_b", "band_b", "sig_b")
       .withColumn("__arrived", lit(false))
-    val bSide = seenBands.fold(bFresh)(sb =>
+    val bSideRaw = seenBands.fold(bFresh)(sb =>
       sb.toDF("id_b", "band_b", "sig_b").withColumn("__arrived", lit(true))
         .unionByName(bFresh))
+    // per-bucket occupancy cap on the EARLIER side (the index grows without
+    // bound as batches accumulate — a degenerate boilerplate signature would
+    // otherwise multiply every colliding fresh doc by the full bucket).
+    // Representatives prefer already-arrived docs, then smallest id — the
+    // gate only needs SOME verifying earlier candidate to reject, and the
+    // boilerplate content that creates oversized buckets verifies against
+    // any representative (the incrementalNearDup corpus-cap trade). The
+    // rank window serializes only oversized buckets' rows (linear).
+    val bSide =
+      if (maxBucket == Int.MaxValue) bSideRaw
+      else {
+        val w = Window.partitionBy(col("band_b"), col("sig_b"))
+          .orderBy(col("__arrived").desc, col("id_b"))
+        bSideRaw.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucket).drop("__rn")
+      }
     val cands = aSide.join(bSide,
         col("band_a") === col("band_b") && col("sig_a") === col("sig_b") &&
           (col("__arrived") || col("id_b") < col("id_a")))
@@ -197,11 +214,13 @@ object Streams {
     * resume from the last committed batch and replays converge. */
   def nearDupIngest(stream: DataFrame, stateDir: String, ckptDir: String,
       threshold: Double, k: Int = 3, numHashes: Int = 8,
-      bandSize: Int = 2): StreamingQuery =
+      bandSize: Int = 2,
+      maxBucket: Int = graft.ops.Dedup.DefaultLshMaxBucket): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch((batch: Dataset[Row], _: Long) =>
-        nearDupIngestBatch(batch.toDF(), stateDir, threshold, k, numHashes, bandSize))
+        nearDupIngestBatch(batch.toDF(), stateDir, threshold, k, numHashes,
+          bandSize, maxBucket))
       .trigger(Trigger.AvailableNow())
       .start()
 

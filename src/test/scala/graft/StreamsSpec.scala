@@ -411,6 +411,33 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == wantAccepted)
   }
 
+  test("nearDupIngestBatch maxBucket: boilerplate storm still rejected via representatives") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft_nd_cap_state").toString + "/t"
+    val boiler = "the same boilerplate paragraph repeated across many pages " * 3
+    // wave 1: 40 identical docs — the degenerate one-signature bucket
+    val wave1 = (100L until 140L).map(i => (i, boiler)).toDF("doc_id", "text")
+    Streams.nearDupIngestBatch(wave1, state, 0.5, maxBucket = 4)
+    val s1 = spark.read.parquet(state)
+    assert(s1.count() == 40)
+    // min-id doc accepted; every later boilerplate copy rejected even though
+    // the bucket was capped at 4 — representatives carry the connectivity
+    assert(s1.filter(col("accepted")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(100L))
+    // wave 2: one more boilerplate copy + one genuinely fresh doc, against
+    // the CAPPED persisted index
+    val wave2 = Seq((200L, boiler),
+      (201L, "a completely different unique document text here"))
+      .toDF("doc_id", "text")
+    Streams.nearDupIngestBatch(wave2, state, 0.5, maxBucket = 4)
+    val s2 = spark.read.parquet(state)
+    assert(s2.count() == 42)
+    val acc2 = s2.filter(col("accepted")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(acc2 == Set(100L, 201L), s"got $acc2")
+  }
+
   test("cmsIngest partial sketches merge to the batch sketch; replay overwrites") {
     import java.nio.file.Files
     import graft.ops.TextAnalysis
