@@ -52,10 +52,22 @@ object DailyPipeline {
       materialize("a13_risk_buckets", "at_risk_members", Seq("customer_master")),
       materialize("u1b_flag_lifecycle", "customer_flags_lifecycle", Seq("customer_flags")),
       materialize("u2_identity_components", "identity_map"),
-      // high-priority follow-up list (`build_purchased_not_checkedin.py`):
-      // customers who purchased but never produced a visit event — the j10
-      // semi+anti composite IS the mart (one definition, no drift)
-      materialize("j10_semi_anti", "purchased_not_checkedin"),
+      // customer-grain variant: customers with orders but zero event
+      // activity of any kind (the j10 semi+anti composite)
+      materialize("j10_semi_anti", "ordered_never_active"),
+      // high-priority follow-up list (`build_purchased_not_checkedin.py:
+      // 22-109`): the PER-TRANSACTION recency-windowed report — recent
+      // positive purchases with no visit since the purchase
+      materialize("rp1_purchased_not_checkedin", "purchased_not_checkedin"),
+      // per-membership conversion readout (`build_membership_conversion_
+      // metrics.py:25-113`): check-ins before each customer's first
+      // membership, bucketed — the third grain next to cv1 (per-visit)
+      // and cv2 (per-cohort)
+      materialize("cv3_membership_conversion", "membership_conversion_metrics"),
+      // flag -> email-received cross-check (`build_flag_email_verification
+      // .py`): one row per (flag, campaign) + the two sentinel classes,
+      // downstream of the flag run only by data (re-derives via flagsAt)
+      materialize("rp2_flag_email_verification", "flag_email_verification"),
       // SCD2 history of each customer's order priority — the accumulated
       // interval form of the dimension the daily re-sync would overwrite
       materialize("o7_scd2_history", "customer_priority_history"),

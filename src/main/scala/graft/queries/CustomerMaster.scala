@@ -47,16 +47,35 @@ object CustomerMaster {
 
   private val DayUs = 86400000000L
 
+  /** Synthetic contact email over `c_custkey` (SURVEY §1.2 identity model:
+    * `%7==3` models missing-email rows, `%13==12` shares the previous
+    * customer's email — the duplicate class the reference flags). Shared by
+    * the master build and the rp2 flag-email cross-check. */
+  private[queries] val synthEmail: org.apache.spark.sql.Column = {
+    val emailKey = col("c_custkey") -
+      when(col("c_custkey") % 13 === 12, 1L).otherwise(0L)
+    val domain = when(emailKey % 10 <= 3, "gmail.com")
+      .when(emailKey % 10 <= 7, "climb.org").otherwise("yahoo.net")
+    when(col("c_custkey") % 7 =!= 3,
+      concat(lit("c"), emailKey.cast("string"), lit("@"), domain))
+  }
+
+  /** Oracle-side spelling of [[synthEmail]]. */
+  private[queries] val synthEmailSql: String = {
+    val ek = "(c_custkey - CASE WHEN c_custkey % 13 = 12 THEN 1 ELSE 0 END)"
+    s"""CASE WHEN c_custkey % 7 <> 3 THEN
+       |      'c' || CAST($ek AS VARCHAR) || '@' ||
+       |      CASE WHEN $ek % 10 <= 3 THEN 'gmail.com'
+       |           WHEN $ek % 10 <= 7 THEN 'climb.org'
+       |           ELSE 'yahoo.net' END
+       |    END""".stripMargin
+  }
+
   /** The wide-master frame, reusable by downstream composites (dq1). */
   private[queries] def master(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
         // --- base + synthetic identity ------------------------------------
-        val emailKey = col("c_custkey") -
-          when(col("c_custkey") % 13 === 12, 1L).otherwise(0L)
-        val domain = when(emailKey % 10 <= 3, "gmail.com")
-          .when(emailKey % 10 <= 7, "climb.org").otherwise("yahoo.net")
-        val email = when(col("c_custkey") % 7 =!= 3,
-          concat(lit("c"), emailKey.cast("string"), lit("@"), domain))
+        val email = synthEmail
         val base = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
             col("c_nationkey"), col("c_acctbal"), email.as("email"))
@@ -186,15 +205,9 @@ object CustomerMaster {
 
   /** Oracle-side wide master (a full SELECT), reusable as a CTE body. */
   private[queries] lazy val masterSql: String = {
-    val ek = "(c_custkey - CASE WHEN c_custkey % 13 = 12 THEN 1 ELSE 0 END)"
         s"""WITH base AS (
            |  SELECT c_custkey, c_name, c_mktsegment, c_nationkey, c_acctbal,
-           |    CASE WHEN c_custkey % 7 <> 3 THEN
-           |      'c' || CAST($ek AS VARCHAR) || '@' ||
-           |      CASE WHEN $ek % 10 <= 3 THEN 'gmail.com'
-           |           WHEN $ek % 10 <= 7 THEN 'climb.org'
-           |           ELSE 'yahoo.net' END
-           |    END AS email
+           |    $synthEmailSql AS email
            |  FROM customer),
            |based AS (
            |  SELECT *, email IS NOT NULL AND

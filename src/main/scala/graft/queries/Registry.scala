@@ -25,7 +25,8 @@ object Registry {
     FamilyEdges.qs,
     Experiments.qs,
     DataQuestions.qs,
-    MlQs.qs)
+    MlQs.qs,
+    Reports.qs)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten

@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** RP1/RP2 + CV3 — the reference's small composite follow-up reports, the
+  * last unclaimed marts of its report layer:
+  *
+  *  - rp1: day-pass purchasers with no check-in
+  *    (`build_purchased_not_checkedin.py:22-109`)
+  *  - cv3: per-membership conversion metrics — check-ins before first
+  *    membership (`build_membership_conversion_metrics.py:25-113`)
+  *  - rp2: flag → email-received cross-check
+  *    (`build_flag_email_verification.py:25-277`)
+  *
+  * Event-ledger conventions follow cv1 (`ConversionFunnel`): 'view' events
+  * are facility check-ins / received campaigns, 'purchase' events are
+  * membership/day-pass purchases. The evaluation clock is the flag engine's
+  * (2024-01-31T00:00:00Z). */
+object Reports {
+
+  private val asOfUs = 1706659200000000L
+  private val DayUs = 86400000000L
+
+  val qs: Seq[Q] = Seq(
+
+    // RP1: purchasers with NO corresponding check-in — the reference's
+    // highest-priority follow-up list (`build_purchased_not_checkedin.py:
+    // 67-105`): recent positive-amount day-pass purchases (trailing 30
+    // days) with no facility visit SINCE the purchase. (The reference's
+    // transaction and check-in logs are disjoint sources, so "never checked
+    // in" is common there; in the unified event ledger the faithful reading
+    // of "purchased but no corresponding visit" is no 'view' strictly after
+    // the purchase — every synthetic user has SOME historical view, and an
+    // all-history anti-join would be structurally empty.) Per-purchase
+    // max-view comparison: the check-in side reduces to one MAX(us) per
+    // user on the same user key the join shuffles on — at 100 TB both
+    // sides hash-partition once and the 30-day window filter, not the
+    // corpus, sizes the probe side.
+    Q("rp1_purchased_not_checkedin",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev
+          .filter(col("event_type") === "purchase" && col("value") > 0.0 &&
+            Q.usecs(col("ts")) >= asOfUs - 30L * DayUs &&
+            Q.usecs(col("ts")) < asOfUs)
+        val lastView = ev
+          .filter(col("event_type") === "view" && Q.usecs(col("ts")) < asOfUs)
+          .groupBy(col("user_id")).agg(max(Q.usecs(col("ts"))).as("last_view_us"))
+        purchases.join(lastView, Seq("user_id"), "left")
+          .filter(col("last_view_us").isNull ||
+            col("last_view_us") <= Q.usecs(col("ts")))
+          .select(col("user_id").as("customer_id"),
+            col("event_id").as("transaction_id"),
+            Q.tsFmt(col("ts")).as("purchase_ts"),
+            col("value").as("amount"),
+            lit("day_pass_purchased_no_checkin").as("event_type"),
+            lit("high").as("source_confidence"))
+      },
+      Some(s"""SELECT user_id AS customer_id, event_id AS transaction_id,
+              |  ${Q.tsFmtSql("ts")} AS purchase_ts, value AS amount,
+              |  'day_pass_purchased_no_checkin' AS event_type,
+              |  'high' AS source_confidence
+              |FROM events e
+              |WHERE event_type = 'purchase' AND value > 0.0
+              |  AND ${Q.usecsSql("ts")} >= ${asOfUs - 30L * DayUs}
+              |  AND ${Q.usecsSql("ts")} < $asOfUs
+              |  AND NOT EXISTS (
+              |    SELECT 1 FROM events v
+              |    WHERE v.event_type = 'view' AND v.user_id = e.user_id
+              |      AND ${Q.usecsSql("v.ts")} > ${Q.usecsSql("e.ts")}
+              |      AND ${Q.usecsSql("v.ts")} < $asOfUs)""".stripMargin)),
+
+    // CV3: per-membership conversion readout — for each customer's FIRST
+    // membership (first 'purchase' by (ts, event_id)), how many check-ins
+    // preceded it (`build_membership_conversion_metrics.py:60-98`: groupby
+    // owner .first() after sort + per-membership prior-checkin count +
+    // 0..4/'5+' bucket). Grain: one row per first membership — cv1/cv2
+    // cover the per-VISIT and per-COHORT grains; this is the reference's
+    // third, per-MEMBERSHIP readout. Tier derives from the purchase value
+    // (the membership_type seat; the reference reads it off the membership
+    // row). Both aggregations hash-partition on the same user key — the
+    // prior-visit count joins first-membership times back to the view
+    // stream with no second shuffle of the heavy side.
+    Q("cv3_membership_conversion",
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(Q.usecs(col("ts")) < asOfUs)
+        val firstMem = ev.filter(col("event_type") === "purchase")
+          .withColumn("ok", format_string("%020d|%020d", Q.usecs(col("ts")), col("event_id")))
+          .groupBy(col("user_id"))
+          .agg(min(Q.usecs(col("ts"))).as("m_us"),
+            expr("min_by(event_id, ok)").as("membership_id"),
+            expr("min_by(value, ok)").as("m_value"))
+        val prior = firstMem
+          .join(ev.filter(col("event_type") === "view")
+              .select(col("user_id"), Q.usecs(col("ts")).as("v_us")),
+            Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("membership_id"), col("m_us"), col("m_value"))
+          .agg(count(when(col("v_us") < col("m_us"), 1)).as("previous_checkins_count"))
+        prior.select(
+          col("membership_id"), col("user_id").as("customer_id"),
+          Q.tsFmt(timestamp_micros(col("m_us"))).as("membership_start"),
+          when(col("m_value") >= 100.0, "premium")
+            .when(col("m_value") >= 30.0, "standard")
+            .otherwise("basic").as("membership_type"),
+          col("previous_checkins_count"),
+          when(col("previous_checkins_count") >= 5, "5+")
+            .otherwise(col("previous_checkins_count").cast("string"))
+            .as("checkins_bucket"))
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT *, ${Q.usecsSql("ts")} AS us FROM events
+              |  WHERE ${Q.usecsSql("ts")} < $asOfUs),
+              |fm AS (
+              |  SELECT user_id, MIN(us) AS m_us,
+              |    arg_min(event_id, printf('%020d|%020d', us, event_id)) AS membership_id,
+              |    arg_min(value, printf('%020d|%020d', us, event_id)) AS m_value
+              |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+              |pc AS (
+              |  SELECT fm.user_id, fm.membership_id, fm.m_us, fm.m_value,
+              |    COUNT(CASE WHEN v.us < fm.m_us THEN 1 END) AS previous_checkins_count
+              |  FROM fm LEFT JOIN (SELECT user_id, us FROM ev WHERE event_type = 'view') v
+              |    ON v.user_id = fm.user_id
+              |  GROUP BY 1, 2, 3, 4)
+              |SELECT membership_id, user_id AS customer_id,
+              |  ${Q.tsFmtSql("make_timestamp(m_us)")} AS membership_start,
+              |  CASE WHEN m_value >= 100.0 THEN 'premium'
+              |       WHEN m_value >= 30.0 THEN 'standard'
+              |       ELSE 'basic' END AS membership_type,
+              |  previous_checkins_count,
+              |  CASE WHEN previous_checkins_count >= 5 THEN '5+'
+              |       ELSE CAST(previous_checkins_count AS VARCHAR)
+              |  END AS checkins_bucket
+              |FROM pc""".stripMargin)),
+
+    // RP2: flag → email cross-check (`build_flag_email_verification.py:
+    // 140-277`): every active flag joined through the identity layer to a
+    // contact email, then to the campaigns that address received — one row
+    // per (flag, campaign), with the reference's two sentinel rows: a flag
+    // whose customer HAS an email but received nothing ('NO EMAILS
+    // RECEIVED') and a flag with no resolvable email ('NO EMAIL ADDRESS').
+    // Campaign rows are 'view' events (the klaviyo convention of cm1);
+    // opened/clicked derive deterministically from the payload key. The
+    // flags frame is rule-engine output (small); the campaign side is
+    // pre-grouped per user before the join, so the flags×campaigns fan-out
+    // is the report's true output size, not an intermediate blow-up.
+    Q("rp2_flag_email_verification",
+      (s, d) => {
+        val flags = FlagQs.flagsAt(s, d, asOfUs)
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey").cast("long").as("user_id"),
+            CustomerMaster.synthEmail.as("customer_email"))
+        val campaigns = Tables.events(s, d)
+          .filter(col("event_type") === "view" && Q.usecs(col("ts")) < asOfUs)
+          .select(col("user_id").as("v_user"),
+            col("event_id").as("campaign_id"),
+            Q.tsFmt(col("ts")).as("email_sent_ts"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+        flags.join(cust, Seq("user_id"), "left")
+          .join(campaigns,
+            col("user_id") === col("v_user") && col("customer_email").isNotNull,
+            "left")
+          .select(
+            col("user_id").as("customer_id"), col("customer_email"),
+            col("flag_type"), col("priority"),
+            when(col("v_user").isNotNull, "klaviyo").as("email_source"),
+            col("campaign_id"),
+            when(col("customer_email").isNull, "NO EMAIL ADDRESS")
+              .when(col("v_user").isNull, "NO EMAILS RECEIVED")
+              .otherwise(concat(lit("campaign_"), (col("k") % 20).cast("string")))
+              .as("campaign_title"),
+            col("email_sent_ts"),
+            coalesce(col("k") % 3 === 0, lit(false)).as("email_opened"),
+            coalesce(col("k") % 5 === 0, lit(false)).as("email_clicked"))
+      },
+      Some(s"""WITH flags AS (${FlagQs.flagsSql(asOfUs)}),
+              |cust AS (
+              |  SELECT CAST(c_custkey AS BIGINT) AS user_id,
+              |    ${CustomerMaster.synthEmailSql} AS customer_email
+              |  FROM customer),
+              |camp AS (
+              |  SELECT user_id AS v_user, event_id AS campaign_id,
+              |    ${Q.tsFmtSql("ts")} AS email_sent_ts,
+              |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+              |  FROM events
+              |  WHERE event_type = 'view' AND ${Q.usecsSql("ts")} < $asOfUs)
+              |SELECT f.user_id AS customer_id, c.customer_email,
+              |  f.flag_type, f.priority,
+              |  CASE WHEN camp.v_user IS NOT NULL THEN 'klaviyo' END AS email_source,
+              |  camp.campaign_id,
+              |  CASE WHEN c.customer_email IS NULL THEN 'NO EMAIL ADDRESS'
+              |       WHEN camp.v_user IS NULL THEN 'NO EMAILS RECEIVED'
+              |       ELSE 'campaign_' || CAST(camp.k % 20 AS VARCHAR)
+              |  END AS campaign_title,
+              |  camp.email_sent_ts,
+              |  COALESCE(camp.k % 3 = 0, false) AS email_opened,
+              |  COALESCE(camp.k % 5 = 0, false) AS email_clicked
+              |FROM flags f
+              |LEFT JOIN cust c ON c.user_id = f.user_id
+              |LEFT JOIN camp ON camp.v_user = f.user_id
+              |  AND c.customer_email IS NOT NULL""".stripMargin))
+  )
+}
