@@ -476,30 +476,71 @@ object Dedup {
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n_tok"))
     val dfreq = tok.groupBy(col("shingle")).agg(count(lit(1)).as("dfq"))
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("dfq"), col("shingle"))
-    val pref = tok.join(dfreq, "shingle")
+    // EVERY token ranked under the one global (dfq asc, shingle) order —
+    // the spine both the prefix index AND the verify consume (checkpointed:
+    // the corpus explode + df join + rank window run exactly once; the old
+    // generic-verify path re-exploded and re-deduped the corpus a second
+    // time, measured ~40% of the query)
+    val ranked = tok.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(wDoc))
       .join(sizes, idCol)
-      .filter(col("rn") <=
-        col("n_tok") - expr(s"(n_tok * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col(idCol), col("shingle"), col("rn"), col("n_tok"))
+      .localCheckpoint(true)
+    val pref = ranked.filter(col("rn") <=
+      col("n_tok") - expr(s"(n_tok * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
     val a = pref.select(col(idCol).as("id_a"), col("shingle"),
       col("n_tok").as("na"), col("rn").as("ra"))
     val b = pref.select(col(idCol).as("id_b"), col("shingle"),
       col("n_tok").as("nb"), col("rn").as("rb"))
-    // PPJoin positional filter (Xiao '08), still lossless: a match at sorted
-    // positions (ra, rb) can contribute at most min(na-ra, nb-rb)+1 overlap;
-    // J >= tau needs overlap >= ceil(tau/(1+tau)·(na+nb)). Keeping a pair if
-    // ANY shared prefix shingle passes is a superset of PPJoin's pair-level
-    // rule — measured 310k → 125k candidates at sf0.1.
+    // PPJoin pair-level positional filter (Xiao '08), lossless: the shared
+    // prefix tokens are a subset of the intersection, and because rn follows
+    // ONE global (dfq, shingle) order on both sides, max(ra) and max(rb)
+    // over a pair's shared prefix tokens are attained at the SAME token t*.
+    // Any OTHER shared token u (not in both prefixes) must rank globally
+    // after t*: were u before t*, u's position in a would be < ra_mx <= pa
+    // and in b < rb_mx <= pb — i.e. inside BOTH prefixes, contradiction. So
+    // overlap <= o_pref + min(na − ra*, nb − rb*); J >= tau needs overlap
+    // >= ceil(tau/(1+tau)·(na+nb)). Aggregating per pair (one groupBy,
+    // replacing the DISTINCT the candidate set needed anyway) is strictly
+    // tighter than an any-one-token rule — measured 310k → 125k → 120k
+    // candidates at sf0.1 (d10, tau=1/2).
     val sumND = tauNum + tauDen
     val cand = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b") &&
         col("nb") * tauDen >= col("na") * tauNum &&
-        col("na") * tauDen >= col("nb") * tauNum &&
-        least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
-          expr(s"((na + nb) * $tauNum + ${sumND - 1}) div $sumND"))
-      .select(col("id_a"), col("id_b")).distinct()
-    jaccardFor(cand, tok, idCol)
-      .filter(coalesce(col("n_inter"), lit(0L)) * tauDen >=
-        (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))) * tauNum)
+        col("na") * tauDen >= col("nb") * tauNum)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("o_pref"),
+        max(col("ra")).as("ra_mx"), max(col("rb")).as("rb_mx"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .filter(col("o_pref") +
+          least(col("na") - col("ra_mx"), col("nb") - col("rb_mx")) >=
+        expr(s"((na + nb) * $tauNum + ${sumND - 1}) div $sumND"))
+      .localCheckpoint(true)
+    // Exact verify FUSED with the filter state: the same argument above
+    // says every shared token is either both-prefix (counted EXACTLY by
+    // o_pref) or sits strictly after t* in BOTH lists — so
+    // n_inter = o_pref + |{shared tokens with rn_a > ra_mx AND rn_b >
+    // rb_mx}|, and the verify probes only each pair's POST-t* suffix
+    // (~ceil(tau·n) tokens) instead of re-walking whole token lists. The
+    // candidate frame already carries exact sizes, so no extra sizing join.
+    val sufA = ranked.select(col(idCol).as("sa_id"), col("shingle"),
+      col("rn").as("rn_a"))
+    val sufB = ranked.select(col(idCol).as("sb_id"), col("shingle").as("sb_shingle"),
+      col("rn").as("rn_b"))
+    val sufShared = cand
+      .join(sufA, col("id_a") === col("sa_id") && col("rn_a") > col("ra_mx"))
+      .join(sufB, col("id_b") === col("sb_id") &&
+        col("sb_shingle") === col("shingle") && col("rn_b") > col("rb_mx"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_suf"))
+    cand.join(sufShared, Seq("id_a", "id_b"), "left")
+      .withColumn("n_inter", col("o_pref") + coalesce(col("n_suf"), lit(0L)))
+      .filter(col("n_inter") * tauDen >=
+        (col("na") + col("nb") - col("n_inter")) * tauNum)
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
   }
 }
