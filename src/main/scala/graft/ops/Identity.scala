@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Identity resolution (SURVEY.md §2.9 U2, §7.4 hard part #1).
@@ -67,5 +68,60 @@ object Identity extends org.apache.spark.internal.Logging {
       .filter(col("record_id") =!= col("hub"))
       .select(col("hub").as("src"), col("record_id").as("dst"))
     connectedComponents(nodes, edges)
+  }
+
+  /** Sorted-neighborhood candidate pairs (SNM, Hernández & Stolfo '95) —
+    * the SORT-ORDER blocking family next to J7/u2b's key-EQUALITY blocks:
+    * rank every record under one global (key, id) order and emit every pair
+    * within `window` rank positions. Near-identical keys that no derived
+    * equality block shares (off-by-one ids, last-character typos) sort
+    * adjacently and are caught; candidate volume is O(n·window) by
+    * construction — the property equality blocking cannot promise on a
+    * skewed key.
+    *
+    * The global rank is computed WITHOUT a global sort window: an
+    * order-preserving shard from strided boundaries over a sorted distinct
+    * sample (the `Layout.stringRangeBucket` idea; sample capped at 100k like
+    * the layout path), in-shard row_number (frame bounded by shard size —
+    * size `buckets` so shards fit an executor at the target scale), plus
+    * cumulative shard counts joined back from a <= `buckets`-row frame.
+    * Equal keys share a shard, so two-level rank == global rank exactly.
+    * The window pairing is `window` exploded probe ranks equi-joined back —
+    * never a rank-range nested loop.
+    *
+    * Returns (id_a, id_b, key_a, key_b, rank_a, rank_b), rank_b − rank_a in
+    * [1, window]. Verification (edit distance, jaccard) is the caller's —
+    * blocking and matching stay separable, as in the paper. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+      window: Int, buckets: Int = 256): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val recs = df.select(col(idCol), col(keyCol)).filter(col(keyCol).isNotNull)
+    val distincts = recs.select(col(keyCol)).distinct().orderBy(col(keyCol))
+      .limit(100000).collect().map(_.getString(0))
+    val stride = math.max(1, distincts.length / buckets)
+    val bounds = distincts.zipWithIndex
+      .collect { case (v, i) if i % stride == 0 && i > 0 => v }
+    val shard = if (bounds.isEmpty) lit(0)
+      else size(filter(array(bounds.map(lit): _*), b => b <= col(keyCol)))
+    val base = recs.withColumn("__shard", shard)
+    val wIn = Window.partitionBy(col("__shard")).orderBy(col(keyCol), col(idCol))
+    // cumulative counts over <= buckets+1 rows — a bounded frame
+    val wCum = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = base.groupBy(col("__shard")).agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .select(col("__shard"), col("__base"))
+    val ranked = base.withColumn("__rn", row_number().over(wIn))
+      .join(bases, "__shard")
+      .withColumn("rank", (col("__base") + col("__rn")).cast("long"))
+      .select(col(idCol), col(keyCol), col("rank"))
+      .localCheckpoint(true)
+    val a = ranked.toDF("id_a", "key_a", "rank_a")
+    val b = ranked.toDF("id_b", "key_b", "rank_b")
+    a.withColumn("rank_b",
+        explode(array((1 to window).map(j => col("rank_a") + j): _*)))
+      .join(b, "rank_b")
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        col("rank_a"), col("rank_b"))
   }
 }

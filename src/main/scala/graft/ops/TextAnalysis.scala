@@ -276,6 +276,44 @@ object TextAnalysis {
       col("n_tokens"), salt, "cum_tokens")
       .filter(col("cum_tokens") <= budget)
 
+  /** Per-stratum cumulative token rank under the salted-hash order — the
+    * stratified form of [[globalTokenBudget]] (same two-level prefix sum,
+    * keyed per stratum) with the budget cut left to the caller, for
+    * per-stratum budgets like [[unimaxAllocation]]'s. Adds `n_tokens` and
+    * `cum_tokens`. */
+  def stratifiedTokenRank(df: DataFrame, strataCol: String, idCol: String,
+      tokens: Column, salt: String): DataFrame =
+    shardedPrefixSum(df.withColumn("n_tokens", tokens), Seq(strataCol), idCol,
+      col("n_tokens"), salt, "cum_tokens")
+
+  /** UniMax language-budget allocation (Chung et al. '23): spend a total
+    * token budget as uniformly as possible across languages without
+    * repeating any language more than `capNum/capDen` epochs. Languages
+    * ascending by size (ties by name); language i of the L remaining gets
+    * min(cap_i, remaining / L_left) — a language too small to absorb its
+    * uniform share is capped at `cap` epochs of itself and the leftover
+    * re-spreads over the rest. All-integer arithmetic (floor division), so
+    * an oracle recursive CTE replays the recurrence exactly.
+    *
+    * Input sizes are LANGUAGE-count rows (KB driver state, the BPE-merge-
+    * table pattern); returns (lang, size, alloc, rule) with rule =
+    * epoch_cap | budget_share. */
+  def unimaxAllocation(sizes: Seq[(String, Long)], budget: Long,
+      capNum: Long, capDen: Long): Seq[(String, Long, Long, String)] = {
+    require(budget >= 0 && capNum > 0 && capDen > 0)
+    val ordered = sizes.sortBy { case (l, s) => (s, l) }
+    var rem = budget
+    ordered.zipWithIndex.map { case ((lang, s), i) =>
+      val left = ordered.length - i
+      val cap = s * capNum / capDen
+      val share = rem / left
+      val (a, rule) =
+        if (cap <= share) (cap, "epoch_cap") else (share, "budget_share")
+      rem -= a
+      (lang, s, a, rule)
+    }
+  }
+
   /** Unigram-LM surprisal quality score (the CCNet perplexity-filter
     * analogue, with the corpus itself as the LM): mean bits of surprisal
     * -log2(cnt(w)/total) per word. Templated/boilerplate docs score LOW

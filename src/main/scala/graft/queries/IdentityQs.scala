@@ -158,6 +158,43 @@ object IdentityQs {
            |SELECT id AS node_id, comp_id,
            |  COUNT(*) OVER (PARTITION BY comp_id) AS comp_size
            |FROM comps""".stripMargin
-      })
+      }),
+
+    // U2c: sorted-neighborhood blocking (SNM, Hernández & Stolfo '95) — the
+    // SORT-ORDER blocking family next to u2b's derived-key equality blocks:
+    // rank the contact emails under one global (key, id) order, pair
+    // everything within 4 rank positions, verify with edit distance.
+    // Near-identical keys no equality block shares (an off-by-one customer
+    // number, a shared-email duplicate) sort adjacently and are caught;
+    // candidates are O(n·w) by construction regardless of key skew. The
+    // rank is the two-level order-preserving shard sum (no global sort
+    // window) — Identity.sortedNeighborhoodPairs.
+    Q("u2c_sorted_neighborhood",
+      (s, d) => {
+        val recs = Tables.customer(s, d)
+          .select(col("c_custkey").cast("long").as("id"),
+            CustomerMaster.synthEmail.as("email"))
+        Identity.sortedNeighborhoodPairs(recs, "id", "email",
+            window = 4, buckets = 64)
+          .withColumn("lev", levenshtein(col("key_a"), col("key_b")).cast("long"))
+          .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+            col("rank_a"), col("rank_b"), col("lev"),
+            (col("lev") <= 1).as("is_match"))
+      },
+      Some(s"""WITH recs AS (
+              |  SELECT CAST(c_custkey AS BIGINT) AS id,
+              |    ${CustomerMaster.synthEmailSql} AS email
+              |  FROM customer),
+              |ranked AS (
+              |  SELECT id, email,
+              |    CAST(row_number() OVER (ORDER BY email, id) AS BIGINT) AS rnk
+              |  FROM recs WHERE email IS NOT NULL)
+              |SELECT a.id AS id_a, b.id AS id_b,
+              |  a.email AS key_a, b.email AS key_b,
+              |  a.rnk AS rank_a, b.rnk AS rank_b,
+              |  CAST(levenshtein(a.email, b.email) AS BIGINT) AS lev,
+              |  levenshtein(a.email, b.email) <= 1 AS is_match
+              |FROM ranked a JOIN ranked b
+              |  ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4""".stripMargin))
   )
 }

@@ -704,6 +704,69 @@ object TextQs {
               |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
               |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
               |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // T33: UniMax language-budget allocation + cut (Chung et al. '23) —
+    // the language-mixing counterpart of t17's temperature mix: spend a
+    // 24k-token budget as uniformly as possible across languages, capping
+    // every language at 1.2 epochs of itself (small languages hit the
+    // epoch cap, the leftover re-spreads; big ones take the uniform
+    // share). The allocation recurrence runs driver-side over
+    // LANGUAGE-count rows (KB state, all-integer) and the oracle replays
+    // it as a recursive CTE; the per-language cut is the t16 two-level
+    // prefix sum stratified by lang — no language ever gathers on one
+    // partition. Selected docs carry their lang's budget + binding rule.
+    Q("t33_unimax_mix",
+      (s, d) => {
+        import graft.ops.TextAnalysis
+        import s.implicits._
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          TextAnalysis.wsTokens(col("text")).as("n_tok"))
+        val sizes = docs.groupBy(col("lang"))
+          .agg(sum(col("n_tok")).as("sz")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toSeq
+        val alloc = TextAnalysis.unimaxAllocation(sizes, budget = 24000L,
+          capNum = 6, capDen = 5)
+        val allocDf = alloc.map { case (l, _, a, rule) => (l, a, rule) }
+          .toDF("lang", "lang_budget", "alloc_rule")
+        TextAnalysis.stratifiedTokenRank(docs, "lang", "doc_id",
+            col("n_tok"), "unimax")
+          .join(broadcast(allocDf), Seq("lang"))
+          .filter(col("cum_tokens") <= col("lang_budget"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("cum_tokens"), col("lang_budget"), col("alloc_rule"))
+      },
+      Some(s"""WITH RECURSIVE t AS (
+              |  SELECT doc_id, lang, ${TextAnalysis.wsTokensSql("text")} AS n_tokens,
+              |    ${TextAnalysis.hashUnitSql("doc_id", "unimax")} AS h
+              |  FROM documents),
+              |sz AS (SELECT lang, SUM(n_tokens) AS s FROM t GROUP BY 1),
+              |ord AS (
+              |  SELECT lang, s,
+              |    CAST(row_number() OVER (ORDER BY s, lang) AS BIGINT) AS i,
+              |    (SELECT COUNT(*) FROM sz) AS l
+              |  FROM sz),
+              |alloc AS (
+              |  SELECT i, lang, s, l,
+              |    least(s * 6 // 5, 24000 // l) AS a,
+              |    24000 - least(s * 6 // 5, 24000 // l) AS rem
+              |  FROM ord WHERE i = 1
+              |  UNION ALL
+              |  SELECT o.i, o.lang, o.s, o.l,
+              |    least(o.s * 6 // 5, p.rem // (o.l - o.i + 1)),
+              |    p.rem - least(o.s * 6 // 5, p.rem // (o.l - o.i + 1))
+              |  FROM alloc p JOIN ord o ON o.i = p.i + 1),
+              |cum AS (
+              |  SELECT doc_id, lang, n_tokens,
+              |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |      AS cum_tokens
+              |  FROM t)
+              |SELECT c.doc_id, c.lang, c.n_tokens, c.cum_tokens,
+              |  CAST(a.a AS BIGINT) AS lang_budget,
+              |  CASE WHEN a.a = a.s * 6 // 5 THEN 'epoch_cap'
+              |       ELSE 'budget_share' END AS alloc_rule
+              |FROM cum c JOIN alloc a ON a.lang = c.lang
+              |WHERE c.cum_tokens <= a.a""".stripMargin))
   )
 }

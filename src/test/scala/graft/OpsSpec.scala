@@ -1623,4 +1623,55 @@ class OpsSpec extends AnyFunSuite {
       .flatMap { case (id, t) => naive(t).map { case (fp, p) => (id, fp, p) } }.toSet
     assert(got == want)
   }
+
+  test("sortedNeighborhoodPairs equals the single-order brute force across shard boundaries") {
+    import graft.ops.Identity
+    val rnd = new scala.util.Random(7)
+    // 300 keys incl. duplicates and near-neighbors; ids shuffled so rank
+    // order != id order
+    val rows = (0 until 300).map { i =>
+      (i.toLong, f"k${rnd.nextInt(120)}%04d-${rnd.nextInt(3)}")
+    }
+    val df = rnd.shuffle(rows).toDF("id", "key").repartition(7)
+    for (w <- Seq(1, 3); buckets <- Seq(1, 8, 64)) {
+      val got = Identity.sortedNeighborhoodPairs(df, "id", "key", w, buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force: one global (key, id) sort on the driver
+      val sorted = rows.sortBy { case (id, k) => (k, id) }
+      val want = (for {
+        i <- sorted.indices
+        j <- (i + 1) to math.min(i + w, sorted.length - 1)
+      } yield (sorted(i)._1, sorted(j)._1)).toSet
+      assert(got == want, s"w=$w buckets=$buckets")
+    }
+    // null keys drop out instead of ranking
+    val withNull = (rows :+ (999L, null.asInstanceOf[String])).toDF("id", "key")
+    val n = Identity.sortedNeighborhoodPairs(withNull, "id", "key", 2, 8)
+      .filter(col("id_a") === 999L || col("id_b") === 999L).count()
+    assert(n == 0)
+  }
+
+  test("unimaxAllocation: caps bind ascending, leftover re-spreads, budget never exceeded") {
+    import graft.ops.TextAnalysis
+    // sf0.01-shaped sizes: small langs cap-bound at 1.2 epochs, en takes
+    // the final share
+    val sizes = Seq("de" -> 3549L, "fr" -> 3758L, "es" -> 3958L,
+      "zh" -> 4143L, "en" -> 11757L)
+    val got = TextAnalysis.unimaxAllocation(sizes, 24000L, 6, 5)
+    assert(got.map(_._1) == Seq("de", "fr", "es", "zh", "en"), "ascending by size")
+    got.foreach { case (_, s, a, rule) =>
+      assert(a <= s * 6 / 5)
+      assert(rule == (if (a == s * 6 / 5) "epoch_cap" else "budget_share"))
+    }
+    assert(got.map(_._3).sum <= 24000L)
+    assert(got.count(_._4 == "epoch_cap") == 4 && got.last._4 == "budget_share")
+    // when every cap exceeds the uniform share, allocation is exactly uniform
+    val uniform = TextAnalysis.unimaxAllocation(
+      Seq("a" -> 1000L, "b" -> 1000L), 1000L, 10, 1)
+    assert(uniform.map(_._3) == Seq(500L, 500L))
+    // when caps bind everywhere, total spend = sum of caps
+    val capped = TextAnalysis.unimaxAllocation(
+      Seq("a" -> 10L, "b" -> 20L), 1000000L, 1, 1)
+    assert(capped.map(_._3) == Seq(10L, 20L))
+  }
 }
