@@ -471,6 +471,18 @@ object Dedup {
     * dominated, so fanout stays bounded — measured 121 s → ~2 s at sf0.1). */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int, shingleK: Int = 1): DataFrame = {
+    val (ranked, _, cand) =
+      prefixJaccardStages(df, idCol, textCol, tauNum, tauDen, shingleK)
+    prefixJaccardVerify(ranked, cand, idCol, tauNum, tauDen)
+  }
+
+  /** The (ranked spine, prefix index, candidate pairs) stages of
+    * [[prefixJaccardPairs]], exposed package-wide so the stage-level probe
+    * (tools.ProfileD10) times the PRODUCTION shapes and can never drift
+    * from them. */
+  private[graft] def prefixJaccardStages(df: DataFrame, idCol: String,
+      textCol: String, tauNum: Int, tauDen: Int, shingleK: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(tauNum > 0 && tauDen >= tauNum, s"tau must be in (0,1]: $tauNum/$tauDen")
     val tok = shingles(df, idCol, textCol, shingleK)
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n_tok"))
@@ -517,13 +529,19 @@ object Dedup {
           least(col("na") - col("ra_mx"), col("nb") - col("rb_mx")) >=
         expr(s"((na + nb) * $tauNum + ${sumND - 1}) div $sumND"))
       .localCheckpoint(true)
-    // Exact verify FUSED with the filter state: the same argument above
-    // says every shared token is either both-prefix (counted EXACTLY by
-    // o_pref) or sits strictly after t* in BOTH lists — so
-    // n_inter = o_pref + |{shared tokens with rn_a > ra_mx AND rn_b >
-    // rb_mx}|, and the verify probes only each pair's POST-t* suffix
-    // (~ceil(tau·n) tokens) instead of re-walking whole token lists. The
-    // candidate frame already carries exact sizes, so no extra sizing join.
+    (ranked, pref, cand)
+  }
+
+  /** Exact verify FUSED with the filter state (stage 2 of
+    * [[prefixJaccardPairs]]): the t* argument above says every shared token
+    * is either both-prefix (counted EXACTLY by o_pref) or sits strictly
+    * after t* in BOTH lists — so n_inter = o_pref + |{shared tokens with
+    * rn_a > ra_mx AND rn_b > rb_mx}|, and the verify probes only each
+    * pair's POST-t* suffix (~ceil(tau·n) tokens) instead of re-walking
+    * whole token lists. The candidate frame already carries exact sizes,
+    * so no extra sizing join. */
+  private[graft] def prefixJaccardVerify(ranked: DataFrame, cand: DataFrame,
+      idCol: String, tauNum: Int, tauDen: Int): DataFrame = {
     val sufA = ranked.select(col(idCol).as("sa_id"), col("shingle"),
       col("rn").as("rn_a"))
     val sufB = ranked.select(col(idCol).as("sb_id"), col("shingle").as("sb_shingle"),

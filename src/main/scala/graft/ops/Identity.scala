@@ -80,14 +80,18 @@ object Identity extends org.apache.spark.internal.Logging {
     * skewed key.
     *
     * The global rank is computed WITHOUT a global sort window: an
-    * order-preserving shard from strided boundaries over a sorted distinct
-    * sample (the `Layout.stringRangeBucket` idea; sample capped at 100k like
-    * the layout path), in-shard row_number (frame bounded by shard size —
-    * size `buckets` so shards fit an executor at the target scale), plus
-    * cumulative shard counts joined back from a <= `buckets`-row frame.
-    * Equal keys share a shard, so two-level rank == global rank exactly.
-    * The window pairing is `window` exploded probe ranks equi-joined back —
-    * never a rank-range nested loop.
+    * order-preserving shard from strided boundaries over a UNIFORM
+    * (hash-ordered, deterministic) 100k-key sample of the distinct keys —
+    * not the 100k smallest, which would dump every key above the sample
+    * into one unbounded final shard once cardinality passes the cap —
+    * in-shard row_number (frame ~n/`buckets` in expectation regardless of
+    * key cardinality; size `buckets` so shards fit an executor at the
+    * target scale), plus cumulative shard counts joined back from a
+    * <= `buckets`-row frame. Equal keys share a shard, so two-level rank ==
+    * global rank exactly (the irreducible caveat: one key with huge
+    * multiplicity still lands in one shard — rank over equal keys cannot
+    * split them). The window pairing is `window` exploded probe ranks
+    * equi-joined back — never a rank-range nested loop.
     *
     * Returns (id_a, id_b, key_a, key_b, rank_a, rank_b), rank_b − rank_a in
     * [1, window]. Verification (edit distance, jaccard) is the caller's —
@@ -95,9 +99,19 @@ object Identity extends org.apache.spark.internal.Logging {
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
       window: Int, buckets: Int = 256): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
+    require(df.schema(keyCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"sortedNeighborhoodPairs blocks on a STRING key; '$keyCol' is " +
+        s"${df.schema(keyCol).dataType.sql} — cast it (the sort order you " +
+        "get is the string's)")
     val recs = df.select(col(idCol), col(keyCol)).filter(col(keyCol).isNotNull)
-    val distincts = recs.select(col(keyCol)).distinct().orderBy(col(keyCol))
-      .limit(100000).collect().map(_.getString(0))
+    // hash-ordered limit = deterministic uniform sample; the outer orderBy
+    // re-sorts the 100k sample in SPARK's string order (UTF8 binary), so
+    // boundary spacing matches the engine's own `<=`
+    val distincts = recs.select(col(keyCol)).distinct()
+      .orderBy(md5(col(keyCol)), col(keyCol)).limit(100000)
+      .orderBy(col(keyCol))
+      .collect().map(_.getString(0))
     val stride = math.max(1, distincts.length / buckets)
     val bounds = distincts.zipWithIndex
       .collect { case (v, i) if i % stride == 0 && i > 0 => v }

@@ -720,8 +720,17 @@ object TextQs {
       (s, d) => {
         import graft.ops.TextAnalysis
         import s.implicits._
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-          TextAnalysis.wsTokens(col("text")).as("n_tok"))
+        // NULL-lang rows are excluded EXPLICITLY on both engines (the dq2
+        // NULL-pinning rule: a null String key would NPE the driver-side
+        // sortBy while the oracle carried the NULL group). The tokenized
+        // frame is checkpointed: the sizes collect and the prefix-sum cut
+        // are separate jobs, and without the frontier each re-tokenizes
+        // the corpus.
+        val docs = Tables.documents(s, d)
+          .filter(col("lang").isNotNull && col("text").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.wsTokens(col("text")).as("n_tok"))
+          .localCheckpoint(true)
         val sizes = docs.groupBy(col("lang"))
           .agg(sum(col("n_tok")).as("sz")).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toSeq
@@ -739,7 +748,8 @@ object TextQs {
       Some(s"""WITH RECURSIVE t AS (
               |  SELECT doc_id, lang, ${TextAnalysis.wsTokensSql("text")} AS n_tokens,
               |    ${TextAnalysis.hashUnitSql("doc_id", "unimax")} AS h
-              |  FROM documents),
+              |  FROM documents
+              |  WHERE lang IS NOT NULL AND text IS NOT NULL),
               |sz AS (SELECT lang, SUM(n_tokens) AS s FROM t GROUP BY 1),
               |ord AS (
               |  SELECT lang, s,

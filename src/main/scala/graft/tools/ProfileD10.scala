@@ -3,11 +3,13 @@ package graft.tools
 import graft.core.Tables
 import graft.ops.Dedup
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Stage probe for d10 (exact AllPairs+PPJoin join): times the shingle
-  * spine, the prefix candidate join, and the exact verify separately.
+  * spine, the ranked spine, the prefix index, the candidate join, and the
+  * fused verify — all via `Dedup.prefixJaccardStages`/`prefixJaccardVerify`,
+  * the PRODUCTION code paths, so the probe can never drift from the shape
+  * it claims to measure.
   * Usage: runMain graft.tools.ProfileD10 <sfDir> [reps] */
 object ProfileD10 {
   def main(args: Array[String]): Unit = {
@@ -25,47 +27,18 @@ object ProfileD10 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (tauNum, tauDen) = (1, 2)
+    val (tauNum, tauDen, k) = (1, 2, 3)
     def docs = Tables.documents(spark, sfDir)
-    def tok = Dedup.shingles(docs, "doc_id", "text", 3)
-    def pref = {
-      val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
-      val dfreq = tok.groupBy(col("shingle")).agg(count(lit(1)).as("dfq"))
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("dfq"), col("shingle"))
-      tok.join(dfreq, "shingle")
-        .withColumn("rn", row_number().over(wDoc))
-        .join(sizes, "doc_id")
-        .filter(col("rn") <=
-          col("n_tok") - expr(s"(n_tok * $tauNum + ${tauDen - 1}) div $tauDen") + 1)
-    }
-    def cand = {
-      val p = pref
-      val a = p.select(col("doc_id").as("id_a"), col("shingle"),
-        col("n_tok").as("na"), col("rn").as("ra"))
-      val b = p.select(col("doc_id").as("id_b"), col("shingle"),
-        col("n_tok").as("nb"), col("rn").as("rb"))
-      val sumND = tauNum + tauDen
-      a.join(b, Seq("shingle"))
-        .filter(col("id_a") < col("id_b") &&
-          col("nb") * tauDen >= col("na") * tauNum &&
-          col("na") * tauDen >= col("nb") * tauNum)
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("o_pref"),
-          max(col("ra")).as("ra_mx"), max(col("rb")).as("rb_mx"),
-          max(col("na")).as("na"), max(col("nb")).as("nb"))
-        .filter(col("o_pref") +
-            least(col("na") - col("ra_mx"), col("nb") - col("rb_mx")) >=
-          expr(s"((na + nb) * $tauNum + ${sumND - 1}) div $sumND"))
-        .select(col("id_a"), col("id_b"))
-    }
-    val stages: Seq[(String, () => Long)] = Seq(
-      "tok" -> (() => tok.count()),
-      "pref" -> (() => pref.count()),
-      "cand" -> (() => cand.count()),
+    def stages = Dedup.prefixJaccardStages(docs, "doc_id", "text",
+      tauNum, tauDen, k)
+    val probes: Seq[(String, () => Long)] = Seq(
+      "tok" -> (() => Dedup.shingles(docs, "doc_id", "text", k).count()),
+      "pref" -> (() => stages._2.count()),
+      "cand" -> (() => stages._3.count()),
       "full" -> (() => Dedup.prefixJaccardPairs(docs, "doc_id", "text",
-        tauNum, tauDen, shingleK = 3).count()))
-    stages.foreach { case (_, f) => f() } // warm
-    stages.foreach { case (name, f) =>
+        tauNum, tauDen, shingleK = k).count()))
+    probes.foreach { case (_, f) => f() } // warm
+    probes.foreach { case (name, f) =>
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
       }.sorted
