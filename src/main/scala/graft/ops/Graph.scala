@@ -134,4 +134,56 @@ object Graph {
       .join(lab, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp_id"))
   }
+
+  /** COMMUNITY detection by synchronous label propagation (Raghavan et al.
+    * '07), made fully deterministic: exactly `iters` synchronous rounds,
+    * each node adopting its neighbors' most frequent label with ties broken
+    * toward the SMALLEST label (init label = node id; a node with no
+    * neighbors keeps its label). Determinism makes the operator
+    * hash-verifiable — the oracle unrolls the same rounds — at the price of
+    * classic LPA's run-to-run label noise (which comes from random order /
+    * random tie-breaks, not from the algorithm's idea).
+    *
+    * Semantics vs [[connectedComponentsStar]]: components merge through ANY
+    * bridge; communities CUT weak bridges — on a near-dup graph a chain
+    * a~b~c where a and c are not similar is ONE component but (density
+    * permitting) two communities, the over-merge guard a transitive-closure
+    * clustering cannot express.
+    *
+    * Every node also votes for its OWN current label (a self-loop in the
+    * vote graph): pure synchronous LPA OSCILLATES on bipartite structure —
+    * on a 2-node component the labels swap forever and land wherever K's
+    * parity says, i.e. singleton "communities" on a pair graph — and the
+    * self-vote is the standard deterministic damper (it makes a node
+    * switch only when some neighbor label strictly beats the incumbent
+    * under the (count, min-label) order).
+    *
+    * Scale shape: each round one shuffle join (edges × labels on the node
+    * key) + two map-side-combinable aggregations; label state is
+    * node-sized. The argmax is `max_by` over a (count, −label) composite
+    * key — one aggregation, no per-node sort. */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    for (i <- 1 to iters) {
+      // The self-loop guarantees every node casts at least its own vote, so
+      // the per-round argmax alone IS the complete next label set — no join
+      // back to the previous labels needed (one shuffle join saved/round).
+      val cnt = und.join(labels, und("src") === labels("id"))
+        .groupBy(und("dst").as("nid"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = cnt.groupBy(col("nid").as("id"))
+        .agg(expr("max_by(lbl, format_string('%020d|%020d', cnt, " +
+          "1000000000000000000 - lbl))").as("lbl"))
+      if (i % 2 == 0 || i == iters) labels = labels.localCheckpoint(true)
+    }
+    labels.withColumnRenamed("lbl", "community_id")
+  }
 }

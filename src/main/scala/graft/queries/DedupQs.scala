@@ -672,6 +672,63 @@ object DedupQs {
            |SELECT id AS doc_id, cluster_id, true AS edges_consistent
            |FROM comps""".stripMargin)),
 
+    // GR3: COMMUNITY detection by deterministic synchronous label
+    // propagation (Graph.labelPropagation, Raghavan '07) over the same d5
+    // near-dup graph — NOT a gr2 duplicate: components merge through ANY
+    // bridge, communities CUT weak ones. A near-dup chain a~b~c where a,c
+    // are dissimilar is one component (gr2 merges it) but, density
+    // permitting, two communities — the over-merge guard transitive
+    // closure cannot express. 4 fixed rounds, count-then-min-label
+    // tie-break, so the oracle replays every round exactly and the labels
+    // hash-match (the gr1 unrolled-rounds pattern). n_communities ==
+    // distinct labels is emitted per row for the volume audit.
+    Q("gr3_label_communities",
+      (s, d) => {
+        import graft.ops.Graph
+        val pairs = Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3)
+          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+        val nodes = pairs.select(col("id_a").as("id"))
+          .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        val lp = Graph.labelPropagation(nodes, edges, iters = 4)
+        val cw = Window.partitionBy(col("community_id"))
+        lp.withColumn("community_size", count(lit(1)).over(cw))
+          .select(col("id").as("doc_id"), col("community_id"),
+            col("community_size"))
+      },
+      Some {
+        // Each round references the previous label set exactly ONCE: DuckDB
+        // INLINES a CTE referenced more than once, so a twice-referenced
+        // round chain re-expands the whole simhash subtree 2^rounds times.
+        // The self-vote row guarantees every node appears in its own vote
+        // count, so the argmax alone IS the next label set — no LEFT JOIN
+        // back to the previous round needed.
+        val rounds = (1 to 4).map { k =>
+          val prev = if (k == 1) "l0" else s"l${k - 1}"
+          s"""c$k AS (
+             |  SELECT e.dst AS nid, pl.lbl, COUNT(*) AS cnt
+             |  FROM uedges e JOIN $prev pl ON pl.id = e.src
+             |  GROUP BY 1, 2),
+             |l$k AS (
+             |  SELECT nid AS id, arg_max(lbl, printf('%020d|%020d', cnt,
+             |    1000000000000000000 - lbl)) AS lbl
+             |  FROM c$k GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $simhash64CtesSql,
+           |np AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+           |sym AS (
+           |  SELECT id_a AS src, id_b AS dst FROM np
+           |  UNION SELECT id_b, id_a FROM np),
+           |nd AS (SELECT src AS id FROM sym UNION SELECT dst FROM sym),
+           |-- self-vote rows: the deterministic oscillation damper
+           |uedges AS (SELECT * FROM sym UNION SELECT id, id FROM nd),
+           |l0 AS (SELECT id, id AS lbl FROM nd),
+           |$rounds,
+           |sized AS (SELECT lbl, COUNT(*) AS community_size FROM l4 GROUP BY 1)
+           |SELECT l.id AS doc_id, l.lbl AS community_id, s.community_size
+           |FROM l4 l JOIN sized s ON s.lbl = l.lbl""".stripMargin
+      }),
+
     // C1: end-to-end corpus curation — the LLM-training-data pipeline as ONE
     // declared plan: language gate → quality gate → exact-dedup keeper →
     // simhash near-dup removal (keep the lower id) → per-source token budget

@@ -118,4 +118,45 @@ class GraphSpec extends AnyFunSuite {
     val got = starCC(nodes, edges, maxIter = 10) // throws if not converged
     assert(got == nodes.map(_ -> 0L).toMap)
   }
+
+  private def lpa(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int = 4, parts: Int = 5): Map[Long, Long] =
+    graft.ops.Graph.labelPropagation(
+        nodes.toDF("id").repartition(parts),
+        edges.toDF("src", "dst").repartition(parts), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation cuts the barbell bridge that components merge through") {
+    // two triangles joined by ONE bridge edge: one COMPONENT, but the
+    // deterministic 4-round LPA (with self-vote) settles each triangle on
+    // its own label — the community-vs-component distinction gr3 declares.
+    // Hand-replayed: r1 (1,2,3|4,5,6)->(1,1,1|3,4,4),
+    // r2 ->(1,1,1|4,4,4), r3/r4 fixed.
+    val nodes = (1L to 6L)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val got = lpa(nodes, edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // same graph, one component under star contraction
+    assert(starCC(nodes, edges).values.toSet.size == 1)
+  }
+
+  test("labelPropagation self-vote: a 2-node pair converges to min, no oscillation") {
+    // without the self-vote, synchronous LPA swaps a pair's labels forever
+    // and even-K lands back on the identity — singleton "communities"
+    assert(lpa(Seq(7L, 9L), Seq((7L, 9L))) == Map(7L -> 7L, 9L -> 7L))
+  }
+
+  test("labelPropagation is partitioning-independent and keeps isolated nodes") {
+    val rnd = new scala.util.Random(13)
+    val nodes = (0L until 60L)
+    val edges = (0 until 120).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)).filter(e => e._1 != e._2)
+    val a = lpa(nodes, edges, parts = 3)
+    val b = lpa(nodes, edges, parts = 11)
+    assert(a == b)
+    // nodes 50..59 have no edges: they keep their own label
+    (50L until 60L).foreach(n => assert(a(n) == n))
+  }
 }
