@@ -160,28 +160,40 @@ object Graph {
     *
     * Scale shape: each round one shuffle join (edges × labels on the node
     * key) + two map-side-combinable aggregations; label state is
-    * node-sized. The argmax is `max_by` over a (count, −label) composite
+    * node-sized. The vote pick is `min_by` over a struct(−count, label)
     * key — one aggregation, no per-node sort. */
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       iters: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    // The label universe is nodes ∪ edge endpoints (null ids dropped,
+    // duplicate node rows collapsed): an endpoint absent from `nodes` would
+    // otherwise receive votes but cast none in round 1 — silently skewing
+    // the vote arithmetic AND leaking into the output. Every universe
+    // member gets a self-loop and an initial label. One row per node out.
+    val universe = nodes.select(col("id"))
+      .unionByName(edges.select(col("src").as("id")))
+      .unionByName(edges.select(col("dst").as("id")))
+      .filter(col("id").isNotNull).distinct()
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .unionByName(universe.select(col("id").as("src"), col("id").as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    var labels = universe.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
     for (i <- 1 to iters) {
       // The self-loop guarantees every node casts at least its own vote, so
-      // the per-round argmax alone IS the complete next label set — no join
+      // the per-round argmin alone IS the complete next label set — no join
       // back to the previous labels needed (one shuffle join saved/round).
+      // Tie-break key: min over (−cnt, lbl) = max count, then SMALLEST
+      // label. Only cnt (a positive count) is negated, so the full signed
+      // 64-bit id domain is supported — a string-encoded composite key
+      // would silently misorder negative or >1e18 ids.
       val cnt = und.join(labels, und("src") === labels("id"))
         .groupBy(und("dst").as("nid"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
       labels = cnt.groupBy(col("nid").as("id"))
-        .agg(expr("max_by(lbl, format_string('%020d|%020d', cnt, " +
-          "1000000000000000000 - lbl))").as("lbl"))
+        .agg(min_by(col("lbl"), struct(-col("cnt"), col("lbl"))).as("lbl"))
       if (i % 2 == 0 || i == iters) labels = labels.localCheckpoint(true)
     }
     labels.withColumnRenamed("lbl", "community_id")

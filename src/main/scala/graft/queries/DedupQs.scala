@@ -99,6 +99,19 @@ object DedupQs {
     *   materialized anywhere.
     * - The tiny candidate set checkpoints (three consumers: semi-filter,
     *   intersection, final join; ~0.5s at sf0.1 vs replaying signatures). */
+  /** The d5 near-dup pair graph (simhash64, hamming <= 3) as a checkpointed
+    * (nodes, edges) pair — the shared scaffold of d6/gr2/gr3, so a change to
+    * the pair source (threshold, checkpoint policy) lands in one place. */
+  private def nearDupGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val pairs = Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    (nodes, edges)
+  }
+
   private def lshVerified(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val shRaw = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3, dedup = false)
@@ -558,11 +571,7 @@ object DedupQs {
     Q("d6_neardup_clusters",
       (s, d) => {
         import graft.ops.Identity
-        val pairs = Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3)
-          .select(col("id_a"), col("id_b")).localCheckpoint(true)
-        val nodes = pairs.select(col("id_a").as("id"))
-          .unionByName(pairs.select(col("id_b").as("id"))).distinct()
-        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        val (nodes, edges) = nearDupGraph(s, d)
         // keeper via window-min (not id === comp_id): exactly one keeper per
         // cluster even if label propagation hit maxIter (see semanticDedup)
         val cw = Window.partitionBy(col("comp_id"))
@@ -643,11 +652,7 @@ object DedupQs {
     Q("gr2_cc_star",
       (s, d) => {
         import graft.ops.Graph
-        val pairs = Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3)
-          .select(col("id_a"), col("id_b")).localCheckpoint(true)
-        val nodes = pairs.select(col("id_a").as("id"))
-          .unionByName(pairs.select(col("id_b").as("id"))).distinct()
-        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        val (nodes, edges) = nearDupGraph(s, d)
         val star = Graph.connectedComponentsStar(nodes, edges).localCheckpoint(true)
         val lab = star.select(col("id"), col("comp_id"))
         val badEdges = edges
@@ -680,16 +685,12 @@ object DedupQs {
     // permitting, two communities — the over-merge guard transitive
     // closure cannot express. 4 fixed rounds, count-then-min-label
     // tie-break, so the oracle replays every round exactly and the labels
-    // hash-match (the gr1 unrolled-rounds pattern). n_communities ==
-    // distinct labels is emitted per row for the volume audit.
+    // hash-match (the gr1 unrolled-rounds pattern). community_size is
+    // emitted per row for the volume audit.
     Q("gr3_label_communities",
       (s, d) => {
         import graft.ops.Graph
-        val pairs = Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3)
-          .select(col("id_a"), col("id_b")).localCheckpoint(true)
-        val nodes = pairs.select(col("id_a").as("id"))
-          .unionByName(pairs.select(col("id_b").as("id"))).distinct()
-        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        val (nodes, edges) = nearDupGraph(s, d)
         val lp = Graph.labelPropagation(nodes, edges, iters = 4)
         val cw = Window.partitionBy(col("community_id"))
         lp.withColumn("community_size", count(lit(1)).over(cw))
@@ -697,12 +698,16 @@ object DedupQs {
             col("community_size"))
       },
       Some {
-        // Each round references the previous label set exactly ONCE: DuckDB
-        // INLINES a CTE referenced more than once, so a twice-referenced
-        // round chain re-expands the whole simhash subtree 2^rounds times.
-        // The self-vote row guarantees every node appears in its own vote
-        // count, so the argmax alone IS the next label set — no LEFT JOIN
-        // back to the previous round needed.
+        // EVERY CTE in the round chain (and the head) is referenced exactly
+        // ONCE: DuckDB INLINES a CTE referenced more than once, so a
+        // twice-referenced round chain re-expands the whole simhash subtree
+        // 2^rounds times. The self-vote row guarantees every node appears
+        // in its own vote count, so the per-round pick alone IS the next
+        // label set — no LEFT JOIN back to the previous round needed. The
+        // pick is a row_number window (cnt DESC, lbl ASC), native integer
+        // ordering — matching Spark's min_by(lbl, struct(-cnt, lbl)) on the
+        // full signed 64-bit id domain (a printf-encoded composite key
+        // would misorder negative ids).
         val rounds = (1 to 4).map { k =>
           val prev = if (k == 1) "l0" else s"l${k - 1}"
           s"""c$k AS (
@@ -710,9 +715,9 @@ object DedupQs {
              |  FROM uedges e JOIN $prev pl ON pl.id = e.src
              |  GROUP BY 1, 2),
              |l$k AS (
-             |  SELECT nid AS id, arg_max(lbl, printf('%020d|%020d', cnt,
-             |    1000000000000000000 - lbl)) AS lbl
-             |  FROM c$k GROUP BY 1)""".stripMargin
+             |  SELECT nid AS id, lbl FROM c$k
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY nid ORDER BY cnt DESC, lbl) = 1)""".stripMargin
         }.mkString(",\n")
         s"""WITH $simhash64CtesSql,
            |np AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
@@ -723,10 +728,10 @@ object DedupQs {
            |-- self-vote rows: the deterministic oscillation damper
            |uedges AS (SELECT * FROM sym UNION SELECT id, id FROM nd),
            |l0 AS (SELECT id, id AS lbl FROM nd),
-           |$rounds,
-           |sized AS (SELECT lbl, COUNT(*) AS community_size FROM l4 GROUP BY 1)
-           |SELECT l.id AS doc_id, l.lbl AS community_id, s.community_size
-           |FROM l4 l JOIN sized s ON s.lbl = l.lbl""".stripMargin
+           |$rounds
+           |SELECT id AS doc_id, lbl AS community_id,
+           |  COUNT(*) OVER (PARTITION BY lbl) AS community_size
+           |FROM l4""".stripMargin
       }),
 
     // C1: end-to-end corpus curation — the LLM-training-data pipeline as ONE

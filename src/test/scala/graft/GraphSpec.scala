@@ -148,6 +148,36 @@ class GraphSpec extends AnyFunSuite {
     assert(lpa(Seq(7L, 9L), Seq((7L, 9L))) == Map(7L -> 7L, 9L -> 7L))
   }
 
+  test("labelPropagation honors min-label ties on negative and >1e18 ids") {
+    // a printf-encoded composite tie-break key misorders both domains:
+    // '%020d' of a negative id compares lexicographically backwards, and
+    // (1e18 - lbl) underflows past 1e18 — min_by over struct(-cnt, lbl)
+    // must pick the SMALLEST label in both regimes
+    val big = 3000000000000000000L // > 1e18
+    assert(lpa(Seq(big, big + 7), Seq((big, big + 7))) ==
+      Map(big -> big, (big + 7) -> big))
+    assert(lpa(Seq(-5L, -50L), Seq((-5L, -50L))) ==
+      Map(-5L -> -50L, -50L -> -50L))
+  }
+
+  test("labelPropagation collapses duplicate node rows instead of double-voting") {
+    // nodes [3,3,1,2]: a duplicated node-3 row must NOT double node 3's
+    // round-1 vote weight at node 2 — all neighbor votes tie at 1 and the
+    // min-label break picks 1
+    val got = graft.ops.Graph.labelPropagation(
+        Seq(3L, 3L, 1L, 2L).toDF("id"),
+        Seq((3L, 2L), (1L, 2L)).toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 3 && got(2L) == 1L)
+  }
+
+  test("labelPropagation includes edge endpoints absent from the nodes frame") {
+    // universe = nodes ∪ endpoints: node 2 gets a label, a self-vote, and
+    // its votes COUNT from round 1 (it is not a silent one-way sink)
+    val got = lpa(Seq(1L), Seq((1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("labelPropagation is partitioning-independent and keeps isolated nodes") {
     val rnd = new scala.util.Random(13)
     val nodes = (0L until 60L)
