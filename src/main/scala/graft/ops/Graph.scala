@@ -198,4 +198,76 @@ object Graph {
     }
     labels.withColumnRenamed("lbl", "community_id")
   }
+
+  /** K-CORE membership by synchronous peeling (Matula & Beck '83): every
+    * round, ALL nodes of current degree < k are dropped simultaneously
+    * (with their edges); after `rounds` fixed rounds the survivors are
+    * reported. The true k-core is the peeling fixpoint; fixed rounds keep
+    * the operator deterministic and exactly oracle-replayable, and the
+    * output carries a `converged` verdict — final min degree >= k, i.e.
+    * one more round would remove nobody — so the fixpoint CLAIM is checked
+    * in-query rather than assumed (the gr2 pattern).
+    *
+    * Positioning vs the other graph ops: components (gr2) merge through
+    * ANY bridge and communities (gr3) partition without measuring density;
+    * the k-core keeps exactly the subgraph where EVERY member has >= k
+    * surviving neighbors. On a near-dup graph that is the template-farm
+    * signature: organic duplication forms shallow pairs and chains (peels
+    * away), generated boilerplate families form dense near-cliques
+    * (survive).
+    *
+    * Output: one row per universe node (nodes ∪ edge endpoints,
+    * null-filtered, deduped): `id`, `in_core`, `core_degree` (degree in
+    * the final subgraph, 0 outside it), `converged` (global, same value
+    * every row — the volume-audit/verdict column).
+    *
+    * Scale shape: per round one map-side-combinable degree aggregation
+    * over the current edge set plus a double semi-join against the
+    * survivor set; edge state shrinks monotonically; a checkpoint per
+    * round keeps the plan round-sized, and a fixpoint early-exit makes the
+    * `rounds` budget a CAP, not a cost — a generous budget costs nothing
+    * once peeling stabilizes. The convergence bit is a 1-row broadcast
+    * (the gr2/a6 pattern), not a driver collect. */
+  def kCore(nodes: DataFrame, edges: DataFrame, k: Int,
+      rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val universe = nodes.select(col("id"))
+      .unionByName(edges.select(col("src").as("id")))
+      .unionByName(edges.select(col("dst").as("id")))
+      .filter(col("id").isNotNull).distinct()
+    var e = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    // Early exit on fixpoint: peeling is monotone, so once a round removes
+    // nothing every later round is a no-op — breaking early is BIT-IDENTICAL
+    // to running the full budget (which is what the unrolled oracle does).
+    // The per-round count() on the checkpointed, shrinking edge frame is a
+    // fixpoint check, not data movement (the Identity/Graph discipline).
+    var prev = e.count()
+    var i = 0
+    while (i < rounds && prev > 0) {
+      // symmetric edge set: degree(v) = count of rows with src = v. Both
+      // endpoints must survive, or the reverse rows would break symmetry.
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("kid"))
+      val half = e.join(keep, e("src") === keep("kid"), "left_semi")
+      e = half.join(keep, half("dst") === keep("kid"), "left_semi")
+        .localCheckpoint(true)
+      val cur = e.count()
+      i = if (cur == prev) rounds else i + 1
+      prev = cur
+    }
+    val degF = e.groupBy(col("src").as("cid"))
+      .agg(count(lit(1)).as("core_degree")).localCheckpoint(true)
+    // empty final graph: MIN over zero rows is NULL -> trivially converged
+    val conv = degF.agg(
+      coalesce(min(col("core_degree")) >= k, lit(true)).as("converged"))
+    universe.join(degF, universe("id") === degF("cid"), "left")
+      .crossJoin(broadcast(conv))
+      .select(col("id"), col("cid").isNotNull.as("in_core"),
+        coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+        col("converged"))
+  }
 }

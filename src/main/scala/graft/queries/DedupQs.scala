@@ -86,6 +86,20 @@ object DedupQs {
      |JOIN sizes sa ON sa.doc_id = c.id_a
      |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin
 
+  /** The d5 near-dup pair graph (simhash64, hamming <= 3) as a checkpointed
+    * (nodes, edges) pair — the shared scaffold of d6/gr2/gr3/gr4, so a
+    * change to the pair source (threshold, checkpoint policy) lands in one
+    * place. */
+  private def nearDupGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val pairs = Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    (nodes, edges)
+  }
+
   /** The verified MinHash-LSH pair frame (keeps jaccardFor's
     * n_inter/n_a/n_b so consumers can derive further metrics).
     * Materialization frontiers, A/B-measured in rounds 3-4:
@@ -99,19 +113,6 @@ object DedupQs {
     *   materialized anywhere.
     * - The tiny candidate set checkpoints (three consumers: semi-filter,
     *   intersection, final join; ~0.5s at sf0.1 vs replaying signatures). */
-  /** The d5 near-dup pair graph (simhash64, hamming <= 3) as a checkpointed
-    * (nodes, edges) pair — the shared scaffold of d6/gr2/gr3, so a change to
-    * the pair source (threshold, checkpoint policy) lands in one place. */
-  private def nearDupGraph(s: org.apache.spark.sql.SparkSession,
-      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val pairs = Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3)
-      .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val nodes = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    (nodes, edges)
-  }
-
   private def lshVerified(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val shRaw = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3, dedup = false)
@@ -732,6 +733,58 @@ object DedupQs {
            |SELECT id AS doc_id, lbl AS community_id,
            |  COUNT(*) OVER (PARTITION BY lbl) AS community_size
            |FROM l4""".stripMargin
+      }),
+
+    // GR4: k-core DUP-FARM gate (Graph.kCore, Matula-Beck '83 peeling) over
+    // the same d5 near-dup graph — the density policy the other graph views
+    // cannot express: components (gr2) merge through ANY bridge, label
+    // communities (gr3) partition without measuring density; the 2-core
+    // keeps exactly the docs with >= 2 SURVIVING near-dup neighbors, i.e.
+    // cyclic/dense duplication (template farms, generated boilerplate)
+    // while organic pair/chain duplication peels away. A 12-round peel
+    // BUDGET (measured depth: 3 at sf0.1, 7-9 at sf1 — chains lengthen
+    // with corpus growth) + an in-query `converged` verdict (final min
+    // degree >= k — the fixpoint claim is CHECKED, the gr2 pattern); the
+    // Spark side exits early at the fixpoint, which is bit-identical
+    // because post-fixpoint rounds are no-ops, and that is exactly why the
+    // oracle may replay all 12 unconditionally. Each twice-referenced
+    // oracle CTE is pinned MATERIALIZED so DuckDB cannot re-inline the
+    // simhash subtree 2^rounds times (the gr3 lesson, other direction:
+    // peeling NEEDS two references per round — degree + filter — so
+    // materialization, not restructuring, is the fix).
+    Q("gr4_kcore_dupfarms",
+      (s, d) => {
+        import graft.ops.Graph
+        val (nodes, edges) = nearDupGraph(s, d)
+        Graph.kCore(nodes, edges, k = 2, rounds = 12)
+          .select(col("id").as("doc_id"), col("in_core"),
+            col("core_degree"), col("converged"))
+      },
+      Some {
+        val k = 2
+        val rounds = (1 to 12).map { i =>
+          val prev = if (i == 1) "e0" else s"e${i - 1}"
+          s"""k$i AS MATERIALIZED (
+             |  SELECT src AS id FROM $prev GROUP BY 1 HAVING COUNT(*) >= $k),
+             |e$i AS MATERIALIZED (
+             |  SELECT e.src, e.dst FROM $prev e
+             |  JOIN k$i a ON e.src = a.id JOIN k$i b ON e.dst = b.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $simhash64CtesSql,
+           |np AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+           |e0 AS MATERIALIZED (
+           |  SELECT id_a AS src, id_b AS dst FROM np
+           |  UNION SELECT id_b, id_a FROM np),
+           |nd AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+           |$rounds,
+           |degf AS MATERIALIZED (
+           |  SELECT src AS id, COUNT(*) AS core_degree FROM e12 GROUP BY 1),
+           |conv AS (
+           |  SELECT COALESCE(MIN(core_degree) >= $k, true) AS converged
+           |  FROM degf)
+           |SELECT n.id AS doc_id, d.id IS NOT NULL AS in_core,
+           |  COALESCE(d.core_degree, 0) AS core_degree, c.converged
+           |FROM nd n LEFT JOIN degf d ON d.id = n.id CROSS JOIN conv c""".stripMargin
       }),
 
     // C1: end-to-end corpus curation — the LLM-training-data pipeline as ONE

@@ -189,4 +189,49 @@ class GraphSpec extends AnyFunSuite {
     // nodes 50..59 have no edges: they keep their own label
     (50L until 60L).foreach(n => assert(a(n) == n))
   }
+
+  private def kcore(nodes: Seq[Long], edges: Seq[(Long, Long)], k: Int,
+      rounds: Int = 3, parts: Int = 5): Map[Long, (Boolean, Long, Boolean)] =
+    graft.ops.Graph.kCore(
+        nodes.toDF("id").repartition(parts),
+        edges.toDF("src", "dst").repartition(parts), k, rounds)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+  test("kCore keeps the triangle, peels the pendant chain, and converges") {
+    // triangle 1-2-3 with a chain 3-4-5 hanging off: the 2-core is exactly
+    // the triangle (every member has 2 surviving neighbors); the chain
+    // peels outside-in (5 in round 1, 4 in round 2)
+    val got = kcore((1L to 5L), Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L)), k = 2)
+    assert(got == Map(
+      1L -> ((true, 2L, true)), 2L -> ((true, 2L, true)),
+      3L -> ((true, 2L, true)),
+      4L -> ((false, 0L, true)), 5L -> ((false, 0L, true))))
+  }
+
+  test("kCore reports converged=false when the round budget truncates peeling") {
+    // a 6-path needs 3 simultaneous peel rounds to empty under k=2; with
+    // rounds=2 the middle pair survives at degree 1 -> NOT converged;
+    // with rounds=3 the core is empty and trivially converged
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val cut = kcore((1L to 6L), path, k = 2, rounds = 2)
+    assert(cut(3L) == ((true, 1L, false)) && cut(4L) == ((true, 1L, false)))
+    val full = kcore((1L to 6L), path, k = 2, rounds = 3)
+    assert(full.values.forall(_ == ((false, 0L, true))))
+  }
+
+  test("kCore 3-core spans two bridged cliques and is partition-invariant") {
+    // two K4 cliques joined by one bridge: every node keeps degree >= 3,
+    // so the whole graph IS its own 3-core (the bridge does not peel)
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = k4a.map { case (a, b) => (a + 10L, b + 10L) }
+    val edges = k4a ++ k4b ++ Seq((4L, 11L))
+    val a = kcore((1L to 4L) ++ (11L to 14L), edges, k = 3, parts = 3)
+    val b = kcore((1L to 4L) ++ (11L to 14L), edges, k = 3, parts = 11)
+    assert(a == b)
+    assert(a.values.forall { case (in, _, conv) => in && conv })
+    assert(a(4L)._2 == 4L && a(1L)._2 == 3L) // bridge endpoint keeps its extra edge
+  }
 }

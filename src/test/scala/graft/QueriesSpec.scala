@@ -110,6 +110,7 @@ class QueriesSpec extends AnyFunSuite {
     "k15_pca_ann",             // k1's 1-row query broadcast, twice (projected + exact)
     "a18b_quantile_merge_daily", // 1-row day-count × 1-row merge-check crosses
     "gr2_cc_star",             // 1-row edge-consistency verdict broadcast
+    "gr4_kcore_dupfarms",      // 1-row convergence verdict broadcast (gr2 shape)
     "dq2_constraint_report",   // 1-row per-table metric crosses (Deequ suite)
     "t32_hybrid_rrf"           // inherits t25's 1-row avgdl/corpus-total broadcasts
   )
