@@ -197,6 +197,11 @@ object DailyPipeline {
       // never re-pays corpus-wide shingling at scale. The oracle-gated d8
       // query IS the mart (one definition, no drift).
       materialize("d8_incremental_minhash", "incremental_dedup_report"),
+      // dup-farm density report: docs in the near-dup graph's 2-core
+      // (template farms / generated boilerplate — the density policy the
+      // component and community marts can't express), with the in-query
+      // convergence verdict downstream consumers must check before acting
+      materialize("gr4_kcore_dupfarms", "dup_farm_report"),
       // privacy mart: the shareable customer export (pseudonyms + k-anonymity
       // suppression) — the form that may leave the warehouse.
       materialize("u5_anonymize", "anonymized_customers"),
