@@ -17,6 +17,44 @@ object Aggregates {
   // A16 strength ladder — shared config, reference `build_customer_connections.py:17-39`.
   private val strengthBounds = Seq(2.0 -> "1", 5.0 -> "2", 10.0 -> "3", 20.0 -> "4")
 
+  /** Shared DuckDB replica of the HLL register pipeline (md5 → bucket =
+    * first 8 bits / rho = 1 + leading zeros of the next 64 → per-bucket
+    * max → int64-safe s_hi/s_lo/zeros readout), parameterized by a source
+    * select yielding (grp, sv). One definition for a4c/a4d/st14, so the
+    * register math exists exactly once on the oracle side too. Produces
+    * CTEs `src ... sk2(grp, s_hi, s_lo, zeros)` — callers append their own
+    * exact-count CTE and final SELECT. */
+  private[queries] def hllOracleCtes(srcSql: String): String =
+    s"""src AS ($srcSql),
+       |hx AS (SELECT grp, md5(sv) AS h FROM src WHERE sv IS NOT NULL),
+       |-- bucket = first 8 md5 bits; rho = 1 + leading zero bits of the
+       |-- next 64 (65 if all zero) — read straight off the hex string
+       |reg AS (
+       |  SELECT grp,
+       |    (strpos('0123456789abcdef', substr(h,1,1))-1)*16 +
+       |      strpos('0123456789abcdef', substr(h,2,1))-1 AS bucket,
+       |    CASE WHEN z = 16 THEN 65 ELSE 4*z + 1 +
+       |      (CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
+       |            WHEN dv >= 2 THEN 2 ELSE 3 END) END AS rho
+       |  FROM (SELECT grp, h, z,
+       |          strpos('0123456789abcdef', substr(h, 3+z, 1))-1 AS dv
+       |        FROM (SELECT grp, h,
+       |                length(regexp_extract(substr(h,3,16), '^0*')) AS z
+       |              FROM hx))),
+       |mx AS (SELECT grp, bucket, MAX(rho) AS m FROM reg GROUP BY 1, 2),
+       |sk AS (SELECT grp,
+       |    SUM(1::HUGEINT << (65 - m)) +
+       |      (256 - COUNT(*)) * (1::HUGEINT << 65) AS s,
+       |    256 - COUNT(*) AS zeros
+       |  FROM mx GROUP BY 1),
+       |-- int64-safe hi/lo split of s (s = s_hi*2^36 + s_lo): a
+       |-- DECIMAL(38,0) ~ 9e21 degrades to float64 in the pandas path
+       |sk2 AS (SELECT grp,
+       |    CAST(s // 68719476736 AS BIGINT) AS s_hi,
+       |    CAST(s % 68719476736 AS BIGINT) AS s_lo,
+       |    zeros
+       |  FROM sk)""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // A1: multi-function hash agg per key (count/min/max/sum).
@@ -120,38 +158,10 @@ object Aggregates {
             (abs(est - col("n_exact")) <= col("n_exact") * lit(0.15))
               .as("err_ok"))
       },
-      Some("""WITH src AS (
-             |  SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS sv FROM events
-             |  UNION ALL
-             |  SELECT '__all_events' AS grp, CAST(event_id AS VARCHAR) AS sv FROM events),
-             |hx AS (SELECT grp, md5(sv) AS h FROM src WHERE sv IS NOT NULL),
-             |-- bucket = first 8 md5 bits; rho = 1 + leading zero bits of the
-             |-- next 64 (65 if all zero) — read straight off the hex string
-             |reg AS (
-             |  SELECT grp,
-             |    (strpos('0123456789abcdef', substr(h,1,1))-1)*16 +
-             |      strpos('0123456789abcdef', substr(h,2,1))-1 AS bucket,
-             |    CASE WHEN z = 16 THEN 65 ELSE 4*z + 1 +
-             |      (CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
-             |            WHEN dv >= 2 THEN 2 ELSE 3 END) END AS rho
-             |  FROM (SELECT grp, h, z,
-             |          strpos('0123456789abcdef', substr(h, 3+z, 1))-1 AS dv
-             |        FROM (SELECT grp, h,
-             |                length(regexp_extract(substr(h,3,16), '^0*')) AS z
-             |              FROM hx))),
-             |mx AS (SELECT grp, bucket, MAX(rho) AS m FROM reg GROUP BY 1, 2),
-             |sk AS (SELECT grp,
-             |    SUM(1::HUGEINT << (65 - m)) +
-             |      (256 - COUNT(*)) * (1::HUGEINT << 65) AS s,
-             |    256 - COUNT(*) AS zeros
-             |  FROM mx GROUP BY 1),
-             |-- int64-safe hi/lo split of s (s = s_hi*2^36 + s_lo): a
-             |-- DECIMAL(38,0) ~ 9e21 degrades to float64 in the pandas path
-             |sk2 AS (SELECT grp,
-             |    CAST(s // 68719476736 AS BIGINT) AS s_hi,
-             |    CAST(s % 68719476736 AS BIGINT) AS s_lo,
-             |    zeros
-             |  FROM sk),
+      Some(s"""WITH ${hllOracleCtes(
+               """SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS sv FROM events
+                 |  UNION ALL
+                 |  SELECT '__all_events' AS grp, CAST(event_id AS VARCHAR) AS sv FROM events""".stripMargin)},
              |ex AS (
              |  SELECT event_type AS grp, COUNT(DISTINCT user_id) AS n_exact
              |  FROM events GROUP BY 1
@@ -195,34 +205,13 @@ object Aggregates {
               col("h.zeros") === col("hd.zeros"))
               .as("merge_exact"))
       },
-      Some("""WITH hx AS (
-             |  SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events
-             |  WHERE user_id IS NOT NULL),
-             |reg AS (
-             |  SELECT
-             |    (strpos('0123456789abcdef', substr(h,1,1))-1)*16 +
-             |      strpos('0123456789abcdef', substr(h,2,1))-1 AS bucket,
-             |    CASE WHEN z = 16 THEN 65 ELSE 4*z + 1 +
-             |      (CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
-             |            WHEN dv >= 2 THEN 2 ELSE 3 END) END AS rho
-             |  FROM (SELECT h, z,
-             |          strpos('0123456789abcdef', substr(h, 3+z, 1))-1 AS dv
-             |        FROM (SELECT h,
-             |                length(regexp_extract(substr(h,3,16), '^0*')) AS z
-             |              FROM hx))),
-             |mx AS (SELECT bucket, MAX(rho) AS m FROM reg GROUP BY 1),
-             |sk AS (SELECT
-             |    SUM(1::HUGEINT << (65 - m)) +
-             |      (256 - COUNT(*)) * (1::HUGEINT << 65) AS s,
-             |    256 - COUNT(*) AS zeros
-             |  FROM mx),
+      Some(s"""WITH ${hllOracleCtes(
+               "SELECT '__all' AS grp, CAST(user_id AS VARCHAR) AS sv FROM events")},
              |days AS (SELECT COUNT(*) AS n_days
              |  FROM (SELECT DISTINCT CAST(ts AS DATE) FROM events))
-             |SELECT n_days,
-             |  CAST(s // 68719476736 AS BIGINT) AS s_hi,
-             |  CAST(s % 68719476736 AS BIGINT) AS s_lo,
+             |SELECT n_days, s_hi, s_lo,
              |  CAST(zeros AS INTEGER) AS n_zero, true AS merge_exact
-             |FROM days CROSS JOIN sk""".stripMargin)),
+             |FROM days CROSS JOIN sk2""".stripMargin)),
 
     // A5: conditional aggregates (gross / discounted / net in one pass).
     // Reference: `dashboard.py:660-684`.

@@ -460,6 +460,48 @@ object StreamQs {
            |    AS DOUBLE) / 10000 AS p95_low,
            |  true AS stream_matches_batch
            |FROM c""".stripMargin
-      })
+      }),
+
+    // ST14: streaming HLL ingest (Streams.hllIngest) — the distinct-count
+    // sketch's ingest seat, completing the trio (st10 CMS counts, st13
+    // value quantiles, st14 distinct users): per-(batch, event_type)
+    // 256-byte hll_state register partials land by batch_id, the current
+    // sketch is their element-wise-max union (hll_merge), and because
+    // register max is associative, commutative AND IDEMPOTENT the merged
+    // readout equals the one-pass batch sketch regardless of batching or
+    // replay — asserted per group by stream_matches_batch (full readout
+    // equality vs a direct hll_sketch), with the int64-safe s_hi/s_lo/zeros
+    // readout answered FROM the merged state (the a4c/a4d contract).
+    Q("st14_stream_distinct_sketch",
+      (s, d) => {
+        val ss = streamSession(s)
+        graft.plans.HllSketch.register(ss)
+        val base = java.nio.file.Files.createTempDirectory("graft_st14_").toString
+        Streams.hllIngest(
+            Streams.eventStream(ss, asStreamDir(s"$d/events.parquet")),
+            s"$base/state", s"$base/ckpt", "user_id", "event_type")
+          .awaitTermination()
+        val merged = Streams.hllMergedSketch(ss, s"$base/state")
+        val direct = graft.core.Tables.events(ss, d)
+          .groupBy(col("event_type").as("grp"))
+          .agg(expr("hll_sketch(CAST(user_id AS STRING))").as("hd"),
+            countDistinct(col("user_id")).as("n_exact"))
+        merged.join(direct, Seq("grp"))
+          .select(col("grp"), col("n_exact"),
+            col("h.s_hi").as("s_hi"), col("h.s_lo").as("s_lo"),
+            col("h.zeros").as("n_zero"),
+            (col("h.s_hi") === col("hd.s_hi") &&
+              col("h.s_lo") === col("hd.s_lo") &&
+              col("h.zeros") === col("hd.zeros"))
+              .as("stream_matches_batch"))
+      },
+      Some(s"""WITH ${Aggregates.hllOracleCtes(
+               "SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS sv FROM events")},
+             |ex AS (
+             |  SELECT event_type AS grp, COUNT(DISTINCT user_id) AS n_exact
+             |  FROM events GROUP BY 1)
+             |SELECT e.grp, e.n_exact, s_hi, s_lo,
+             |  CAST(zeros AS INTEGER) AS n_zero, true AS stream_matches_batch
+             |FROM ex e JOIN sk2 USING (grp)""".stripMargin))
   )
 }

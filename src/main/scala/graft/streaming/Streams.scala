@@ -430,6 +430,47 @@ object Streams {
         StructField("bucket", IntegerType), StructField("cnt", LongType))),
       Seq("bucket"), "cnt")
 
+  /** Streaming HLL ingest — the DISTINCT-count sketch's ingest seat,
+    * completing the sketch trio next to [[cmsIngest]] (counts) and
+    * [[quantileIngest]] (quantiles): each micro-batch reduces to its OWN
+    * per-group 256-byte `hll_state` register partial landed at
+    * `stateDir/batch_id=<id>/`. Replay-idempotent TWICE over: a partial is
+    * a pure function of its batch landed by overwrite (the cmsIngest
+    * argument), and the register merge (element-wise max) is itself
+    * idempotent — even a double-merged partial cannot change the union,
+    * the property the additive CMS/quantile states do NOT have. State
+    * growth is one 256-byte row per (batch, group). */
+  def hllIngest(stream: DataFrame, stateDir: String, ckptDir: String,
+      valueCol: String = "user_id",
+      groupCol: String = "event_type"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        graft.plans.HllSketch.register(batch.sparkSession)
+        batch.toDF().groupBy(col(groupCol).as("grp"))
+          .agg(expr(s"hll_state(CAST($valueCol AS STRING))").as("st"))
+          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Union the per-batch register partials into the current per-group
+    * sketch readout — element-wise max (`hll_merge`) is the merge; sketch
+    * union is exact, no error compounds. Zero-batch ingest = no groups =
+    * the empty readout (not an error). Output: (grp, h struct(s_hi, s_lo,
+    * zeros)) — the a4c/a4d int64-safe contract. */
+  def hllMergedSketch(spark: SparkSession, stateDir: String): DataFrame = {
+    graft.plans.HllSketch.register(spark)
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(path))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+          StructField("grp", StringType), StructField("st", BinaryType))))
+      else spark.read.parquet(stateDir)
+    parts.groupBy(col("grp")).agg(expr("hll_merge(st)").as("h"))
+  }
+
   /** Streaming CDC chunk-census ingest — t28's shift-invariant chunk
     * census as an ingest seat, on the [[cmsIngest]] partial-landing
     * pattern: each micro-batch chunks its documents and lands its OWN

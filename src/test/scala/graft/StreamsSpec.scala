@@ -623,4 +623,46 @@ class StreamsSpec extends AnyFunSuite {
     // zero-batch ingest reads as the empty census, not an error
     assert(Streams.cdcMergedCensus(spark, state + "_nope").count() == 0)
   }
+
+  test("hllIngest register partials merge to the batch sketch; double-merge is a no-op") {
+    import java.nio.file.Files
+    graft.plans.HllSketch.register(spark)
+    val in = Files.createTempDirectory("graft_hll_in")
+    val state = Files.createTempDirectory("graft_hll_state").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_hll_ckpt").toString
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+      .localCheckpoint(true)
+    def arrive(tag: String, part: org.apache.spark.sql.DataFrame): Unit = {
+      val sub = in.resolve(tag)
+      part.coalesce(1).write.parquet(sub.toString)
+      Files.list(sub).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, in.resolve(tag + "_" + p.getFileName.toString))
+      }
+    }
+    def readout(d: org.apache.spark.sql.DataFrame, h: String) =
+      d.select(col("grp"), col(s"$h.s_hi"), col(s"$h.s_lo"), col(s"$h.zeros"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    val want = readout(ev.groupBy(col("event_type").as("grp"))
+      .agg(expr("hll_sketch(CAST(user_id AS STRING))").as("h")), "h")
+
+    val mid = ev.agg(expr("percentile_approx(event_id, 0.5)")).head.getLong(0)
+    arrive("a", ev.filter(col("event_id") < mid))
+    Streams.hllIngest(Streams.eventStream(spark, in.toString),
+      state, ckpt).awaitTermination()
+    arrive("b", ev.filter(col("event_id") >= mid))
+    Streams.hllIngest(Streams.eventStream(spark, in.toString),
+      state, ckpt).awaitTermination()
+    assert(readout(Streams.hllMergedSketch(spark, state), "h") == want,
+      "merged register partials must equal the one-shot batch sketch")
+
+    // register max is IDEMPOTENT: merging a partial twice (the crash window
+    // an additive state cannot survive) still cannot change the union
+    spark.read.parquet(s"$state/batch_id=0")
+      .write.mode("overwrite").parquet(s"$state/batch_id=99")
+    assert(readout(Streams.hllMergedSketch(spark, state), "h") == want)
+    // zero-batch ingest reads as the empty readout, not an error
+    assert(Streams.hllMergedSketch(spark, state + "_nope").count() == 0)
+  }
 }
