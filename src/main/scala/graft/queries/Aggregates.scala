@@ -133,10 +133,16 @@ object Aggregates {
       (s, d) => {
         graft.plans.HllSketch.register(s)
         val ev = Tables.events(s, d)
-        val perType = ev.groupBy(col("event_type").as("grp"))
+        // null sketch values are dropped BEFORE grouping so a group whose
+        // values are all NULL vanishes on BOTH engines (the oracle's hx
+        // filters before grouping) instead of lingering as an all-zero
+        // sketch row only Spark emits
+        val perType = ev.filter(col("user_id").isNotNull)
+          .groupBy(col("event_type").as("grp"))
           .agg(expr("hll_sketch(CAST(user_id AS STRING))").as("h"),
             countDistinct(col("user_id")).as("n_exact"))
-        val global = ev.groupBy(lit("__all_events").as("grp"))
+        val global = ev.filter(col("event_id").isNotNull)
+          .groupBy(lit("__all_events").as("grp"))
           .agg(expr("hll_sketch(CAST(event_id AS STRING))").as("h"),
             countDistinct(col("event_id")).as("n_exact"))
         // alpha_m·m²·2^65 / s, linear counting below 2.5m — evaluated with
@@ -209,9 +215,16 @@ object Aggregates {
                "SELECT '__all' AS grp, CAST(user_id AS VARCHAR) AS sv FROM events")},
              |days AS (SELECT COUNT(*) AS n_days
              |  FROM (SELECT DISTINCT CAST(ts AS DATE) FROM events))
-             |SELECT n_days, s_hi, s_lo,
-             |  CAST(zeros AS INTEGER) AS n_zero, true AS merge_exact
-             |FROM days CROSS JOIN sk2""".stripMargin)),
+             |-- LEFT JOIN + empty-sketch COALESCE: on an empty events table
+             |-- Spark's ungrouped agg still emits 1 row with the all-zero
+             |-- readout (s = 256*2^65 -> hi 2^37, lo 0, zeros 256); the
+             |-- grouped sk2 has no row, so the join must not drop days'
+             |SELECT n_days,
+             |  COALESCE(s_hi, 137438953472) AS s_hi,
+             |  COALESCE(s_lo, 0) AS s_lo,
+             |  CAST(COALESCE(zeros, 256) AS INTEGER) AS n_zero,
+             |  true AS merge_exact
+             |FROM days LEFT JOIN sk2 ON true""".stripMargin)),
 
     // A5: conditional aggregates (gross / discounted / net in one pass).
     // Reference: `dashboard.py:660-684`.

@@ -482,7 +482,11 @@ object StreamQs {
             s"$base/state", s"$base/ckpt", "user_id", "event_type")
           .awaitTermination()
         val merged = Streams.hllMergedSketch(ss, s"$base/state")
+        // the same null-row pre-filter as hllIngest: an event_type whose
+        // user_ids are all NULL must vanish on BOTH engines (the oracle's
+        // hx filters before grouping), not linger as an all-zero sketch
         val direct = graft.core.Tables.events(ss, d)
+          .filter(col("user_id").isNotNull)
           .groupBy(col("event_type").as("grp"))
           .agg(expr("hll_sketch(CAST(user_id AS STRING))").as("hd"),
             countDistinct(col("user_id")).as("n_exact"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -384,25 +384,28 @@ object Streams {
     * that saw zero batches has no state dir yet; that is the EMPTY sketch,
     * not an error. */
   /** Shared merged-state reader for the partial-landing ingest seats: read
-    * every batch_id partial under `stateDir` and re-SUM `sumCol` per
-    * `keyCols` (addition is each state's merge operator); a missing state
-    * dir = an ingest that saw zero batches = the EMPTY state, not an error. */
+    * every batch_id partial under `stateDir` and fold `mergeAgg` per
+    * `keyCols` (each state's own merge operator — SUM for the additive
+    * counter/histogram states, register-max `hll_merge` for HLL); a
+    * missing state dir = an ingest that saw zero batches = the EMPTY
+    * state, not an error. */
   private def mergedState(spark: SparkSession, stateDir: String,
-      emptySchema: StructType, keyCols: Seq[String], sumCol: String): DataFrame = {
+      emptySchema: StructType, keyCols: Seq[String],
+      mergeAgg: Column): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], emptySchema)
-    else
-      spark.read.parquet(stateDir)
-        .groupBy(keyCols.map(col): _*).agg(sum(col(sumCol)).as(sumCol))
+    val parts =
+      if (!fs.exists(path))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], emptySchema)
+      else spark.read.parquet(stateDir)
+    parts.groupBy(keyCols.map(col): _*).agg(mergeAgg)
   }
 
   def cmsMergedCounters(spark: SparkSession, stateDir: String): DataFrame =
     mergedState(spark, stateDir, StructType(Seq(
         StructField("__j", IntegerType), StructField("__b", LongType),
         StructField("__cnt", LongType))),
-      Seq("__j", "__b"), "__cnt")
+      Seq("__j", "__b"), sum(col("__cnt")).as("__cnt"))
 
   /** Streaming quantile-histogram ingest — a18's deterministic mergeable
     * quantile sketch as an ingest seat, on the [[cmsIngest]]
@@ -428,7 +431,7 @@ object Streams {
   def quantileMergedHistogram(spark: SparkSession, stateDir: String): DataFrame =
     mergedState(spark, stateDir, StructType(Seq(
         StructField("bucket", IntegerType), StructField("cnt", LongType))),
-      Seq("bucket"), "cnt")
+      Seq("bucket"), sum(col("cnt")).as("cnt"))
 
   /** Streaming HLL ingest — the DISTINCT-count sketch's ingest seat,
     * completing the sketch trio next to [[cmsIngest]] (counts) and
@@ -447,7 +450,12 @@ object Streams {
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         graft.plans.HllSketch.register(batch.sparkSession)
-        batch.toDF().groupBy(col(groupCol).as("grp"))
+        // null values are dropped BEFORE grouping (not just ignored by the
+        // sketch update), so a group whose values are all NULL emits no
+        // partial at all — pinning the group-existence semantics to the
+        // oracle's `WHERE sv IS NOT NULL` exactly
+        batch.toDF().filter(col(valueCol).isNotNull)
+          .groupBy(col(groupCol).as("grp"))
           .agg(expr(s"hll_state(CAST($valueCol AS STRING))").as("st"))
           .write.mode("overwrite").parquet(s"$stateDir/batch_id=$id")
       }
@@ -461,14 +469,9 @@ object Streams {
     * zeros)) — the a4c/a4d int64-safe contract. */
   def hllMergedSketch(spark: SparkSession, stateDir: String): DataFrame = {
     graft.plans.HllSketch.register(spark)
-    val path = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts =
-      if (!fs.exists(path))
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
-          StructField("grp", StringType), StructField("st", BinaryType))))
-      else spark.read.parquet(stateDir)
-    parts.groupBy(col("grp")).agg(expr("hll_merge(st)").as("h"))
+    mergedState(spark, stateDir, StructType(Seq(
+        StructField("grp", StringType), StructField("st", BinaryType))),
+      Seq("grp"), expr("hll_merge(st)").as("h"))
   }
 
   /** Streaming CDC chunk-census ingest — t28's shift-invariant chunk
@@ -496,7 +499,7 @@ object Streams {
   def cdcMergedCensus(spark: SparkSession, stateDir: String): DataFrame =
     mergedState(spark, stateDir, StructType(Seq(
         StructField("__h", StringType), StructField("__occ", LongType))),
-      Seq("__h"), "__occ")
+      Seq("__h"), sum(col("__occ")).as("__occ"))
 
   /** Streaming corpus-mix drift ingest — t26's monitoring state kept
     * CURRENT between crawls: each micro-batch reduces to its own
@@ -528,7 +531,7 @@ object Streams {
     mergedState(spark, stateDir, StructType(Seq(
         StructField(srcCol, StringType), StructField("__b", LongType),
         StructField("__c", LongType))),
-      Seq(srcCol, "__b"), "__c")
+      Seq(srcCol, "__b"), sum(col("__c")).as("__c"))
 
   /** Gap-based session windows per user: `session_window` keeps a window
     * open while events keep arriving within `gap` of the last one, merging
