@@ -23,7 +23,9 @@ class SurfaceClaimsSpec extends AnyFunSuite {
   test("README pipeline job count matches DailyPipeline.jobs.size") {
     val n = graft.pipeline.DailyPipeline.jobs("/root/testdata/sf0.001", "/tmp/x").size
     val claims = """(\d+)[- ]job""".r.findAllMatchIn(readme).map(_.group(1).toInt).toSet
-    assert(claims.contains(n), s"README job-count claims $claims; pipeline has $n jobs")
+    // EVERY job-count claim must match — a contains-check let a stale
+    // "58 jobs" coexist with the correct figure for three rounds
+    assert(claims == Set(n), s"README job-count claims $claims; pipeline has $n jobs")
   }
 
   test("every registry query has an oracle entry") {
