@@ -179,9 +179,14 @@ object Classifier {
       .agg(count(lit(1)).as("n"),
         sum(col("__p").cast(dec6)).as("__sp"),
         sum(when(col("label"), 1L).otherwise(0L)).as("__pos"))
+      // exact integer HALF-UP ratios in micro-units (the t15/t34 half-tie
+      // fix): round(S/n, 6) on the double quotient can land exactly on a
+      // 1e-6 half-tie, where the engines' rounding algorithms disagree
       .select(col("bin"), col("n"),
-        round(col("__sp").cast("double") / col("n"), 6).as("mean_p"),
-        round(col("__pos").cast("double") / col("n"), 6).as("pos_rate"))
+        (expr("(2 * CAST(__sp * 1000000 AS BIGINT) + n) div (2 * n)")
+          .cast("double") / 1000000.0).as("mean_p"),
+        (expr("(2000000 * __pos + n) div (2 * n)")
+          .cast("double") / 1000000.0).as("pos_rate"))
       .withColumn("gap", round(col("mean_p") - col("pos_rate"), 6))
   }
 
@@ -199,13 +204,16 @@ object Classifier {
        |    CAST(COUNT(*) AS BIGINT) AS n,
        |    SUM(CAST(p AS DECIMAL(18,6))) AS sp,
        |    SUM(CASE WHEN label THEN 1 ELSE 0 END) AS pos
-       |  FROM pr GROUP BY 1)
-       |SELECT bin, n,
-       |  round(CAST(sp AS DOUBLE) / n, 6) AS mean_p,
-       |  round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
-       |  round(round(CAST(sp AS DOUBLE) / n, 6) -
-       |        round(CAST(pos AS DOUBLE) / n, 6), 6) AS gap
-       |FROM b""".stripMargin
+       |  FROM pr GROUP BY 1),
+       |r AS (
+       |  SELECT bin, n,
+       |    CAST((2 * CAST(sp * 1000000 AS BIGINT) + n) // (2 * n) AS DOUBLE)
+       |      / 1000000.0 AS mean_p,
+       |    CAST((2000000 * pos + n) // (2 * n) AS DOUBLE) / 1000000.0 AS pos_rate
+       |  FROM b)
+       |SELECT bin, n, mean_p, pos_rate,
+       |  round(mean_p - pos_rate, 6) AS gap
+       |FROM r""".stripMargin
 
   /** The shared CTE block ending in `scored` (id, is_holdout, label,
     * n_words, nb_score) — the oracle replay of [[nbScores]]. */

@@ -236,8 +236,14 @@ object SimilaritySearch {
     val cohesion = scored.groupBy(col(cellCol))
       .agg(count(lit(1)).as("n"),
         sum(col("cos_centroid").cast(DecimalType(18, 6))).as("__s"))
+      // exact integer HALF-UP mean in micro-units (the t15/t34 half-tie
+      // fix): round(S6/n, 6) on the double quotient can land exactly on a
+      // 1e-6 half-tie (S6 has 6 decimals), where the engines' rounding
+      // algorithms disagree; (2·S6µ + n) div (2n) is identical at every
+      // non-tie point and consistent at ties
       .select(col(cellCol), col("n"),
-        round(col("__s").cast("double") / col("n"), 6).as("mean_cos"))
+        (expr("(2 * CAST(__s * 1000000 AS BIGINT) + n) div (2 * n)")
+          .cast("double") / 1000000.0).as("mean_cos"))
     val a = cent.select(col(cellCol).as("__la"), col("__c").as("__ca"))
     val b = cent.select(col(cellCol).as("__lb"), col("__c").as("__cb"))
     val pairs = a.join(broadcast(b), col("__la") =!= col("__lb"))

@@ -346,10 +346,20 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(col("dw_cnt")).as("n_words"),
         // exact decimal arithmetic (quantized bits × integer count, decimal
-        // sum — both order-independent), then DOUBLE division at the end —
-        // decimal DIVISION scale/rounding is engine-specific (see k2b)
-        round(sum(col("__bits").cast(DecimalType(18, 4)) * col("dw_cnt")).cast("double") /
-          sum(col("dw_cnt")).cast("double"), 6).as("bits_per_word"))
+        // sum — both order-independent); the mean is then rounded HALF-UP
+        // in pure INTEGER arithmetic — round(sum/n, 6) on the DOUBLE
+        // quotient can land exactly on a 1e-6 half-tie (the sum has 4
+        // decimals, n is arbitrary), where Spark's exact-binary rounding
+        // and DuckDB's scaled-multiply rounding DISAGREE (observed on t34
+        // at sf0.1: 2 of 5000 docs). (200·S4 + n) div (2n) micro-bits is
+        // the same half-up value at every non-tie point (non-tie rationals
+        // sit >= 1/(2n) micro-units from a boundary, ~500 ulp) and picks
+        // the consistent side at ties.
+        sum(col("__bits").cast(DecimalType(18, 4)) * col("dw_cnt")).as("__sb"))
+      .withColumn("bits_per_word",
+        expr("(200 * CAST(__sb * 10000 AS BIGINT) + n_words) div (2 * n_words)")
+          .cast("double") / 1000000.0)
+      .drop("__sb")
       // narrow eager checkpoint (the d6/c2 pattern): the band machinery
       // below consumes this frame four ways (histogram → in-band cum,
       // band totals, rank count, final flag join) — without it each
@@ -403,10 +413,11 @@ object TextAnalysis {
        |  FROM dw JOIN v USING (word) CROSS JOIN tot),
        |m AS (
        |  SELECT id, CAST(SUM(dw_cnt) AS BIGINT) AS n_words,
-       |    CAST(SUM(CAST(bits AS DECIMAL(18,4)) * dw_cnt) AS DOUBLE) /
-       |      CAST(SUM(dw_cnt) AS DOUBLE) AS raw
+       |    CAST(SUM(CAST(bits AS DECIMAL(18,4)) * dw_cnt) * 10000 AS BIGINT) AS s4
        |  FROM b GROUP BY 1),
-       |sc AS (SELECT id, n_words, round(raw, 6) AS bpw FROM m),
+       |sc AS (SELECT id, n_words,
+       |  CAST((200 * s4 + n_words) // (2 * n_words) AS DOUBLE) / 1000000.0 AS bpw
+       |  FROM m),
        |hist AS (SELECT bpw, CAST(COUNT(*) AS BIGINT) AS hc FROM sc GROUP BY 1),
        |cum AS (SELECT bpw, SUM(hc) OVER (ORDER BY bpw) AS c FROM hist),
        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
@@ -447,8 +458,12 @@ object TextAnalysis {
         -log(2.0, col("c12").cast("double") / col("c1").cast("double")))
       .groupBy(col(idCol))
       .agg(sum(col("db_cnt")).as("n_bigrams"),
-        round(sum(col("__bits").cast(DecimalType(18, 4)) * col("db_cnt")).cast("double") /
-          sum(col("db_cnt")).cast("double"), 6).as("bits_per_bigram"))
+        // exact integer HALF-UP mean in micro-bits (the t15 half-tie fix)
+        sum(col("__bits").cast(DecimalType(18, 4)) * col("db_cnt")).as("__sb"))
+      .withColumn("bits_per_bigram",
+        expr("(200 * CAST(__sb * 10000 AS BIGINT) + n_bigrams) div (2 * n_bigrams)")
+          .cast("double") / 1000000.0)
+      .drop("__sb")
   }
 
   def bigramSurprisalSql(idExpr: String, textExpr: String, table: String): String =
@@ -466,11 +481,154 @@ object TextAnalysis {
        |b AS (
        |  SELECT db.id, db_cnt,
        |    -ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) / ln(2.0) AS bits
-       |  FROM db JOIN corpus USING (w1, w2) JOIN ctx USING (w1))
-       |SELECT id AS $idExpr, CAST(SUM(db_cnt) AS BIGINT) AS n_bigrams,
-       |  round(CAST(SUM(CAST(bits AS DECIMAL(18,4)) * db_cnt) AS DOUBLE) /
-       |    CAST(SUM(db_cnt) AS DOUBLE), 6) AS bits_per_bigram
-       |FROM b GROUP BY 1""".stripMargin
+       |  FROM db JOIN corpus USING (w1, w2) JOIN ctx USING (w1)),
+       |m AS (
+       |  SELECT id, CAST(SUM(db_cnt) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(CAST(bits AS DECIMAL(18,4)) * db_cnt) * 10000 AS BIGINT) AS s4
+       |  FROM b GROUP BY 1)
+       |SELECT id AS $idExpr, n_bigrams,
+       |  CAST((200 * s4 + n_bigrams) // (2 * n_bigrams) AS DOUBLE) / 1000000.0
+       |    AS bits_per_bigram
+       |FROM m""".stripMargin
+
+  /** Interpolated Kneser–Ney bigram surprisal under a HELD-OUT reference
+    * model — the actual CCNet/KenLM gate shape, where t15/t18 use the corpus
+    * itself as its own LM: the bigram model is trained only on the rows
+    * where `modelPred` holds (the clean reference slice), then EVERY doc is
+    * scored against it, so unseen bigrams, unseen contexts, and OOV words
+    * genuinely occur and the smoothing/backoff chain is exercised — the
+    * regime t18's maximum-likelihood model cannot enter (a corpus-trained
+    * MLE never sees a zero count, and would emit -inf bits if it did).
+    *
+    * Model (Kneser–Ney '95, interpolated form, discount D = 3/4):
+    *   P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1 ·)
+    *            + D·N1+(w1 ·)/c(w1 ·) · Pc(w2)      when c(w1 ·) > 0
+    *   P(w2|w1) = Pc(w2)                            when w1 is unseen
+    * with the CONTINUATION distribution Pc(w2) = (N1+(· w2) + 1)/(T + V + 1)
+    * — add-one-floored over continuation counts (N1+(· w2) = distinct left
+    * contexts of w2, T = total bigram types, V = continuation vocabulary),
+    * so an OOV w2 scores the finite uniform floor 1/(T+V+1) instead of -inf:
+    * the uniform-backoff rung of the KN chain collapsed into Laplace.
+    *
+    * Cross-engine exactness: D = 3/4 makes every probability a ratio of
+    * INTEGERS — max(c12 − 3/4, 0) = (4·c12 − 3)/4 for c12 >= 1 — so p is one
+    * fixed IEEE tree (div, div·mul, add) over exact-in-double longs, mirrored
+    * verbatim in the oracle; per-addend DECIMAL(18,4) quantization (the t15
+    * discipline) keeps the per-doc mean order-independent.
+    *
+    * Shape: ONE corpus explode builds the per-doc bigram spine; the model
+    * tables are aggregations OVER that spine restricted to the model slice —
+    * never a second corpus pass. Model state is bigram-type-sized (bounded
+    * by vocabulary², in practice far smaller), totals are a 1-row broadcast;
+    * the scorer is three LEFT equi-joins on fixed-width keys. Docs with < 2
+    * words have no bigrams and drop out (the t18 contract).
+    *
+    * Output: (id, in_model, n_bigrams, n_oov_bigrams, bits_per_bigram) —
+    * n_oov_bigrams counts score-side bigrams absent from the model, the
+    * perplexity gate's coverage readout. */
+  def knSurprisal(df: DataFrame, idCol: String, textCol: String,
+      modelPred: Column): DataFrame = {
+    val db = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), coalesce(modelPred, lit(false)).as("in_model"),
+        split(col(textCol), " ").as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol), col("in_model"), expr(
+        """explode(transform(sequence(0, size(__w) - 2),
+          |  i -> struct(__w[i] AS w1, __w[i + 1] AS w2)))""".stripMargin).as("bg"))
+      .select(col(idCol), col("in_model"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col(idCol), col("in_model"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("db_cnt"))
+      .localCheckpoint(true) // two consumers: model build + scorer
+    // model tables: bigram counts from the reference slice only; contexts,
+    // continuation counts, and totals all derive from c12 (bounded state)
+    val c12 = db.filter(col("in_model"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("db_cnt")).as("c12"))
+      .localCheckpoint(true) // three consumers: ctx, cont, scorer join
+    val ctx = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val tot = cont.agg(count(lit(1)).as("v"), sum(col("n1p")).as("bt"))
+    val pc = (coalesce(col("n1p"), lit(0L)) + 1L).cast("double") /
+      (col("bt") + col("v") + 1L).cast("double")
+    val num1 = when(col("c12").isNull, 0L).otherwise(lit(4L) * col("c12") - 3L)
+    val p = when(col("c1").isNull, pc).otherwise(
+      num1.cast("double") / (lit(4L) * col("c1")).cast("double") +
+        (lit(3L) * col("n1f")).cast("double") /
+          (lit(4L) * col("c1")).cast("double") * pc)
+    db.join(c12, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(tot)) // 1-row (T, V) totals — whitelisted broadcast
+      .withColumn("__bits", -log(2.0, p))
+      .groupBy(col(idCol), col("in_model"))
+      .agg(sum(col("db_cnt")).as("n_bigrams"),
+        sum(when(col("c12").isNull, col("db_cnt")).otherwise(0L))
+          .as("n_oov_bigrams"),
+        // quantized bits as INTEGER ten-thousandths, mean rounded HALF-UP
+        // in pure integer arithmetic: round(sum/n, 6) on the DOUBLE
+        // quotient can land exactly on a 1e-6 half-tie (sum has 4
+        // decimals, n arbitrary), where Spark's exact-binary BigDecimal
+        // round and DuckDB's scaled-multiply round disagree (observed
+        // here first: 2 of 5000 docs at sf0.1; t15/t18 now share the fix)
+        sum((col("__bits").cast(DecimalType(18, 4)) * 10000).cast("long") *
+          col("db_cnt")).as("__s4"))
+      .withColumn("bits_per_bigram",
+        expr("(200 * __s4 + n_bigrams) div (2 * n_bigrams)")
+          .cast("double") / 1000000.0)
+      .drop("__s4")
+  }
+
+  def knSurprisalSql(idExpr: String, textExpr: String, table: String,
+      modelPredSql: String): String =
+    s"""WITH bg AS (
+       |  SELECT $idExpr AS id, COALESCE(($modelPredSql), FALSE) AS in_model,
+       |    unnest(list_transform(
+       |      range(greatest(len(string_split($textExpr, ' ')) - 1, 0)),
+       |      i -> {'w1': string_split($textExpr, ' ')[i + 1],
+       |            'w2': string_split($textExpr, ' ')[i + 2]})) AS bgs
+       |  FROM $table WHERE $textExpr IS NOT NULL),
+       |db AS (
+       |  SELECT id, in_model, bgs.w1 AS w1, bgs.w2 AS w2,
+       |    CAST(COUNT(*) AS BIGINT) AS db_cnt
+       |  FROM bg GROUP BY 1, 2, 3, 4),
+       |c12 AS (SELECT w1, w2, CAST(SUM(db_cnt) AS BIGINT) AS c12
+       |  FROM db WHERE in_model GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |  CAST(COUNT(*) AS BIGINT) AS n1f FROM c12 GROUP BY 1),
+       |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM c12 GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+       |  CAST(SUM(n1p) AS BIGINT) AS bt FROM cont),
+       |pr AS (
+       |  SELECT db.id, db.in_model, db.db_cnt, c12.c12,
+       |    CASE WHEN ctx.c1 IS NULL
+       |      THEN CAST(COALESCE(cont.n1p, 0) + 1 AS DOUBLE) /
+       |           CAST(tot.bt + tot.v + 1 AS DOUBLE)
+       |      ELSE CAST(CASE WHEN c12.c12 IS NULL THEN 0
+       |                     ELSE 4 * c12.c12 - 3 END AS DOUBLE) /
+       |             CAST(4 * ctx.c1 AS DOUBLE)
+       |         + CAST(3 * ctx.n1f AS DOUBLE) / CAST(4 * ctx.c1 AS DOUBLE) *
+       |             (CAST(COALESCE(cont.n1p, 0) + 1 AS DOUBLE) /
+       |              CAST(tot.bt + tot.v + 1 AS DOUBLE))
+       |    END AS p
+       |  FROM db
+       |  LEFT JOIN c12 USING (w1, w2)
+       |  LEFT JOIN ctx USING (w1)
+       |  LEFT JOIN cont USING (w2)
+       |  CROSS JOIN tot),
+       |b AS (SELECT id, in_model, db_cnt, c12, -ln(p) / ln(2.0) AS bits FROM pr),
+       |agg AS (
+       |  SELECT id, in_model,
+       |    CAST(SUM(db_cnt) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN c12 IS NULL THEN db_cnt ELSE 0 END) AS BIGINT)
+       |      AS n_oov_bigrams,
+       |    CAST(SUM(CAST(CAST(bits AS DECIMAL(18,4)) * 10000 AS BIGINT) * db_cnt)
+       |      AS BIGINT) AS s4
+       |  FROM b GROUP BY 1, 2)
+       |SELECT id AS $idExpr, in_model, n_bigrams, n_oov_bigrams,
+       |  CAST((200 * s4 + n_bigrams) // (2 * n_bigrams) AS DOUBLE) / 1000000.0
+       |    AS bits_per_bigram
+       |FROM agg""".stripMargin
 
   /** RAG-style passage chunking: explode each document into fixed-width
     * token windows with overlap (`stride` < `width`), emitting

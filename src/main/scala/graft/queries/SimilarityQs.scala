@@ -239,11 +239,15 @@ object SimilarityQs {
       (s, d) => SimilaritySearch.clusterQuality(
         Tables.embeddings(s, d), "vec_id", "embedding", "label"),
       Some(s"""WITH ${centroidCosCtes},
-              |coh AS (
+              |coh0 AS (
               |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
-              |    round(CAST(SUM(CAST(cos_centroid AS DECIMAL(18,6))) AS DOUBLE)
-              |      / COUNT(*), 6) AS mean_cos
+              |    CAST(SUM(CAST(cos_centroid AS DECIMAL(18,6))) * 1000000
+              |      AS BIGINT) AS s6
               |  FROM cs GROUP BY 1),
+              |coh AS (
+              |  SELECT label, n,
+              |    CAST((2 * s6 + n) // (2 * n) AS DOUBLE) / 1000000.0 AS mean_cos
+              |  FROM coh0),
               |cc AS (
               |  SELECT a.label AS la, b.label AS lb,
               |    CAST((SELECT SUM(a.c[i + 1] * b.c[i + 1]) FROM range($dim) t(i)) AS BIGINT) AS d,

@@ -777,6 +777,25 @@ object TextQs {
               |  CASE WHEN a.a = a.s * 6 // 5 THEN 'epoch_cap'
               |       ELSE 'budget_share' END AS alloc_rule
               |FROM cum c JOIN alloc a ON a.lang = c.lang
-              |WHERE c.cum_tokens <= a.a""".stripMargin))
+              |WHERE c.cum_tokens <= a.a""".stripMargin)),
+
+    // T34: interpolated Kneser–Ney bigram surprisal under a HELD-OUT
+    // reference model (the true CCNet/KenLM gate shape): the LM trains on
+    // the clean reference slice (lang = 'en') and scores EVERY doc, so
+    // unseen bigrams/contexts/words can genuinely occur — t18's
+    // corpus-as-its-own-LM never sees a zero count. D = 3/4 keeps every
+    // probability an integer ratio, so the fixed IEEE tree replays
+    // exactly on both engines. Honest readout on THIS corpus: the
+    // synthetic generator shares vocabulary across languages, so OOV is
+    // rare (~0.1% of scored bigrams) and non-en docs separate by
+    // conditional atypicality, not OOV mass; all three smoothing
+    // branches (seen bigram / unseen bigram / unseen context) are pinned
+    // by the OpsSpec fixture.
+    Q("t34_kn_surprisal",
+      (s, d) => TextAnalysis.knSurprisal(Tables.documents(s, d), "doc_id",
+        "text", col("lang") === "en"),
+      Some(TextAnalysis.knSurprisalSql("doc_id", "text", "documents",
+        "lang = 'en'")),
+      bench = true)
   )
 }

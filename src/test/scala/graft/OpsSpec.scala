@@ -847,6 +847,39 @@ class OpsSpec extends AnyFunSuite {
       Seq((9L, "solo")).toDF("id", "t"), "id", "t").collect().exists(_ => true))
   }
 
+  test("TextAnalysis.knSurprisal: all three Kneser–Ney branches, hand-worked") {
+    import graft.ops.TextAnalysis
+    // model slice (m=true): c12 = {(a,b):3, (b,a):2, (a,c):1}
+    //   ctx: a -> c1=4, n1f=2; b -> c1=2, n1f=1
+    //   cont: n1p(a)=n1p(b)=n1p(c)=1; T=3, V=3 -> Pc(seen)=2/7, Pc(OOV)=1/7
+    val df = Seq(
+      (1L, true, "a b a b"), (2L, true, "a b a c"), // model
+      (3L, false, "a b"),  // seen bigram:    p = 9/16 + (6/16)*(2/7)
+      (4L, false, "a z"),  // unseen bigram, seen ctx: p = (6/16)*(1/7)
+      (5L, false, "z a")   // unseen context: p = Pc(a) = 2/7
+    ).toDF("id", "m", "t")
+    val out = TextAnalysis.knSurprisal(df, "id", "t", col("m")).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    def bits(p: Double): Double = -math.log(p) / math.log(2.0)
+    assert(out(3L)._1 == false && out(3L)._2 == 1L && out(3L)._3 == 0L)
+    assert(math.abs(out(3L)._4 - bits(9.0 / 16 + 6.0 / 16 * 2 / 7)) < 1e-4)
+    assert(out(4L)._3 == 1L) // unseen bigram counts as OOV
+    assert(math.abs(out(4L)._4 - bits(6.0 / 16 * 1 / 7)) < 1e-4)
+    assert(out(5L)._3 == 1L)
+    assert(math.abs(out(5L)._4 - bits(2.0 / 7)) < 1e-4)
+    // model doc scores itself under the discounted model (never -inf/0)
+    val d1 = out(1L)
+    assert(d1._1 == true && d1._2 == 3L && d1._3 == 0L)
+    val exp1 = (2 * bits(9.0 / 16 + 6.0 / 16 * 2 / 7) +
+      bits(5.0 / 8 + 3.0 / 8 * 2 / 7)) / 3
+    assert(math.abs(d1._4 - exp1) < 1e-4)
+    // one-word docs drop out (the t18 contract); null text is guarded
+    assert(TextAnalysis.knSurprisal(
+      Seq((9L, true, "solo"), (10L, true, null.asInstanceOf[String]))
+        .toDF("id", "m", "t"), "id", "t", col("m")).count() == 0L)
+  }
+
   test("TextAnalysis.dedupPassages drops corpus-wide boilerplate, keeps order") {
     // width=2 passages; "x y" appears in 3 docs -> boilerplate at minDf=3
     val df = Seq(
