@@ -561,4 +561,151 @@ object Dedup {
           (col("na") + col("nb") - col("n_inter")).cast("double"), 6)
           .as("jaccard"))
   }
+
+  /** EXACT all-pairs tf-idf COSINE similarity join with LOSSLESS norm-bound
+    * prefix filtering — the WEIGHTED complement of [[prefixJaccardPairs]]
+    * (AllPairs, Bayardo et al. WWW '07, §4: the paper's primary target IS
+    * weighted cosine; the Jaccard form in d10 is its set specialization).
+    * Where Jaccard treats every shared token equally, cosine over tf-idf
+    * weights scores shared RARE terms higher — the boilerplate-robust
+    * similarity — and, unlike d10's shingle sets, the unigram universe is
+    * fine here because idf downweights exactly the terms that made unigram
+    * Jaccard prefixes dense.
+    *
+    * Weights are integer milli-units: wi = tf · round(1000·ln(N/df)) —
+    * both engines derive them identically (ln's 1-ulp divergence cannot
+    * move a transcendental off a .0005 boundary), and every downstream
+    * dot/norm is then EXACT int64 arithmetic, so the final τ test is the
+    * integer cross-product dot²·tauDen² >= n2a·n2b·tauNum² (computed in
+    * DECIMAL(38,0): values bound by ~3.6e29 « 1e38) — the full hash gate,
+    * no tolerance verdict needed. Terms with idf <= 0 (df = N) carry zero
+    * weight and drop.
+    *
+    * Pruning (Spark-side only; the pair SET is decided by the exact
+    * verify, so the bound needs to be correct, not cross-engine-replayed):
+    * order the vocabulary by (df asc, term) — rare first. For doc x with
+    * terms at ranks 1..n, the suffix potential pot(j) = Σ_{k>=j}
+    * wi_x(k)·maxw(term_k) bounds the dot product any pair can collect
+    * from x's ranks >= j. x's PREFIX keeps rank j iff pot(j) >=
+    * τ·‖x‖·minNorm (corpus-min norm, 1-row broadcast; compared in double
+    * with a 1e-9 conservative slack). If a qualifying pair (cos >= τ ⇒
+    * dot >= τ‖x‖‖y‖ >= τ‖x‖·minNorm) shared NO prefix term of x, all
+    * shared terms would sit past x's prefix end p, giving dot <= pot(p+1)
+    * < τ‖x‖·minNorm — contradiction; symmetrically for y. So candidates =
+    * prefix postings ⋈ FULL postings (either endpoint's prefix catches
+    * the pair), and prefixes are rare-term-dominated (common terms have
+    * low wi·maxw and fall past the cut), keeping per-term fanout small —
+    * the d9/d10 reason. Every window is per-document; the corpus-wide
+    * shuffles are the two vocabulary aggregations and the candidate join.
+    *
+    * `shingleK` picks the term universe (the d10 lesson, measured here
+    * too): 1 = unigrams — fine for short records, but on a corpus whose
+    * unigram-cosine body sits just below τ (every doc pair shares weighty
+    * vocabulary) NO lossless filter can prune, because the pairs genuinely
+    * have near-τ potential (measured at sf0.1/de: prefix kept 66% of
+    * postings and candidates ≈ all pairs). 3 = word 3-gram terms: unrelated
+    * pairs share NO term at all, so the candidate join touches only
+    * genuinely-overlapping pairs and the prefix bound prunes the rest —
+    * the document-corpus setting.
+    *
+    * Output: (id_a, id_b, dot, n2_a, n2_b, cosine) for every pair with
+    * cosine >= tauNum/tauDen — guaranteed complete. */
+  def cosinePrefixPairs(df: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int, shingleK: Int = 1): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum, s"tau must be in (0,1]: $tauNum/$tauDen")
+    val tf = shingles(df, idCol, textCol, shingleK, dedup = false)
+      .withColumnRenamed("shingle", "word")
+      .filter(col("word") =!= "")
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("dw_cnt"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("dfq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    // weighted postings — consumed by n2, maxw, the ranked spine, and both
+    // verify sides; vocabulary join + 1-row total, then checkpointed once
+    val w = tf.join(dfreq, "word")
+      .crossJoin(broadcast(nDocs)) // 1-row corpus total — whitelisted
+      .withColumn("wi", col("dw_cnt") *
+        round(log(col("n_docs").cast("double") / col("dfq").cast("double")) * 1000)
+          .cast("long"))
+      .filter(col("wi") > 0)
+      .select(col(idCol), col("word"), col("dfq"), col("wi"))
+      .localCheckpoint(true)
+    val n2 = w.groupBy(col(idCol)).agg(sum(col("wi") * col("wi")).as("n2"))
+    val maxw = w.groupBy(col("word")).agg(max(col("wi")).as("mw"))
+    // corpus-min squared norm: ONE driver-side long (the t33 KB-state
+    // license); 0 on an empty corpus, where the result is empty anyway
+    val minN2 = n2.agg(min(col("n2"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("dfq"), col("word"))
+    // EVERY term ranked under the one global (dfq asc, word) order, with its
+    // remaining-suffix potential — the spine both the prefix index AND the
+    // fused verify consume (the d10 staged structure)
+    val ranked = w.join(maxw, "word")
+      .withColumn("__pot", col("wi") * col("mw"))
+      .withColumn("rn", row_number().over(wDoc))
+      .withColumn("__cum", sum(col("__pot")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot",
+        sum(col("__pot")).over(Window.partitionBy(col(idCol))))
+      .withColumn("__rem", col("__tot") - col("__cum")) // potential past rn
+      .join(n2, Seq(idCol))
+      .select(col(idCol), col("word"), col("wi"), col("rn"), col("__rem"),
+        col("__pot"), col("n2"))
+      .localCheckpoint(true)
+    val pref = ranked.filter(
+      (col("__rem") + col("__pot")).cast("double") * tauDen >=
+        sqrt(col("n2").cast("double") * minN2.toDouble) *
+          tauNum * (1 - 1e-9))
+    // two-sided prefix candidates (lossless, the d10 argument carried to
+    // weights): the globally-FIRST shared term of a qualifying pair must
+    // lie in BOTH prefixes — were it past x's prefix end, every shared
+    // term would be, so dot <= pot(past prefix) < τ·‖x‖·minNorm <=
+    // τ·‖x‖·‖y‖. The pair agg computes the shared-prefix dot contribution
+    // EXACTLY (o_dot) plus the positional state (ra_mx/rb_mx, remaining
+    // potentials), so the pair-level bound o_dot + min(rem_a, rem_b)
+    // prunes before any suffix probe (the PPJoin idea, weighted).
+    val a = pref.select(col(idCol).as("id_a"), col("word"), col("wi").as("__wa"),
+      col("rn").as("ra"), col("__rem").as("__rema"), col("n2").as("n2_a"))
+    val b = pref.select(col(idCol).as("id_b"), col("word"), col("wi").as("__wb"),
+      col("rn").as("rb"), col("__rem").as("__remb"), col("n2").as("n2_b"))
+    val cand = a.join(b, Seq("word"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__wa") * col("__wb")).as("o_dot"),
+        max(col("ra")).as("ra_mx"), max(col("rb")).as("rb_mx"),
+        min(col("__rema")).as("rem_a"), min(col("__remb")).as("rem_b"),
+        max(col("n2_a")).as("n2_a"), max(col("n2_b")).as("n2_b"))
+      .filter(
+        (col("o_dot") + least(col("rem_a"), col("rem_b"))).cast("double") *
+          tauDen >=
+          sqrt(col("n2_a").cast("double") * col("n2_b").cast("double")) *
+            tauNum * (1 - 1e-9))
+      .localCheckpoint(true)
+    // exact verify FUSED with the filter state: every shared term is either
+    // both-prefix (its wa·wb counted EXACTLY in o_dot — max(ra)/max(rb)
+    // over shared prefix terms are attained at the SAME term t* under the
+    // one global order, and any other shared term before t* would sit in
+    // both prefixes) or ranks past t* on BOTH sides — so only each pair's
+    // post-t* suffix is probed, never the whole term list
+    val sufA = ranked.select(col(idCol).as("__sa"), col("word"),
+      col("rn").as("__rna"), col("wi").as("__swa"))
+    val sufB = ranked.select(col(idCol).as("__sb"), col("word").as("__sbw"),
+      col("rn").as("__rnb"), col("wi").as("__swb"))
+    val suf = cand
+      .join(sufA, col("id_a") === col("__sa") && col("__rna") > col("ra_mx"))
+      .join(sufB, col("id_b") === col("__sb") &&
+        col("__sbw") === col("word") && col("__rnb") > col("rb_mx"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__swa") * col("__swb")).as("__sdot"))
+    cand.join(suf, Seq("id_a", "id_b"), "left")
+      .withColumn("dot", col("o_dot") + coalesce(col("__sdot"), lit(0L)))
+      .filter(expr(s"""CAST(dot AS DECIMAL(38,0)) * CAST(dot AS DECIMAL(38,0))
+          * ${tauDen.toLong * tauDen} >=
+        CAST(n2_a AS DECIMAL(38,0)) * CAST(n2_b AS DECIMAL(38,0))
+          * ${tauNum.toLong * tauNum}"""))
+      .select(col("id_a"), col("id_b"), col("dot"), col("n2_a"), col("n2_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))), 6)
+          .as("cosine"))
+  }
 }

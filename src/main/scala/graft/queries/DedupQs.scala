@@ -943,6 +943,56 @@ object DedupQs {
              |JOIN sz sa ON sa.doc_id = c.id_a
              |JOIN sz sb ON sb.doc_id = c.id_b
              |WHERE i.n_inter * 2 >= (sa.n_tok + sb.n_tok - i.n_inter) * 1""".stripMargin),
+      bench = true),
+
+    // D11: EXACT all-pairs tf-idf COSINE similarity join (the WEIGHTED
+    // complement of d10's set-Jaccard AllPairs — Bayardo '07's primary
+    // target): shared RARE terms score higher, the boilerplate-robust
+    // near-dup signal. Spark prunes with the lossless norm-bound prefix
+    // filter over the 3-gram term universe (the d10 lesson, re-measured:
+    // the unigram universe leaves candidates ~= all pairs on this corpus
+    // because its unigram-cosine body sits just below tau); the ORACLE is
+    // an independent
+    // BRUTE FORCE over all term-sharing pairs — the hash gate IS the
+    // cross-algorithm completeness check (the gr2 discipline), stronger
+    // than d10's filter-replay oracle. All-integer milli-weights ⇒ exact
+    // dot/norm arithmetic ⇒ full hash gate.
+    Q("d11_cosine_allpairs",
+      (s, d) => Dedup.cosinePrefixPairs(Tables.documents(s, d),
+        "doc_id", "text", tauNum = 3, tauDen = 5, shingleK = 3),
+      Some("""WITH de AS (SELECT doc_id, text FROM documents),
+             |toks AS (SELECT doc_id, unnest(list_transform(
+             |    range(greatest(len(string_split(text, ' ')) - 2, 0)),
+             |    i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')))
+             |    AS word
+             |  FROM de),
+             |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tfc
+             |  FROM toks WHERE word <> '' GROUP BY 1, 2),
+             |dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS dfq
+             |  FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM de),
+             |wp AS (SELECT doc_id, word, wi FROM (
+             |    SELECT doc_id, word, tfc * CAST(round(ln(
+             |        CAST(n_docs AS DOUBLE) / CAST(dfq AS DOUBLE)) * 1000, 0)
+             |        AS BIGINT) AS wi
+             |    FROM tf JOIN dfq USING (word) CROSS JOIN n)
+             |  WHERE wi > 0),
+             |n2 AS (SELECT doc_id, CAST(SUM(wi * wi) AS BIGINT) AS n2
+             |  FROM wp GROUP BY 1),
+             |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(SUM(a.wi * b.wi) AS BIGINT) AS dot
+             |  FROM wp a JOIN wp b
+             |    ON a.word = b.word AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT d.id_a, d.id_b, d.dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+             |  round(CAST(d.dot AS DOUBLE) /
+             |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+             |    AS cosine
+             |FROM dots d
+             |JOIN n2 na ON na.doc_id = d.id_a
+             |JOIN n2 nb ON nb.doc_id = d.id_b
+             |WHERE CAST(d.dot AS HUGEINT) * d.dot * 25
+             |  >= CAST(na.n2 AS HUGEINT) * nb.n2 * 9""".stripMargin),
       bench = true)
   )
 }

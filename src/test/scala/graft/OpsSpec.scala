@@ -1522,6 +1522,63 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosinePrefixPairs equals the brute-force quadratic (lossless, weighted)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 't').map(_.toString)
+    val docs = (1 to 40).map { i =>
+      val n = 4 + rnd.nextInt(8)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((100L, "a b c d e f"), (101L, "a b c d e g"),
+      (102L, "q r s t u v"), (103L, "q r s t u v"),
+      (104L, "a a a b b c")) // repeated words carry tf weight (NOT a set)
+    val df = docs.toDF("doc_id", "text")
+    // driver-side reference with the op's exact integer milli-weights
+    def brute(k: Int, tauNum: Int, tauDen: Int): Set[(Long, Long)] = {
+      val terms = docs.map { case (id, t) =>
+        val ws = t.split(" ").toSeq
+        id -> (if (ws.size >= k) ws.sliding(k).map(_.mkString(" ")).toSeq
+               else Seq.empty[String])
+      }.toMap
+      val n = docs.size
+      val dfq = terms.values.flatMap(_.distinct).groupBy(identity)
+        .map { case (w, g) => w -> g.size }
+      val w = terms.map { case (id, ts) =>
+        id -> ts.groupBy(identity).flatMap { case (t, g) =>
+          val idf3 = math.round(math.log(n.toDouble / dfq(t)) * 1000)
+          val wi = g.size * idf3
+          if (wi > 0) Some(t -> wi) else None
+        }
+      }
+      val n2 = w.map { case (id, m) => id -> m.values.map(x => x * x).sum }
+      (for {
+        a <- w.keys; b <- w.keys if a < b
+        shared = w(a).keySet.intersect(w(b).keySet) if shared.nonEmpty
+        dot = shared.toSeq.map(t => w(a)(t) * w(b)(t)).sum
+        if BigInt(dot) * dot * tauDen * tauDen >=
+          BigInt(n2(a)) * n2(b) * tauNum * tauNum
+      } yield (a, b)).toSet
+    }
+    for ((num, den) <- Seq((1, 2), (3, 5), (4, 5)); k <- Seq(1, 3)) {
+      val got = Dedup.cosinePrefixPairs(df, "doc_id", "text", num, den, k)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(k, num, den), s"tau=$num/$den shingleK=$k")
+    }
+    // reported cosine matches the exact integer-weight cosine
+    val rep = Dedup.cosinePrefixPairs(df, "doc_id", "text", 1, 2, 1).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("dot"), r.getAs[Long]("n2_a"), r.getAs[Long]("n2_b"),
+          r.getAs[Double]("cosine")))).toMap
+    rep.foreach { case (_, (dot, n2a, n2b, cos)) =>
+      assert(math.abs(cos - dot.toDouble /
+        (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble))) < 1e-6)
+    }
+    assert(rep.contains((102L, 103L)) && rep((102L, 103L))._4 == 1.0)
+    // empty corpus: the driver-side min-norm guard returns an empty frame
+    assert(Dedup.cosinePrefixPairs(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", 1, 2).count() == 0L)
+  }
+
   test("qlTopK matches a driver-side Dirichlet query-likelihood reference") {
     val rows = Seq((1L, "a b a c"), (2L, "b b d"), (3L, "a a a a"),
       (4L, "c d e f g h"))

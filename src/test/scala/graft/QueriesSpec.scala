@@ -113,7 +113,8 @@ class QueriesSpec extends AnyFunSuite {
     "gr4_kcore_dupfarms",      // 1-row convergence verdict broadcast (gr2 shape)
     "dq2_constraint_report",   // 1-row per-table metric crosses (Deequ suite)
     "t32_hybrid_rrf",          // inherits t25's 1-row avgdl/corpus-total broadcasts
-    "t34_kn_surprisal"         // 1-row (T, V) model-totals broadcast (a6 shape)
+    "t34_kn_surprisal",        // 1-row (T, V) model-totals broadcast (a6 shape)
+    "d11_cosine_allpairs"      // 1-row corpus-total broadcast (t11 shape)
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
