@@ -612,6 +612,18 @@ object Dedup {
     * cosine >= tauNum/tauDen — guaranteed complete. */
   def cosinePrefixPairs(df: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int, shingleK: Int = 1): DataFrame = {
+    val (_, ranked, cand) =
+      cosineStages(df, idCol, textCol, tauNum, tauDen, shingleK)
+    cosineVerify(ranked, cand, idCol, tauNum, tauDen)
+  }
+
+  /** The (weighted postings, ranked spine, filtered candidates) stages of
+    * [[cosinePrefixPairs]], exposed package-wide so the stage-level probe
+    * (tools.ProfileD11) times the PRODUCTION shapes and can never drift
+    * from them. */
+  private[graft] def cosineStages(df: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int, shingleK: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(tauNum > 0 && tauDen >= tauNum, s"tau must be in (0,1]: $tauNum/$tauDen")
     val tf = shingles(df, idCol, textCol, shingleK, dedup = false)
       .withColumnRenamed("shingle", "word")
@@ -681,6 +693,12 @@ object Dedup {
           sqrt(col("n2_a").cast("double") * col("n2_b").cast("double")) *
             tauNum * (1 - 1e-9))
       .localCheckpoint(true)
+    (w, ranked, cand)
+  }
+
+  /** Exact suffix-only verify of [[cosinePrefixPairs]] (stage 2). */
+  private[graft] def cosineVerify(ranked: DataFrame, cand: DataFrame,
+      idCol: String, tauNum: Int, tauDen: Int): DataFrame = {
     // exact verify FUSED with the filter state: every shared term is either
     // both-prefix (its wa·wb counted EXACTLY in o_dot — max(ra)/max(rb)
     // over shared prefix terms are attained at the SAME term t* under the
