@@ -630,6 +630,74 @@ object TextAnalysis {
        |    AS bits_per_bigram
        |FROM agg""".stripMargin
 
+  /** Exact PHRASE search over a positional inverted index — the retrieval
+    * primitive t25/t32's bag-of-words scoring cannot express: "these words,
+    * adjacent, in this order". The index is the classic (doc, term, pos)
+    * posting table; a k-word phrase match is k−1 consecutive-position
+    * equi-joins (doc, pos+i), each join input FILTERED to one phrase word
+    * before any shuffle (the t25 term-filtered-spine rule) — at scale the
+    * positional index is a persisted warehouse table and a phrase query
+    * touches only its k posting lists, never the corpus.
+    *
+    * The phrase itself is self-calibrating (the t15 band lesson): the
+    * corpus' most frequent word `phraseLen`-gram, ties broken by the
+    * smaller string — a fixed literal goes stale on any corpus shift. The
+    * 1-row phrase frame broadcasts onto the postings.
+    *
+    * Output: one row per matching doc — (id, n_occurrences, first_pos,
+    * phrase), pos 0-based word offsets. Pure integer/string arithmetic ⇒
+    * full hash gate. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phraseLen: Int): DataFrame = {
+    require(phraseLen >= 1, "phraseLen must be >= 1")
+    val top = Dedup.shingles(df, idCol, textCol, phraseLen, dedup = false)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("shingle")).limit(1) // 1-row argmax
+      .select(split(col("shingle"), " ").as("__pw"),
+        col("shingle").as("phrase"))
+    val postings = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "word")))
+    // filter the index to the phrase's words BEFORE the join chain; the
+    // phrase frame is 1 row — whitelisted broadcast
+    val spine = postings.crossJoin(broadcast(top))
+      .filter(expr("array_contains(__pw, word)"))
+      .localCheckpoint(true) // consumed once per phrase position
+    val first = spine.filter(col("word") === col("__pw")(0))
+      .select(col(idCol), col("pos"), col("phrase"), col("__pw"))
+    val matched = (1 until phraseLen).foldLeft(first) { (acc, i) =>
+      val next = spine.select(col(idCol).as("__nid"), col("pos").as("__npos"),
+        col("word").as("__nword"))
+      acc.join(next, col(idCol) === col("__nid") &&
+          col("__npos") === col("pos") + i &&
+          col("__nword") === col("__pw")(i))
+        .select(col(idCol), col("pos"), col("phrase"), col("__pw"))
+    }
+    matched.groupBy(col(idCol), col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .select(col(idCol), col("n_occurrences"), col("first_pos"), col("phrase"))
+  }
+
+  def phraseSearchSql(idExpr: String, textExpr: String, table: String,
+      phraseLen: Int): String =
+    s"""WITH sh AS (
+       |  SELECT $idExpr AS id,
+       |    unnest(range(greatest(len(string_split($textExpr, ' ')) - ${phraseLen - 1}, 0)))
+       |      AS pos,
+       |    unnest(list_transform(
+       |      range(greatest(len(string_split($textExpr, ' ')) - ${phraseLen - 1}, 0)),
+       |      i -> array_to_string(
+       |        string_split($textExpr, ' ')[i + 1:i + $phraseLen], ' ')))
+       |      AS shingle
+       |  FROM $table WHERE $textExpr IS NOT NULL),
+       |cnt AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1),
+       |top AS (SELECT shingle FROM cnt ORDER BY c DESC, shingle LIMIT 1)
+       |SELECT id AS $idExpr, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(MIN(pos) AS BIGINT) AS first_pos, shingle AS phrase
+       |FROM sh JOIN top USING (shingle)
+       |GROUP BY id, shingle""".stripMargin
+
   /** RAG-style passage chunking: explode each document into fixed-width
     * token windows with overlap (`stride` < `width`), emitting
     * (id, window_no, n_tokens, passage). Contract: window i covers tokens

@@ -796,6 +796,20 @@ object TextQs {
         "text", col("lang") === "en"),
       Some(TextAnalysis.knSurprisalSql("doc_id", "text", "documents",
         "lang = 'en'")),
-      bench = true)
+      bench = true),
+
+    // T35: exact PHRASE search over a positional inverted index — the
+    // retrieval primitive bag-of-words scoring (t25/t32) cannot express:
+    // adjacency and order. k−1 consecutive-position equi-joins over a
+    // (doc, term, pos) posting table, each side filtered to one phrase
+    // word BEFORE any shuffle; the phrase is the corpus' most frequent
+    // 3-gram (self-calibrating, the t15 band lesson). The Spark side
+    // runs the positional-index JOIN mechanism; the oracle counts the
+    // 3-gram directly — the hash gate is a cross-formulation equivalence
+    // check (positional chain == shingle equality), the gr2 discipline.
+    Q("t35_phrase_search",
+      (s, d) => TextAnalysis.phraseSearch(Tables.documents(s, d), "doc_id",
+        "text", phraseLen = 3),
+      Some(TextAnalysis.phraseSearchSql("doc_id", "text", "documents", 3)))
   )
 }

@@ -880,6 +880,31 @@ class OpsSpec extends AnyFunSuite {
         .toDF("id", "m", "t"), "id", "t", col("m")).count() == 0L)
   }
 
+  test("TextAnalysis.phraseSearch: positional chain == shingle count, overlaps, ties") {
+    import graft.ops.TextAnalysis
+    // "x y" occurs 3x across docs (the argmax); "a b" only 2x
+    val df = Seq(
+      (1L, "x y a b x y"),   // two occurrences, first at 0
+      (2L, "q x y r"),       // one, at 1
+      (3L, "a b q r"),       // no match -> excluded
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(df, "doc_id", "text", phraseLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got == Set((1L, 2L, 0L, "x y"), (2L, 1L, 1L, "x y")))
+    // OVERLAPPING occurrences all count: "a a a" has "a a" at pos 0 AND 1
+    val ov = TextAnalysis.phraseSearch(
+      Seq((9L, "a a a")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(ov == Seq((2L, 0L)))
+    // argmax tie (both bigrams once): the smaller string wins
+    val tie = TextAnalysis.phraseSearch(
+      Seq((1L, "b a"), (2L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .collect().map(_.getString(3)).distinct.toSeq
+    assert(tie == Seq("a b"))
+  }
+
   test("TextAnalysis.dedupPassages drops corpus-wide boilerplate, keeps order") {
     // width=2 passages; "x y" appears in 3 docs -> boilerplate at minDf=3
     val df = Seq(
