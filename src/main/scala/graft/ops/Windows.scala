@@ -118,4 +118,42 @@ object Windows {
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("valid_to", lead(col(axisCol), 1).over(w))
   }
+
+  /** First-touch multi-step FUNNEL at the key grain (the product-analytics
+    * readout): anchor at the key's FIRST `steps(0)` event, then for each
+    * subsequent step take the first qualifying event STRICTLY LATER than
+    * the previous step's pick and within `windowUs` of it. One row per key
+    * that reached step 1, with t1..tk (epoch-micros longs, NULL from the
+    * first missed step on) and `steps_completed`.
+    *
+    * Shape: each step is a filter on `typeCol` (pushable to the scan when
+    * `ev` is a bare projection) + one min-aggregation joined on the key —
+    * k pruned scans and k hash-partitioned aggs, no windows, nothing
+    * per-key beyond the min. First-touch semantics are the standard funnel
+    * definition (and the determinism anchor): a later step-1 event that
+    * would have completed a chain does NOT re-anchor the funnel. */
+  def funnel(ev: DataFrame, keyCol: String, typeCol: String, usCol: String,
+      steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowUs > 0, "windowUs must be positive")
+    def step(t: String) = ev.filter(col(typeCol) === t)
+      .select(col(keyCol), col(usCol))
+    val s1 = step(steps.head).groupBy(col(keyCol))
+      .agg(min(col(usCol)).as("t1"))
+    val stepFrames = steps.tail.zipWithIndex.scanLeft(s1) {
+      case (prev, (t, i)) =>
+        val pt = s"t${i + 1}"
+        step(t).join(prev.select(col(keyCol), col(pt)), Seq(keyCol))
+          .filter(col(usCol) > col(pt) && col(usCol) <= col(pt) + windowUs)
+          .groupBy(col(keyCol)).agg(min(col(usCol)).as(s"t${i + 2}"))
+    }
+    val joined = stepFrames.tail.zipWithIndex.foldLeft(stepFrames.head) {
+      case (acc, (f, i)) => acc.join(f.select(col(keyCol), col(s"t${i + 2}")),
+        Seq(keyCol), "left")
+    }
+    val completed = (2 to steps.size).map(i =>
+      when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    joined.withColumn("steps_completed", completed)
+  }
 }

@@ -177,6 +177,10 @@ object DailyPipeline {
           graft.ops.Classifier.nbCalibration(
             s.read.parquet(s"$outDir/nb_quality_scores")),
           s"$outDir/nb_calibration")),
+      // held-out LM gate scores (t34 Kneser–Ney): per-doc smoothed
+      // conditional surprisal + OOV coverage vs the reference slice — the
+      // model-based quality readout next to nb_quality_scores' classifier
+      materialize("t34_kn_surprisal", "lm_gate_scores"),
       // vocabulary heavy-hitters sketch report (mergeable CMS counters)
       materialize("t24_cms_heavy_hitters", "vocab_heavy_hitters"),
       // shift-invariant duplicated-region report (CDC chunk census) — the

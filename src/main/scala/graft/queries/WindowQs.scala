@@ -278,6 +278,40 @@ object WindowQs {
              |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
              |SELECT cur_type, next_type, n,
              |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur_type), 6) AS p
-             |FROM pairs""".stripMargin))
+             |FROM pairs""".stripMargin)),
+
+    // W13: first-touch multi-step FUNNEL at the user grain (the product-
+    // analytics readout): first 'view', then the first 'click' within 72 h
+    // OF THAT VIEW, then the first 'purchase' within 72 h of that click —
+    // strict order, strictly-later timestamps. NOT a j5c duplicate: j5c
+    // answers per-EVENT forward-as-of conversion windows (every click gets
+    // its next purchase); w13 reads out one chain per user anchored at the
+    // user's first touch — the funnel bar chart's row set. Each step is a
+    // scan with its event_type PUSHED DOWN + one min-aggregation joined on
+    // the user key: three pruned scans beat one cached full scan here, and
+    // everything hash-partitions by user at any scale. Epoch-micros longs
+    // keep the gate int64-safe.
+    Q("w13_funnel_steps",
+      (s, d) => Windows.funnel(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          Q.usecs(col("ts")).as("us")),
+        "user_id", "event_type", "us", Seq("view", "click", "purchase"),
+        windowUs = 72L * 3600L * 1000000L),
+      Some(s"""WITH e AS (
+              |  SELECT user_id, event_type, ${Q.usecsSql("ts")} AS us FROM events),
+              |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+              |  WHERE event_type = 'view' GROUP BY 1),
+              |s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+              |  WHERE event_type = 'click' AND us > t1
+              |    AND us <= t1 + ${72L * 3600L * 1000000L} GROUP BY 1),
+              |s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+              |  WHERE event_type = 'purchase' AND us > t2
+              |    AND us <= t2 + ${72L * 3600L * 1000000L} GROUP BY 1)
+              |SELECT s1.user_id, t1, t2, t3,
+              |  CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+              |         + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS steps_completed
+              |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)"""
+        .stripMargin))
   )
 }

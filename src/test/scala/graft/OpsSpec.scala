@@ -943,6 +943,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Windows.funnel: first-touch anchor, strict order, per-step windows") {
+    import graft.ops.Windows
+    val W = 100L
+    val ev = Seq(
+      // u1: clean 3-step chain
+      (1L, "view", 10L), (1L, "click", 50L), (1L, "buy", 120L),
+      // u2: click BEFORE the first view never counts; the later one does
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "click", 60L), (2L, "buy", 100L),
+      // u3: click outside the 100-unit window of the FIRST view -> depth 1,
+      // even though a later view (t=200) would have completed the chain
+      // (first-touch anchoring, pinned)
+      (3L, "view", 10L), (3L, "view", 200L), (3L, "click", 250L),
+      // u4: each window anchors on the PREVIOUS step's pick — the buy at
+      // 108 is outside the view's window (10+100) but inside the click's
+      (4L, "view", 10L), (4L, "click", 105L), (4L, "buy", 108L),
+      // u5: never views -> no row at all
+      (5L, "click", 10L), (5L, "buy", 20L)
+    ).toDF("k", "t", "us")
+    val got = Windows.funnel(ev, "k", "t", "us", Seq("view", "click", "buy"), W)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((Some(10L), Some(50L), Some(120L), 3L)))
+    assert(got(2L) == ((Some(10L), Some(60L), Some(100L), 3L)))
+    assert(got(3L) == ((Some(10L), None, None, 1L)))
+    assert(got(4L) == ((Some(10L), Some(105L), Some(108L), 3L)))
+    // depth 2: the buy falls outside the CLICK's window
+    val g2 = Windows.funnel(
+      Seq((7L, "view", 0L), (7L, "click", 50L), (7L, "buy", 151L))
+        .toDF("k", "t", "us"),
+      "k", "t", "us", Seq("view", "click", "buy"), W)
+      .collect().map(r => (Option(r.get(3)), r.getLong(4))).head
+    assert(g2 == ((None, 2L))) // buy at 151 > click 50 + 100 -> depth 2
+  }
+
   test("Windows.scd2 collapses runs into versioned intervals, null-safely") {
     val df = Seq(
       (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
