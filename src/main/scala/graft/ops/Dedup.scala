@@ -624,7 +624,19 @@ object Dedup {
   private[graft] def cosineStages(df: DataFrame, idCol: String, textCol: String,
       tauNum: Int, tauDen: Int, shingleK: Int)
       : (DataFrame, DataFrame, DataFrame) = {
-    require(tauNum > 0 && tauDen >= tauNum, s"tau must be in (0,1]: $tauNum/$tauDen")
+    val w = cosinePostings(df, idCol, textCol, shingleK)
+    val ranked = cosineRanked(w, idCol)
+    val cand = cosineCand(ranked, idCol, tauNum, tauDen)
+    (w, ranked, cand)
+  }
+
+  /** Stage 1 of [[cosinePrefixPairs]]: the weighted posting spine.
+    * Exposed separately (with [[cosineRanked]]/[[cosineCand]]) so
+    * tools.ProfileD11 can time each stage INCREMENTALLY over a prebuilt
+    * predecessor — the stages eagerly checkpoint, so timing a composed
+    * call attributes every upstream stage to whichever probe runs it. */
+  private[graft] def cosinePostings(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int): DataFrame = {
     val tf = shingles(df, idCol, textCol, shingleK, dedup = false)
       .withColumnRenamed("shingle", "word")
       .filter(col("word") =!= "")
@@ -641,13 +653,15 @@ object Dedup {
       .filter(col("wi") > 0)
       .select(col(idCol), col("word"), col("dfq"), col("wi"))
       .localCheckpoint(true)
+    w
+  }
+
+  /** Stage 2 of [[cosinePrefixPairs]]: the globally-ranked spine with
+    * per-term suffix potentials and doc norms, over a [[cosinePostings]]
+    * frame. τ-independent. */
+  private[graft] def cosineRanked(w: DataFrame, idCol: String): DataFrame = {
     val n2 = w.groupBy(col(idCol)).agg(sum(col("wi") * col("wi")).as("n2"))
     val maxw = w.groupBy(col("word")).agg(max(col("wi")).as("mw"))
-    // corpus-min squared norm: ONE driver-side long (the t33 KB-state
-    // license); 0 on an empty corpus, where the result is empty anyway
-    val minN2 = n2.agg(min(col("n2"))).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-      .getOrElse(0L)
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("dfq"), col("word"))
     // EVERY term ranked under the one global (dfq asc, word) order, with its
     // remaining-suffix potential — the spine both the prefix index AND the
@@ -664,6 +678,19 @@ object Dedup {
       .select(col(idCol), col("word"), col("wi"), col("rn"), col("__rem"),
         col("__pot"), col("n2"))
       .localCheckpoint(true)
+    ranked
+  }
+
+  /** Stage 3 of [[cosinePrefixPairs]]: the prefix index and the
+    * bound-filtered candidate pairs, over a [[cosineRanked]] spine. */
+  private[graft] def cosineCand(ranked: DataFrame, idCol: String,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum, s"tau must be in (0,1]: $tauNum/$tauDen")
+    // corpus-min squared norm: ONE driver-side long (the t33 KB-state
+    // license); 0 on an empty corpus, where the result is empty anyway
+    val minN2 = ranked.agg(min(col("n2"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
     val pref = ranked.filter(
       (col("__rem") + col("__pot")).cast("double") * tauDen >=
         sqrt(col("n2").cast("double") * minN2.toDouble) *
@@ -693,7 +720,7 @@ object Dedup {
           sqrt(col("n2_a").cast("double") * col("n2_b").cast("double")) *
             tauNum * (1 - 1e-9))
       .localCheckpoint(true)
-    (w, ranked, cand)
+    cand
   }
 
   /** Exact suffix-only verify of [[cosinePrefixPairs]] (stage 2). */

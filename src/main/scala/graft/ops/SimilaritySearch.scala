@@ -239,10 +239,14 @@ object SimilaritySearch {
       // exact integer HALF-UP mean in micro-units (the t15/t34 half-tie
       // fix): round(S6/n, 6) on the double quotient can land exactly on a
       // 1e-6 half-tie (S6 has 6 decimals), where the engines' rounding
-      // algorithms disagree; (2·S6µ + n) div (2n) is identical at every
-      // non-tie point and consistent at ties
+      // algorithms disagree. Unlike the always-positive surprisal means,
+      // cos_centroid sums can be NEGATIVE (anti-aligned members), and
+      // integer div truncates toward zero — so half-away-from-zero (the
+      // round() semantic) needs the sign branch on both engines.
       .select(col(cellCol), col("n"),
-        (expr("(2 * CAST(__s * 1000000 AS BIGINT) + n) div (2 * n)")
+        (expr("""CASE WHEN __s < 0
+            THEN -((2 * CAST(-__s * 1000000 AS BIGINT) + n) div (2 * n))
+            ELSE (2 * CAST(__s * 1000000 AS BIGINT) + n) div (2 * n) END""")
           .cast("double") / 1000000.0).as("mean_cos"))
     val a = cent.select(col(cellCol).as("__la"), col("__c").as("__ca"))
     val b = cent.select(col(cellCol).as("__lb"), col("__c").as("__cb"))

@@ -548,7 +548,10 @@ object TextAnalysis {
     val ctx = c12.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
     val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
-    val tot = cont.agg(count(lit(1)).as("v"), sum(col("n1p")).as("bt"))
+    // an EMPTY model slice must degrade to the uniform floor (T=V=0 ->
+    // Pc = 1, 0 bits), not to NULL: sum over an empty frame is NULL
+    val tot = cont.agg(count(lit(1)).as("v"),
+      coalesce(sum(col("n1p")), lit(0L)).as("bt"))
     val pc = (coalesce(col("n1p"), lit(0L)) + 1L).cast("double") /
       (col("bt") + col("v") + 1L).cast("double")
     val num1 = when(col("c12").isNull, 0L).otherwise(lit(4L) * col("c12") - 3L)
@@ -598,7 +601,7 @@ object TextAnalysis {
        |  CAST(COUNT(*) AS BIGINT) AS n1f FROM c12 GROUP BY 1),
        |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM c12 GROUP BY 1),
        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
-       |  CAST(SUM(n1p) AS BIGINT) AS bt FROM cont),
+       |  CAST(COALESCE(SUM(n1p), 0) AS BIGINT) AS bt FROM cont),
        |pr AS (
        |  SELECT db.id, db.in_model, db.db_cnt, c12.c12,
        |    CASE WHEN ctx.c1 IS NULL

@@ -246,7 +246,10 @@ object SimilarityQs {
               |  FROM cs GROUP BY 1),
               |coh AS (
               |  SELECT label, n,
-              |    CAST((2 * s6 + n) // (2 * n) AS DOUBLE) / 1000000.0 AS mean_cos
+              |    CAST(CASE WHEN s6 < 0
+              |      THEN -((2 * (-s6) + n) // (2 * n))
+              |      ELSE (2 * s6 + n) // (2 * n) END AS DOUBLE) / 1000000.0
+              |      AS mean_cos
               |  FROM coh0),
               |cc AS (
               |  SELECT a.label AS la, b.label AS lb,

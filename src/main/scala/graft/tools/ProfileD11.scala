@@ -29,11 +29,17 @@ object ProfileD11 {
 
     val (tauNum, tauDen, k) = (3, 5, 3)
     def docs = Tables.documents(spark, sfDir)
-    def stages = Dedup.cosineStages(docs, "doc_id", "text", tauNum, tauDen, k)
+    // the stages checkpoint EAGERLY, so a probe must run over a PREBUILT
+    // predecessor or its timing silently includes every upstream stage
+    val w0 = Dedup.cosinePostings(docs, "doc_id", "text", k)
+    val ranked0 = Dedup.cosineRanked(w0, "doc_id")
+    val cand0 = Dedup.cosineCand(ranked0, "doc_id", tauNum, tauDen)
     val probes: Seq[(String, () => Long)] = Seq(
-      "postings" -> (() => stages._1.count()),
-      "ranked" -> (() => stages._2.count()),
-      "cand" -> (() => stages._3.count()),
+      "postings" -> (() => Dedup.cosinePostings(docs, "doc_id", "text", k).count()),
+      "ranked" -> (() => Dedup.cosineRanked(w0, "doc_id").count()),
+      "cand" -> (() => Dedup.cosineCand(ranked0, "doc_id", tauNum, tauDen).count()),
+      "verify" -> (() => Dedup.cosineVerify(ranked0, cand0, "doc_id",
+        tauNum, tauDen).count()),
       "full" -> (() => Dedup.cosinePrefixPairs(docs, "doc_id", "text",
         tauNum, tauDen, shingleK = k).count()))
     val vols = probes.map { case (name, f) => name -> f() } // warm + volumes

@@ -878,6 +878,13 @@ class OpsSpec extends AnyFunSuite {
     assert(TextAnalysis.knSurprisal(
       Seq((9L, true, "solo"), (10L, true, null.asInstanceOf[String]))
         .toDF("id", "m", "t"), "id", "t", col("m")).count() == 0L)
+    // EMPTY model slice degrades to the uniform floor (T=V=0 -> Pc=1, 0
+    // bits), never NULL — every scored bigram is OOV
+    val noModel = TextAnalysis.knSurprisal(
+      Seq((1L, false, "a b c")).toDF("id", "m", "t"), "id", "t", col("m"))
+      .collect().head
+    assert(noModel.getLong(2) == 2L && noModel.getLong(3) == 2L &&
+      noModel.getDouble(4) == 0.0)
   }
 
   test("TextAnalysis.phraseSearch: positional chain == shingle count, overlaps, ties") {
