@@ -19,5 +19,19 @@ for c in $(seq 0 $((N-1))); do
 done
 for p in "${pids[@]}"; do wait $p; done
 grep -hE "^(PASS|FAIL)" /tmp/gpc_out_*.log | sort > /tmp/gpc_summary.txt
-echo "PASS: $(grep -c '^PASS' /tmp/gpc_summary.txt)  FAIL: $(grep -c '^FAIL' /tmp/gpc_summary.txt)"
+NPASS=$(grep -c '^PASS' /tmp/gpc_summary.txt); NFAIL=$(grep -c '^FAIL' /tmp/gpc_summary.txt)
+NDISPATCHED=$(echo $NAMES | wc -w)
+echo "PASS: $NPASS  FAIL: $NFAIL  (dispatched: $NDISPATCHED)"
 grep '^FAIL' /tmp/gpc_summary.txt || true
+# A chunk whose python process died (OOM, import error) silently drops its
+# queries from the summary — reconcile against the dispatch list and fail
+# loudly, naming the missing queries, rather than understating coverage.
+if [ $((NPASS + NFAIL)) -ne $NDISPATCHED ]; then
+  echo "ERROR: $((NDISPATCHED - NPASS - NFAIL)) dispatched queries missing from summary:"
+  for name in $NAMES; do
+    grep -q "^PASS $name \|^FAIL $name[: ]" /tmp/gpc_summary.txt \
+      || echo "  MISSING: $name"
+  done
+  exit 1
+fi
+[ $NFAIL -eq 0 ] || exit 2

@@ -132,6 +132,18 @@ object Dedup {
     jaccardFor(cands, shVerify, idCol)
   }
 
+  /** [[incrementalNearDup]] with the bucket cap OFF: exhaustive candidate
+    * pairs, bit-identical to the pre-cap semantics at ANY bucket occupancy.
+    * The capped form became the default in round 7 (the production posture
+    * — see README "Semantics changelog"); this variant makes the opt-out
+    * discoverable for callers that need every pair of a degenerate bucket
+    * and accept the m²/2 blow-up that entails. */
+  def incrementalNearDupExhaustive(delta: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int, numHashes: Int,
+      bandSize: Int): DataFrame =
+    incrementalNearDup(delta, corpus, idCol, textCol, k, numHashes, bandSize,
+      maxBucket = Int.MaxValue)
+
   /** Near-containment pairs via RARE-SHINGLE BLOCKING: candidates are any
     * two docs sharing a shingle with document frequency <= `maxDf`, verified
     * by exact intersection/size counts. Containment |A∩B|/|A| is asymmetric
@@ -674,9 +686,17 @@ object Dedup {
       .withColumn("__tot",
         sum(col("__pot")).over(Window.partitionBy(col(idCol))))
       .withColumn("__rem", col("__tot") - col("__cum")) // potential past rn
+      // L2 tail state (Anastasiu & Karypis '14, L2AP): the doc's squared
+      // norm past rn (__nxt2, EXCLUDING the current term) — Cauchy-Schwarz
+      // over a rank-suffix is √(nxt2_a·nxt2_b), far tighter than the
+      // max-weight potential __rem when corpus max weights are loose.
+      // Rides the same window pass as __cum (one extra running sum).
+      .withColumn("__cw2", sum(col("wi") * col("wi")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(n2, Seq(idCol))
+      .withColumn("__nxt2", col("n2") - col("__cw2"))
       .select(col(idCol), col("word"), col("wi"), col("rn"), col("__rem"),
-        col("__pot"), col("n2"))
+        col("__pot"), col("__nxt2"), col("n2"))
       .localCheckpoint(true)
     ranked
   }
@@ -686,11 +706,33 @@ object Dedup {
   private[graft] def cosineCand(ranked: DataFrame, idCol: String,
       tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum, s"tau must be in (0,1]: $tauNum/$tauDen")
-    // corpus-min squared norm: ONE driver-side long (the t33 KB-state
-    // license); 0 on an empty corpus, where the result is empty anyway
-    val minN2 = ranked.agg(min(col("n2"))).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-      .getOrElse(0L)
+    // corpus norm envelope: ONE driver-side row (the t33 KB-state license);
+    // min feeds the prefix bound, the rest enforce the exactness envelope
+    // the verify arithmetic assumes (r7 ADVICE — fail LOUDLY instead of
+    // silently wrapping int64 sums or NULLing the DECIMAL(38,0) product):
+    //  - max(rn)·max(wi)² <= Long.Max certifies every per-doc n2 = Σwi²
+    //    (and a fortiori every o_dot/__sdot partial, each <= dot <= maxN2)
+    //    summed exactly — the wrap risk is bounded BEFORE trusting n2;
+    //  - max(n2)·tauDen < 10^19 certifies dot²·tauDen² < 10^38, the
+    //    DECIMAL(38,0) product in the final τ test (dot <= √(n2_a·n2_b)
+    //    <= maxN2 by Cauchy-Schwarz).
+    val env = ranked.agg(min(col("n2")), max(col("n2")),
+      max(col("rn")), max(col("wi"))).collect().head
+    def lv(i: Int): Long =
+      Option(env.get(i)).map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+    val (minN2, maxN2, maxRn, maxWi) = (lv(0), lv(1), lv(2), lv(3))
+    require(BigInt(maxRn) * BigInt(maxWi) * BigInt(maxWi) <= Long.MaxValue,
+      s"cosinePrefixPairs: weight envelope maxTerms=$maxRn x maxWi=$maxWi" +
+        " risks int64 overflow in the exact dot — rescale the idf quantum")
+    require(BigInt(maxN2) * tauDen < BigInt(10).pow(19),
+      s"cosinePrefixPairs: max doc norm^2 $maxN2 x tauDen=$tauDen overflows" +
+        " the DECIMAL(38,0) tau test — rescale the idf quantum")
+    // prefix index cut: max-weight potential (AllPairs) against the
+    // corpus-min partner norm. (The L2AP partner-independent prefix cut —
+    // tail2 incl. this row >= τ²·n2 — was measured and REJECTED here: a
+    // SHORTER prefix moves t* earlier, which inflates rem_a/rem_b at the
+    // pair level and WEAKENED the net filter — candidates grew 152k → 160k
+    // at sf0.1 even with the L2 pair bound active.)
     val pref = ranked.filter(
       (col("__rem") + col("__pot")).cast("double") * tauDen >=
         sqrt(col("n2").cast("double") * minN2.toDouble) *
@@ -704,21 +746,42 @@ object Dedup {
     // potentials), so the pair-level bound o_dot + min(rem_a, rem_b)
     // prunes before any suffix probe (the PPJoin idea, weighted).
     val a = pref.select(col(idCol).as("id_a"), col("word"), col("wi").as("__wa"),
-      col("rn").as("ra"), col("__rem").as("__rema"), col("n2").as("n2_a"))
+      col("rn").as("ra"), col("__rem").as("__rema"), col("__nxt2").as("__nxa"),
+      col("n2").as("n2_a"))
     val b = pref.select(col(idCol).as("id_b"), col("word"), col("wi").as("__wb"),
-      col("rn").as("rb"), col("__rem").as("__remb"), col("n2").as("n2_b"))
+      col("rn").as("rb"), col("__rem").as("__remb"), col("__nxt2").as("__nxb"),
+      col("n2").as("n2_b"))
+    // Pair-level suffix bounds (the r7 buy-back, applied where it is NOT
+    // already subsumed): the dot past the last shared-prefix term t* is
+    // over shared terms ranking past ra_mx AND rb_mx, so it is bounded by
+    //  (1) max-weight potential min(rem_a, rem_b) (PPJoin, r7), and
+    //  (2) Cauchy-Schwarz √(l2_a·l2_b) over the two rank-suffix tails
+    //      (L2AP) — l2_x = tail squared norm EXCLUDING t* (min of the
+    //      non-increasing __nxt2 over shared rows = its value at t*).
+    // (A first-shared-term Bayardo test max(__rem+__pot) was measured and
+    // REJECTED: o_dot + min(rem) <= that bound always — each potential
+    // term wa·mw over-covers the actual wa·wb — so it prunes nothing; a
+    // row-level prune was also rejected: dropping rows shrinks o_dot and
+    // inflates rem, and candidates GREW 152k → 170k at sf0.1.)
     val cand = a.join(b, Seq("word"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("__wa") * col("__wb")).as("o_dot"),
         max(col("ra")).as("ra_mx"), max(col("rb")).as("rb_mx"),
         min(col("__rema")).as("rem_a"), min(col("__remb")).as("rem_b"),
+        min(col("__nxa")).as("l2_a"), min(col("__nxb")).as("l2_b"),
         max(col("n2_a")).as("n2_a"), max(col("n2_b")).as("n2_b"))
-      .filter(
-        (col("o_dot") + least(col("rem_a"), col("rem_b"))).cast("double") *
-          tauDen >=
+      .filter {
+        val pairT =
           sqrt(col("n2_a").cast("double") * col("n2_b").cast("double")) *
-            tauNum * (1 - 1e-9))
+            tauNum * (1 - 1e-9)
+        (col("o_dot") + least(col("rem_a"), col("rem_b"))).cast("double") *
+          tauDen >= pairT &&
+        (col("o_dot").cast("double") +
+          sqrt(col("l2_a").cast("double") * col("l2_b").cast("double"))) *
+          tauDen >= pairT
+      }
+      .drop("l2_a", "l2_b")
       .localCheckpoint(true)
     cand
   }

@@ -22,6 +22,26 @@ object Reports {
   private val asOfUs = 1706659200000000L
   private val DayUs = 86400000000L
 
+  /** cv3's keeper election: each customer's FIRST membership purchase under
+    * the TOTAL order (us, event_id, value) — `min_by` over a native struct
+    * key (the gr3 idiom), not a printf-encoded composite: zero-padded
+    * strings misorder signed ids, and leaving `value` out of the key made
+    * the pick nondeterministic when dirty data carries two purchase rows
+    * with equal (ts, event_id) but different value (dq2 measures duplicate
+    * event keys as a real possibility). Struct ordering compares each field
+    * natively, so the full signed 64-bit id domain and IEEE double order
+    * both hold — mirrored in the oracle as a row_number window on the same
+    * three columns. */
+  private[graft] def firstMembership(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ok = struct(Q.usecs(col("ts")), col("event_id"), col("value"))
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(Q.usecs(col("ts"))).as("m_us"),
+        min_by(col("event_id"), ok).as("membership_id"),
+        min_by(col("value"), ok).as("m_value"))
+  }
+
   val qs: Seq[Q] = Seq(
 
     // RP1: purchasers with NO corresponding check-in — the reference's
@@ -85,12 +105,7 @@ object Reports {
     Q("cv3_membership_conversion",
       (s, d) => {
         val ev = Tables.events(s, d).filter(Q.usecs(col("ts")) < asOfUs)
-        val firstMem = ev.filter(col("event_type") === "purchase")
-          .withColumn("ok", format_string("%020d|%020d", Q.usecs(col("ts")), col("event_id")))
-          .groupBy(col("user_id"))
-          .agg(min(Q.usecs(col("ts"))).as("m_us"),
-            expr("min_by(event_id, ok)").as("membership_id"),
-            expr("min_by(value, ok)").as("m_value"))
+        val firstMem = Reports.firstMembership(ev)
         val prior = firstMem
           .join(ev.filter(col("event_type") === "view")
               .select(col("user_id"), Q.usecs(col("ts")).as("v_us")),
@@ -112,10 +127,14 @@ object Reports {
               |  SELECT *, ${Q.usecsSql("ts")} AS us FROM events
               |  WHERE ${Q.usecsSql("ts")} < $asOfUs),
               |fm AS (
-              |  SELECT user_id, MIN(us) AS m_us,
-              |    arg_min(event_id, printf('%020d|%020d', us, event_id)) AS membership_id,
-              |    arg_min(value, printf('%020d|%020d', us, event_id)) AS m_value
-              |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+              |  -- keeper election under the total (us, event_id, value) order —
+              |  -- DuckDB arg_min rejects struct keys, so the row_number form of
+              |  -- Spark's min_by(_, struct(us, event_id, value))
+              |  SELECT user_id, us AS m_us, event_id AS membership_id,
+              |    value AS m_value
+              |  FROM ev WHERE event_type = 'purchase'
+              |  QUALIFY row_number() OVER (PARTITION BY user_id
+              |    ORDER BY us, event_id, value) = 1),
               |pc AS (
               |  SELECT fm.user_id, fm.membership_id, fm.m_us, fm.m_value,
               |    COUNT(CASE WHEN v.us < fm.m_us THEN 1 END) AS previous_checkins_count

@@ -1832,4 +1832,28 @@ class OpsSpec extends AnyFunSuite {
       Seq("a" -> 10L, "b" -> 20L), 1000000L, 1, 1)
     assert(capped.map(_._3) == Seq(10L, 20L))
   }
+
+  test("cv3 keeper election orders the full signed id domain and ties on value") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-10 00:00:00")
+    val t1 = Timestamp.valueOf("2024-01-11 00:00:00")
+    val ev = Seq(
+      // user 1: same ts — a NEGATIVE id must win over a positive one
+      // (the %020d composite misordered signed values)
+      (5L, t0, 1L, "purchase", 40.0),
+      (-7L, t0, 1L, "purchase", 120.0),
+      // user 2: duplicate (ts, event_id) rows with different value —
+      // the dirty-data class dq2 measures; value breaks the tie
+      (9L, t0, 2L, "purchase", 75.0),
+      (9L, t0, 2L, "purchase", 31.0),
+      (3L, t1, 2L, "purchase", 200.0),
+      // non-purchase noise is ignored
+      (4L, t0, 1L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.queries.Reports.firstMembership(ev)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("membership_id"), r.getAs[Double]("m_value")))).toMap
+    assert(got(1L) == ((-7L, 120.0)), s"negative id must order first: $got")
+    assert(got(2L) == ((9L, 31.0)), s"value must break the (ts,id) tie: $got")
+  }
 }
