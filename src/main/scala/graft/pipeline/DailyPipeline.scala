@@ -45,6 +45,10 @@ object DailyPipeline {
       // the Deequ-style publish gate over the raw tables — first in spirit,
       // no deps: constraint violations surface even if mart jobs fail
       materialize("dq2_constraint_report", "constraint_report"),
+      // the health-tab freshness monitor (`dashboard/system_health.py`):
+      // per-source staleness + flag-run recency + error surfacing — like
+      // dq2, no deps, so arrival problems surface even when marts fail
+      materialize("dq3_freshness_report", "freshness_report"),
       materialize("cv2_conversion_cohorts", "conversion_funnel",
         Seq("day_pass_visits_enriched")),
       materialize("j4_interval_active", "daily_active_timeline"),
@@ -68,6 +72,14 @@ object DailyPipeline {
       // .py`): one row per (flag, campaign) + the two sentinel classes,
       // downstream of the flag run only by data (re-derives via flagsAt)
       materialize("rp2_flag_email_verification", "flag_email_verification"),
+      // families buying day passes together (`identify_family_day_passes
+      // .py`): the targeted-marketing list — one row per qualifying
+      // check-in with contact email
+      materialize("rp3_family_day_passes", "family_day_passes"),
+      // SMS-consent compliance register (`sms_consent_tracker.py`):
+      // point-in-time consent status per phone, the legal gate every
+      // outbound-SMS consumer checks before sending
+      materialize("rp4_sms_consent_audit", "sms_consent_audit"),
       // SCD2 history of each customer's order priority — the accumulated
       // interval form of the dimension the daily re-sync would overwrite
       materialize("o7_scd2_history", "customer_priority_history"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Tables
 import org.apache.spark.sql.functions._
 
 /** DQ1 — the warehouse-health "data questions" mart: customers whose data
@@ -242,6 +243,133 @@ object DataQuestions {
              |UNION ALL SELECT 'customer', 'unique:c_custkey', CAST(c.n AS BIGINT),
              |  CAST(c.dup_key AS BIGINT), c.dup_key = 0 FROM c
              |UNION ALL SELECT 'customer', 'complete:c_mktsegment', CAST(c.n AS BIGINT),
-             |  CAST(c.null_seg AS BIGINT), c.null_seg = 0 FROM c""".stripMargin))
+             |  CAST(c.null_seg AS BIGINT), c.null_seg = 0 FROM c""".stripMargin)),
+
+    // DQ3: the system-health / data-freshness monitor (`dashboard/
+    // system_health.py:167-254`): per-source max(updated_at) staleness vs
+    // the reference's 6h/24h thresholds with its m/h/d age rendering
+    // (`:199-215`), the flag-engine run-recency row, and the recent-errors
+    // surfacing seat (`:232-254`) — the health-tab complement to dq2's
+    // value constraints (dq2 asks "is the data RIGHT", dq3 asks "is the
+    // data ARRIVING"). The reference heads S3 objects for LastModified;
+    // in-engine each source's recency IS its max event-time, measured
+    // against the flag clock and clamped at 0 (data can't arrive from the
+    // clock's future). The three event-ledger rows (full ledger, check-in
+    // view, trailing-24h errors) share ONE conditional aggregation pass
+    // (the dq2 one-pass-per-table discipline) exploded to rows; orders and
+    // lineitem are one 1-row pass each; the flag row re-runs the engine at
+    // the clock (u1's shape) with the run clock itself as last_updated.
+    // Scale shape: every branch is a full-scan max/count — map-side
+    // combined, no shuffle wider than one row per source; output is
+    // source-count bounded at any corpus size.
+    Q("dq3_freshness_report",
+      (s, d) => {
+        val asOfUs = 1706659200000000L
+        val dayUs = 86400000000L
+        def us(c: org.apache.spark.sql.Column) = Q.usecs(c)
+        val ev = Tables.events(s, d).filter(us(col("ts")) < asOfUs)
+        val isErr24 = col("event_type") === "error" &&
+          us(col("ts")) >= asOfUs - dayUs
+        val evRows = ev.agg(
+            max(us(col("ts"))).as("ev_us"), count(lit(1)).as("ev_n"),
+            max(when(col("event_type") === "view", us(col("ts")))).as("ck_us"),
+            count(when(col("event_type") === "view", 1)).as("ck_n"),
+            max(when(isErr24, us(col("ts")))).as("er_us"),
+            count(when(isErr24, 1)).as("er_n"))
+          .select(explode(array(
+            struct(lit("customer_events").as("data_source"),
+              col("ev_us").as("last_us"), col("ev_n").as("n_rows")),
+            struct(lit("capitan_checkins").as("data_source"),
+              col("ck_us").as("last_us"), col("ck_n").as("n_rows")),
+            struct(lit("recent_errors").as("data_source"),
+              col("er_us").as("last_us"), col("er_n").as("n_rows")))).as("r"))
+          .select(col("r.data_source"), col("r.last_us"), col("r.n_rows"))
+        val ordRow = Tables.orders(s, d)
+          .filter(us(col("o_orderdate")) < asOfUs)
+          .agg(max(us(col("o_orderdate"))).as("last_us"),
+            count(lit(1)).as("n_rows"))
+          .select(lit("stripe_transactions").as("data_source"),
+            col("last_us"), col("n_rows"))
+        val liRow = Tables.lineitem(s, d)
+          .filter(us(col("l_shipdate")) < asOfUs)
+          .agg(max(us(col("l_shipdate"))).as("last_us"),
+            count(lit(1)).as("n_rows"))
+          .select(lit("shipment_lines").as("data_source"),
+            col("last_us"), col("n_rows"))
+        val flagRow = FlagQs.flagsAt(s, d, asOfUs)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit("customer_flags").as("data_source"),
+            lit(asOfUs).as("last_us"), col("n_rows"))
+        val all = evRows.unionByName(ordRow).unionByName(liRow)
+          .unionByName(flagRow)
+        val diff = greatest(lit(0L), lit(asOfUs) - col("last_us"))
+        val mins = floor(diff / lit(60000000L)).cast("long")
+        val hrs = floor(diff / lit(3600000000L)).cast("long")
+        val days = floor(diff / lit(dayUs)).cast("long")
+        all.select(col("data_source"),
+          when(col("last_us").isNotNull,
+            Q.tsFmt(timestamp_micros(col("last_us")))).as("last_updated"),
+          when(col("last_us").isNull, "never")
+            .when(hrs < 1, concat(mins.cast("string"), lit("m ago")))
+            .when(hrs < 24, concat(hrs.cast("string"), lit("h ago")))
+            .otherwise(concat(days.cast("string"), lit("d ago"))).as("age"),
+          when(col("last_us").isNull, "Stale")
+            .when(hrs < 6, "Fresh").when(hrs < 24, "Aging")
+            .otherwise("Stale").as("status"),
+          col("n_rows"))
+      },
+      Some {
+        val asOfUs = 1706659200000000L
+        s"""WITH src AS (
+           |  SELECT 'customer_events' AS data_source,
+           |    MAX(${Q.usecsSql("ts")}) AS last_us,
+           |    CAST(COUNT(*) AS BIGINT) AS n_rows
+           |  FROM events WHERE ${Q.usecsSql("ts")} < $asOfUs
+           |  UNION ALL
+           |  SELECT 'capitan_checkins',
+           |    MAX(CASE WHEN event_type = 'view'
+           |        THEN ${Q.usecsSql("ts")} END),
+           |    CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+           |  FROM events WHERE ${Q.usecsSql("ts")} < $asOfUs
+           |  UNION ALL
+           |  SELECT 'recent_errors',
+           |    MAX(CASE WHEN event_type = 'error'
+           |        AND ${Q.usecsSql("ts")} >= $asOfUs - 86400000000
+           |        THEN ${Q.usecsSql("ts")} END),
+           |    CAST(COUNT(*) FILTER (WHERE event_type = 'error'
+           |        AND ${Q.usecsSql("ts")} >= $asOfUs - 86400000000) AS BIGINT)
+           |  FROM events WHERE ${Q.usecsSql("ts")} < $asOfUs
+           |  UNION ALL
+           |  SELECT 'stripe_transactions', MAX(${Q.usecsSql("o_orderdate")}),
+           |    CAST(COUNT(*) AS BIGINT)
+           |  FROM orders WHERE ${Q.usecsSql("o_orderdate")} < $asOfUs
+           |  UNION ALL
+           |  SELECT 'shipment_lines', MAX(${Q.usecsSql("l_shipdate")}),
+           |    CAST(COUNT(*) AS BIGINT)
+           |  FROM lineitem WHERE ${Q.usecsSql("l_shipdate")} < $asOfUs
+           |  UNION ALL
+           |  SELECT 'customer_flags', $asOfUs,
+           |    (SELECT CAST(COUNT(*) AS BIGINT)
+           |     FROM (${FlagQs.flagsSql(asOfUs)}))),
+           |ages AS (
+           |  SELECT *, GREATEST(0, $asOfUs - last_us) AS diff,
+           |    GREATEST(0, $asOfUs - last_us) // 60000000 AS mins,
+           |    GREATEST(0, $asOfUs - last_us) // 3600000000 AS hrs,
+           |    GREATEST(0, $asOfUs - last_us) // 86400000000 AS days
+           |  FROM src)
+           |SELECT data_source,
+           |  CASE WHEN last_us IS NOT NULL
+           |       THEN ${Q.tsFmtSql("make_timestamp(last_us)")} END
+           |    AS last_updated,
+           |  CASE WHEN last_us IS NULL THEN 'never'
+           |       WHEN hrs < 1 THEN CAST(mins AS VARCHAR) || 'm ago'
+           |       WHEN hrs < 24 THEN CAST(hrs AS VARCHAR) || 'h ago'
+           |       ELSE CAST(days AS VARCHAR) || 'd ago' END AS age,
+           |  CASE WHEN last_us IS NULL THEN 'Stale'
+           |       WHEN hrs < 6 THEN 'Fresh' WHEN hrs < 24 THEN 'Aging'
+           |       ELSE 'Stale' END AS status,
+           |  n_rows
+           |FROM ages""".stripMargin
+      })
   )
 }

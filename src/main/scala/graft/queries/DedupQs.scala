@@ -733,7 +733,8 @@ object DedupQs {
            |SELECT id AS doc_id, lbl AS community_id,
            |  COUNT(*) OVER (PARTITION BY lbl) AS community_size
            |FROM l4""".stripMargin
-      }),
+      },
+      bench = true),
 
     // GR4: k-core DUP-FARM gate (Graph.kCore, Matula-Beck '83 peeling) over
     // the same d5 near-dup graph — the density policy the other graph views
@@ -785,7 +786,8 @@ object DedupQs {
            |SELECT n.id AS doc_id, d.id IS NOT NULL AS in_core,
            |  COALESCE(d.core_degree, 0) AS core_degree, c.converged
            |FROM nd n LEFT JOIN degf d ON d.id = n.id CROSS JOIN conv c""".stripMargin
-      }),
+      },
+      bench = true),
 
     // C1: end-to-end corpus curation — the LLM-training-data pipeline as ONE
     // declared plan: language gate → quality gate → exact-dedup keeper →

@@ -3,8 +3,7 @@ package graft.queries
 import graft.core.Tables
 import org.apache.spark.sql.functions._
 
-/** RP1/RP2 + CV3 — the reference's small composite follow-up reports, the
-  * last unclaimed marts of its report layer:
+/** RP1-RP4 + CV3 — the reference's small composite follow-up reports:
   *
   *  - rp1: day-pass purchasers with no check-in
   *    (`build_purchased_not_checkedin.py:22-109`)
@@ -12,6 +11,10 @@ import org.apache.spark.sql.functions._
   *    membership (`build_membership_conversion_metrics.py:25-113`)
   *  - rp2: flag → email-received cross-check
   *    (`build_flag_email_verification.py:25-277`)
+  *  - rp3: families buying day passes together the same day
+  *    (`identify_family_day_passes.py:28-105`)
+  *  - rp4: SMS-consent compliance audit — append-only consent ledger with
+  *    keyed point-in-time status (`sms_consent_tracker.py:41-330`)
   *
   * Event-ledger conventions follow cv1 (`ConversionFunnel`): 'view' events
   * are facility check-ins / received campaigns, 'purchase' events are
@@ -217,6 +220,179 @@ object Reports {
               |FROM flags f
               |LEFT JOIN cust c ON c.user_id = f.user_id
               |LEFT JOIN camp ON camp.v_user = f.user_id
-              |  AND c.customer_email IS NOT NULL""".stripMargin))
+              |  AND c.customer_email IS NOT NULL""".stripMargin)),
+
+    // RP3: families buying day passes together the same day — the last
+    // reference analytic without an engine twin (`identify_family_day_
+    // passes.py:28-105`: keyword-mask day-pass check-ins, group by
+    // (last_name, date), keep groups of 2+ people, read out names/emails
+    // for targeted marketing). Event-ledger re-grounding: check-ins are
+    // 'view' events (cv1's convention); the entry-method seat derives from
+    // event_id%4 — three pass classes the reference's keyword mask keeps
+    // plus the 'Membership Check-in' class it excludes (`:46-52`); the
+    // surname is the family-decade key (SURVEY §1.2: the decade IS the
+    // family — familyMap/fam1's model), rendered 'famN'; "2+ people" uses
+    // DISTINCT customers (the reference's stated intent; its len(group)
+    // row-count would call one person's two same-day check-ins a family).
+    // Positioning vs fam1/a9: fam1 infers parent-child EDGES and a9 groups
+    // duplicate IDENTITIES — rp3 groups same-day co-purchase BEHAVIOR of
+    // an existing family key. Scale shape: the group aggregate and the
+    // group join share the (fam, date) key — one shuffle of the check-in
+    // stream, bounded group state; the name/email dim joins on the user
+    // key (the decade arithmetic keeps it skew-free at any corpus size).
+    Q("rp3_family_day_passes",
+      (s, d) => {
+        val pt = col("event_id") % 4
+        val views = Tables.events(s, d)
+          .filter(col("event_type") === "view" && Q.usecs(col("ts")) < asOfUs)
+          .withColumn("pass_type",
+            when(pt === 0, "Day Pass").when(pt === 1, "Punch Pass")
+              .when(pt === 2, "Pass with Gear").otherwise("Membership Check-in"))
+          .filter(col("pass_type") =!= "Membership Check-in")
+          .select(col("user_id"), expr("user_id div 10").as("fam"),
+            date_format(col("ts"), "yyyy-MM-dd").as("date"), col("pass_type"))
+        val groups = views.groupBy(col("fam"), col("date"))
+          .agg(countDistinct(col("user_id")).as("family_size"))
+          .filter(col("family_size") >= 2)
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name").as("first_name"),
+            CustomerMaster.synthEmail.as("email"))
+        views.join(groups, Seq("fam", "date"))
+          .join(dim, col("user_id") === col("c_custkey"), "left")
+          .select(col("first_name"),
+            concat(lit("fam"), col("fam").cast("string")).as("last_name"),
+            col("date"), col("user_id").as("customer_id"), col("email"),
+            col("pass_type"), col("family_size"))
+      },
+      Some(s"""WITH v AS (
+              |  SELECT user_id, user_id // 10 AS fam,
+              |    strftime(ts, '%Y-%m-%d') AS date,
+              |    CASE event_id % 4 WHEN 0 THEN 'Day Pass'
+              |         WHEN 1 THEN 'Punch Pass' WHEN 2 THEN 'Pass with Gear'
+              |         ELSE 'Membership Check-in' END AS pass_type
+              |  FROM events
+              |  WHERE event_type = 'view' AND ${Q.usecsSql("ts")} < $asOfUs),
+              |dp AS (SELECT * FROM v WHERE pass_type <> 'Membership Check-in'),
+              |g AS (
+              |  SELECT fam, date,
+              |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS family_size
+              |  FROM dp GROUP BY 1, 2 HAVING COUNT(DISTINCT user_id) >= 2)
+              |SELECT c.c_name AS first_name,
+              |  'fam' || CAST(dp.fam AS VARCHAR) AS last_name,
+              |  dp.date, dp.user_id AS customer_id,
+              |  ${CustomerMaster.synthEmailSql} AS email,
+              |  dp.pass_type, g.family_size
+              |FROM dp JOIN g ON dp.fam = g.fam AND dp.date = g.date
+              |LEFT JOIN customer c ON c.c_custkey = dp.user_id""".stripMargin)),
+
+    // RP4: SMS-consent compliance audit (`sms_consent_tracker.py:41-330`) —
+    // the reference appends every opt-in/revocation to an S3 CSV audit
+    // trail and answers point-in-time consent lookups off it. In-engine,
+    // the ledger is derived from the event stream (opt-in = 'signup' —
+    // consent captured at signup; revocation = 'error' — the opt-out
+    // signal), with the reference's compliance seats modeled
+    // deterministically: E.164 phone off the user key (`:369` normalize),
+    // opt-in method web_form/keyword/in_person/qr_code off the event key
+    // (`:118-218`'s three recorders + QR), consent_id = md5 of
+    // phone+first-opt-in (`:363-367`). One row per consented phone at the
+    // evaluation clock: first opt-in (the auditable consent record) plus
+    // the LATEST ledger action deciding active/revoked — the reference's
+    // get_consent_status(`:272-301`), whose "most recent record wins" is
+    // the o3/a11 keyed-latest shape. Positioning vs cm1's
+    // has_been_contacted / rp2's email cross-check: those read MARKETING
+    // reach; rp4 is the legal consent REGISTER (who may be texted at all).
+    // Scale shape: two aggregates over the filtered ledger on the same
+    // user key (first opt-in, latest action) joined co-partitioned — one
+    // shuffle, no windows over the corpus.
+    Q("rp4_sms_consent_audit",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(Q.usecs(col("ts")) < asOfUs &&
+            col("event_type").isin("signup", "error"))
+          .select(col("user_id"), col("event_id"), Q.usecs(col("ts")).as("us"),
+            when(col("event_type") === "signup", "opt_in")
+              .otherwise("revoke").as("action"))
+        val optIns = ev.filter(col("action") === "opt_in")
+          .groupBy(col("user_id"))
+          .agg(min(col("us")).as("first_opt_us"),
+            min_by(col("event_id"), struct(col("us"), col("event_id")))
+              .as("first_opt_event"),
+            count(lit(1)).as("n_opt_ins"))
+        val last = ev.groupBy(col("user_id"))
+          .agg(max_by(col("action"), struct(col("us"), col("event_id")))
+              .as("last_action"),
+            max_by(col("event_id"), struct(col("us"), col("event_id")))
+              .as("last_event"),
+            max(col("us")).as("last_us"),
+            count(lit(1)).as("n_ledger_rows"))
+        val m = col("first_opt_event") % 4
+        val phone = concat(lit("+1512"),
+          lpad((col("user_id") % 10000000L).cast("string"), 7, "0"))
+        optIns.join(last, Seq("user_id"))
+          .select(
+            md5(concat(phone, lit(":"), col("first_opt_us").cast("string")))
+              .as("consent_id"),
+            phone.as("phone_number"), col("user_id").as("customer_id"),
+            Q.tsFmt(timestamp_micros(col("first_opt_us"))).as("opted_in_at"),
+            when(m === 0, "web_form").when(m === 1, "keyword")
+              .when(m === 2, "in_person").otherwise("qr_code")
+              .as("opt_in_method"),
+            when(col("last_action") === "revoke", "revoked")
+              .otherwise("active").as("status"),
+            when(col("last_action") === "revoke",
+              Q.tsFmt(timestamp_micros(col("last_us")))).as("revoked_at"),
+            when(col("last_action") === "revoke",
+              when(col("last_event") % 2 === 0, "stop_keyword")
+                .otherwise("customer_request")).as("revoked_method"),
+            col("n_opt_ins"), col("n_ledger_rows"))
+      },
+      Some(s"""WITH led AS (
+              |  SELECT user_id, event_id, ${Q.usecsSql("ts")} AS us,
+              |    CASE WHEN event_type = 'signup' THEN 'opt_in'
+              |         ELSE 'revoke' END AS action
+              |  FROM events
+              |  WHERE ${Q.usecsSql("ts")} < $asOfUs
+              |    AND event_type IN ('signup', 'error')),
+              |oi AS (
+              |  SELECT user_id, MIN(us) AS first_opt_us,
+              |    CAST(COUNT(*) AS BIGINT) AS n_opt_ins
+              |  FROM led WHERE action = 'opt_in' GROUP BY user_id),
+              |oie AS (
+              |  SELECT user_id, event_id AS first_opt_event
+              |  FROM led WHERE action = 'opt_in'
+              |  QUALIFY row_number() OVER (PARTITION BY user_id
+              |    ORDER BY us, event_id) = 1),
+              |la AS (
+              |  SELECT user_id, action AS last_action, event_id AS last_event,
+              |    us AS last_us,
+              |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+              |      AS n_ledger_rows
+              |  FROM led
+              |  QUALIFY row_number() OVER (PARTITION BY user_id
+              |    ORDER BY us DESC, event_id DESC) = 1),
+              |base AS (
+              |  SELECT oi.user_id, oi.first_opt_us, oie.first_opt_event,
+              |    oi.n_opt_ins, la.last_action, la.last_event, la.last_us,
+              |    la.n_ledger_rows,
+              |    '+1512' || lpad(CAST(oi.user_id % 10000000 AS VARCHAR), 7, '0')
+              |      AS phone
+              |  FROM oi JOIN oie ON oie.user_id = oi.user_id
+              |  JOIN la ON la.user_id = oi.user_id)
+              |SELECT
+              |  md5(phone || ':' || CAST(first_opt_us AS VARCHAR)) AS consent_id,
+              |  phone AS phone_number, user_id AS customer_id,
+              |  ${Q.tsFmtSql("make_timestamp(first_opt_us)")} AS opted_in_at,
+              |  CASE first_opt_event % 4 WHEN 0 THEN 'web_form'
+              |       WHEN 1 THEN 'keyword' WHEN 2 THEN 'in_person'
+              |       ELSE 'qr_code' END AS opt_in_method,
+              |  CASE WHEN last_action = 'revoke' THEN 'revoked'
+              |       ELSE 'active' END AS status,
+              |  CASE WHEN last_action = 'revoke'
+              |       THEN ${Q.tsFmtSql("make_timestamp(last_us)")} END AS revoked_at,
+              |  CASE WHEN last_action = 'revoke' THEN
+              |       CASE WHEN last_event % 2 = 0 THEN 'stop_keyword'
+              |            ELSE 'customer_request' END END AS revoked_method,
+              |  n_opt_ins, n_ledger_rows
+              |FROM base""".stripMargin))
   )
 }
