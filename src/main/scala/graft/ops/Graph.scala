@@ -64,6 +64,62 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_e12"))
   }
 
+  /** Personalized PageRank (random walk with restart): like [[pageRank]],
+    * but ALL restart mass returns to a seed set instead of spreading
+    * uniformly — the result scores every node by its graph proximity to the
+    * seeds (seed-set expansion: lookalike audiences from known customers,
+    * quality-region expansion from curated documents). Same exact integer
+    * fixed-point contract as pageRank (BIGINT 1e-12 units, floor division,
+    * bit-identical across engines/partitionings; an unrolled-rounds SQL
+    * oracle can replay it).
+    *
+    * Per round, for every node v (S = seed set):
+    * r'(v) = (v ∈ S ? 0.15e12 div |S| : 0) + Σ_{u→v} (r(u)·85) div (100·deg(u)),
+    * r0(v) = v ∈ S ? 1e12 div |S| : 0. Sink nodes leak their damped mass
+    * (same simplification as pageRank; symmetrized graphs have none).
+    *
+    * Scale shape: identical to pageRank — K bounded rounds of one shuffle
+    * join + one map-side-combinable sum; the seed membership is a node-sized
+    * broadcast-able column, the seed COUNT a 1-row broadcast. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      srcCol: String, dstCol: String, seedCol: String,
+      iters: Int = 8): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ewd = e.join(deg, "src").localCheckpoint(true)
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    // seeds restricted to graph nodes: a seed outside the edge set has no
+    // edges to push mass through and would silently dilute |S|
+    val seeded = nodes.join(sd.withColumn("__s", lit(1)), Seq("node"), "left")
+      .select(col("node"), col("__s").isNotNull.as("is_seed"))
+    val ns = seeded.filter(col("is_seed")).agg(count(lit(1)).as("ns"))
+    val base = seeded.crossJoin(broadcast(ns)).localCheckpoint(true)
+    require(base.filter(col("is_seed")).head(1).nonEmpty,
+      "personalizedPageRank: no seed intersects the graph's node set")
+    var ranks = base
+      .select(col("node"), col("is_seed"), col("ns"),
+        when(col("is_seed"), expr("CAST(1000000000000 AS BIGINT) div ns"))
+          .otherwise(lit(0L)).as("r"))
+      .localCheckpoint(true)
+    for (i <- 1 to iters) {
+      val contrib = ewd
+        .join(ranks.select(col("node"), col("r")), ewd("src") === col("node"))
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(expr("(r * 85) div (100 * deg)")).as("c"))
+      ranks = base.join(contrib, base("node") === contrib("cnode"), "left")
+        .select(base("node"), base("is_seed"), base("ns"),
+          (when(col("is_seed"), expr("CAST(150000000000 AS BIGINT) div ns"))
+            .otherwise(lit(0L)) + coalesce(col("c"), lit(0L))).as("r"))
+      // same every-4th-round checkpoint cadence as pageRank (bounded plan,
+      // arithmetic unchanged by placement)
+      if (i % 4 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("is_seed"), col("r").as("rank_e12"))
+  }
+
   /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
     * rewrites (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC '14) — the general-graph scale path next to

@@ -93,6 +93,42 @@ object Windows {
       .drop("__new_sess")
   }
 
+  /** Interval coalescing (gaps-and-islands over [start, end] validity
+    * intervals, inclusive bounds): merge every overlapping-or-touching run
+    * of intervals per key into one "island" row — the membership-coverage
+    * primitive (a customer's overlapping membership spells collapse to
+    * continuous covered spans; tenure and lapse counts fall out).
+    * Reference shape: the `[start_date, end_date]` membership intervals of
+    * `fetch_capitan_membership_data.py:299-312` that the dashboard's daily
+    * loop re-scans per day — coalescing once replaces the per-day scan.
+    *
+    * An interval joins the current island iff its start <= the running max
+    * end of all earlier intervals (in (start, end, tiebreak) order); islands
+    * are numbered 1..n per key. Emits one row per island: key, `island_no`,
+    * `island_start` = min(start), `island_end` = max(end) (the running-max
+    * fixpoint), `n_intervals`.
+    *
+    * Shape: one shuffle on the key; two window passes (running max + island
+    * sum) and the final agg all share the key partitioning. Works for any
+    * orderable axis type (dates here; epoch longs for time-of-day). */
+  def intervalIslands(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol), col(tiebreakCol))
+    val runMaxPrev = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__new_isl",
+        when(runMaxPrev.isNull || col(startCol) > runMaxPrev, 1).otherwise(0))
+      .withColumn("island_no",
+        sum(col("__new_isl"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy(col(keyCol), col("island_no"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
   /** W10: SCD type-2 history — collapse consecutive equal values of `attr`
     * per key (in (axis, tiebreak) order) into versioned validity intervals.
     * Adds `version` (1-based per key) and `valid_to` (the next version's

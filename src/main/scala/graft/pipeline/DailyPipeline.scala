@@ -83,6 +83,15 @@ object DailyPipeline {
       // SCD2 history of each customer's order priority — the accumulated
       // interval form of the dimension the daily re-sync would overwrite
       materialize("o7_scd2_history", "customer_priority_history"),
+      // coalesced membership-coverage islands per customer — the
+      // precomputation the dashboard's per-day interval re-scan wants
+      materialize("o8_interval_merge", "membership_coverage"),
+      // weekly cohort retention triangle — the attrition chart's cohort
+      // extension, companion to the conversion_funnel mart
+      materialize("rp5_retention_triangle", "retention_triangle"),
+      // lookalike audience: personalized-PageRank proximity to high-value
+      // buyers over the co-activity graph (marketing's expansion list)
+      materialize("gr5_ppr_lookalike", "lookalike_audience"),
       materialize("d1_exact_dedup", "document_dedup_groups"),
       materialize("o3_dedup_keepfirst", "transactions_deduped", Seq("combined_transactions")),
       // training-data marts (BASELINE north star): sessionized user journeys,
@@ -119,6 +128,10 @@ object DailyPipeline {
           graft.ops.TextAnalysis.dupSubstringRuns(
             Tables.documents(s, sfDir), "doc_id", "text", k = 8),
           s"$outDir/dup_substring_report")),
+      // marginal-content signal per doc (t36): what each doc ADDED first —
+      // the containment report's complement, upstream of curation like the
+      // dup-substring twin
+      materialize("t36_ngram_novelty", "novelty_scores"),
       // DSIR importance scores against the curated target distribution —
       // the data-selection side-channel: which raw docs LOOK curated,
       // regardless of whether the gates kept them

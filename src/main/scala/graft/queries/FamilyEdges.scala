@@ -174,6 +174,87 @@ object FamilyEdges {
              |QUALIFY row_number() OVER (
              |  PARTITION BY parent_customer_id, child_customer_id
              |  ORDER BY CASE confidence WHEN 'high' THEN 3 WHEN 'medium' THEN 2
-             |    ELSE 1 END DESC, source) = 1""".stripMargin))
+             |    ELSE 1 END DESC, source) = 1""".stripMargin)),
+
+    // GR5: LOOKALIKE-AUDIENCE seed expansion by personalized PageRank
+    // (random walk with restart, Graph.personalizedPageRank) over the
+    // co-activity graph — the graph-global form of the reference's
+    // connections-based targeting (`build_customer_connections.py:17-39`
+    // builds the weighted edges; marketing reads "who is close to our best
+    // customers" off them): edges = distinct user pairs with same-type
+    // events within 120 s (j6's bucketed proximity join, user-keyed);
+    // seeds = high-value buyers (exact decimal purchase total >= 1200, the
+    // dsum discipline — a double sum could flip a boundary seed between
+    // engines); 8 integer fixed-point rounds whose restart mass returns to
+    // the seeds only, so rank_e12 IS graph proximity to the seed set.
+    // Oracle replays all 8 rounds in chained CTEs (the gr1 unrolled
+    // pattern; edge/degree CTEs pinned MATERIALIZED per the gr4 lesson).
+    // Scale: edge volume is bounded by time-bucket occupancy; each round
+    // one shuffle join + one map-side-combinable sum; rank state is
+    // node-sized.
+    Q("gr5_ppr_lookalike",
+      (s, d) => {
+        import graft.ops.Graph
+        val ev = Tables.events(s, d).withColumn("us", Q.usecs(col("ts")))
+        // proximityPairs' adjacent-bucket leg has no id-inequality guard
+        // (with EVENT ids none is needed); keyed on user_id it can emit a
+        // same-user pair from two of their own events — drop self-loops.
+        val pairs = TimeJoins.proximityPairs(ev, Seq("event_type"), "us",
+            "user_id", 120L * 1000000L)
+          .filter(col("id_a") =!= col("id_b"))
+          .select(col("id_a").as("ua"), col("id_b").as("ub")).distinct()
+        val edges = pairs.select(col("ua").as("src"), col("ub").as("dst"))
+          .unionByName(pairs.select(col("ub").as("src"), col("ua").as("dst")))
+        val seeds = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .as("spend"))
+          .filter(col("spend") >= 1200)
+        Graph.personalizedPageRank(edges, seeds, "src", "dst", "user_id",
+            iters = 8)
+          .select(col("node").as("user_id"), col("is_seed"), col("rank_e12"))
+      },
+      Some {
+        val rounds = (1 to 8).map { k =>
+          val prev = if (k == 1) "r0" else s"r${k - 1}"
+          s"""r$k AS (
+             |  SELECT nd.node, nd.is_seed,
+             |    CASE WHEN nd.is_seed THEN 150000000000 // ss.ns ELSE 0 END
+             |      + COALESCE(s.c, CAST(0 AS BIGINT)) AS r
+             |  FROM nd CROSS JOIN ss
+             |  LEFT JOIN (
+             |    SELECT e.dst AS node,
+             |      CAST(SUM((p.r * 85) // (100 * d.deg)) AS BIGINT) AS c
+             |    FROM $prev p JOIN e ON p.node = e.src
+             |    JOIN deg d ON d.src = e.src
+             |    GROUP BY 1) s ON s.node = nd.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ep AS MATERIALIZED (
+           |  SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+           |  FROM events a JOIN events b
+           |    ON a.event_type = b.event_type AND a.user_id < b.user_id
+           |   AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 120000000),
+           |e AS MATERIALIZED (
+           |  SELECT ua AS src, ub AS dst FROM ep
+           |  UNION ALL SELECT ub, ua FROM ep),
+           |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+           |sd AS (
+           |  SELECT user_id FROM events WHERE event_type = 'purchase'
+           |  GROUP BY 1 HAVING SUM(CAST(value AS DECIMAL(18,4))) >= 1200),
+           |nd AS MATERIALIZED (
+           |  SELECT n.node, sd.user_id IS NOT NULL AS is_seed
+           |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+           |  LEFT JOIN sd ON sd.user_id = n.node),
+           |ss AS (SELECT COUNT(*) AS ns FROM nd WHERE is_seed),
+           |r0 AS (
+           |  SELECT nd.node, nd.is_seed,
+           |    CASE WHEN nd.is_seed THEN 1000000000000 // ss.ns
+           |         ELSE CAST(0 AS BIGINT) END AS r
+           |  FROM nd CROSS JOIN ss),
+           |$rounds
+           |SELECT node AS user_id, is_seed, CAST(r AS BIGINT) AS rank_e12
+           |FROM r8""".stripMargin
+      })
   )
 }

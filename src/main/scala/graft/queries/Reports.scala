@@ -393,6 +393,56 @@ object Reports {
               |       CASE WHEN last_event % 2 = 0 THEN 'stop_keyword'
               |            ELSE 'customer_request' END END AS revoked_method,
               |  n_opt_ins, n_ledger_rows
-              |FROM base""".stripMargin))
+              |FROM base""".stripMargin)),
+
+    // RP5: cohort RETENTION TRIANGLE — the classic cohort × periods-since-
+    // acquisition activity matrix (the cohort extension of the dashboard's
+    // attrition-vs-new chart, `dashboard.py:1201-1273`, and the natural
+    // companion to cv2's conversion cohorts): cohort = ISO week (Monday
+    // truncation, identical in both engines) of a user's FIRST event; a
+    // cell counts distinct cohort users active cohort_week + offset weeks
+    // later. Week grain, not month: the gate-scale ledger spans one
+    // calendar month, which would collapse a monthly triangle to a single
+    // cell. Offsets are exact day-diffs div 7 (both ends Monday-truncated,
+    // so the division is exact). Percentages are floor milli-ratios (the
+    // engine-wide exact-finisher discipline).
+    // Scale: two user-keyed aggs (first event, distinct activity weeks —
+    // both map-side combinable), one broadcast-able cohort-size frame; the
+    // triangle itself is weeks² rows, KB-sized at any corpus.
+    Q("rp5_retention_triangle",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), trunc(col("ts").cast("date"), "week").as("w"))
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(col("w")).as("cohort_week"))
+        val act = ev.distinct()
+        val cs = first.groupBy(col("cohort_week"))
+          .agg(count(lit(1)).as("cohort_size"))
+        act.join(first, "user_id")
+          .withColumn("week_offset",
+            (datediff(col("w"), col("cohort_week")) / 7).cast("long"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(cs, "cohort_week")
+          .withColumn("retained_pct_milli",
+            expr("n_active * 100000 div cohort_size"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+             |  FROM events),
+             |f AS (SELECT user_id, MIN(w) AS cohort_week FROM ev GROUP BY 1),
+             |act AS (SELECT DISTINCT user_id, w FROM ev),
+             |cs AS (SELECT cohort_week, COUNT(*) AS cohort_size
+             |       FROM f GROUP BY 1),
+             |tri AS (
+             |  SELECT f.cohort_week,
+             |    CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT)
+             |      AS week_offset,
+             |    COUNT(DISTINCT a.user_id) AS n_active
+             |  FROM act a JOIN f USING (user_id)
+             |  GROUP BY 1, 2)
+             |SELECT cohort_week, week_offset, n_active, cohort_size,
+             |  n_active * 100000 // cohort_size AS retained_pct_milli
+             |FROM tri JOIN cs USING (cohort_week)""".stripMargin))
   )
 }

@@ -197,6 +197,65 @@ object SetOps {
              |  lead(valid_from) OVER (PARTITION BY c ORDER BY run_id) IS NULL
              |    AS is_current,
              |  n_obs
-             |FROM hist""".stripMargin))
+             |FROM hist""".stripMargin)),
+
+    // O8: interval coalescing (gaps-and-islands) — each order opens a
+    // 30-day membership spell [o_orderdate, +30d]; overlapping/touching
+    // spells per customer merge into continuous coverage islands
+    // (Windows.intervalIslands), then one row per customer: island count
+    // (lapses + 1), total covered days, longest continuous stretch.
+    // Reference shape: the `[start_date, end_date]` membership intervals
+    // (`fetch_capitan_membership_data.py:299-312`) the dashboard re-scans
+    // per day (`dashboard.py:1014-1031`) — coalescing once is the
+    // precomputation that query wants. Scale: one shuffle on o_custkey;
+    // windows and aggs all share that partitioning.
+    Q("o8_interval_merge",
+      (s, d) => {
+        import graft.ops.Windows
+        val iv = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderdate").cast("date").as("start_d"),
+            col("o_orderkey"))
+          .withColumn("end_d", date_add(col("start_d"), 30))
+        Windows.intervalIslands(iv, "o_custkey", "start_d", "end_d", "o_orderkey")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_islands"),
+            sum(datediff(col("island_end"), col("island_start")) + 1)
+              .as("covered_days"),
+            max(datediff(col("island_end"), col("island_start")) + 1)
+              .cast("long").as("longest_island_days"),
+            sum(col("n_intervals")).as("n_spells"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS start_d,
+             |         CAST(o_orderdate AS DATE) + 30 AS end_d, o_orderkey
+             |  FROM orders),
+             |flagged AS (
+             |  SELECT o_custkey, start_d, end_d, o_orderkey,
+             |    CASE WHEN MAX(end_d) OVER (
+             |        PARTITION BY o_custkey ORDER BY start_d, end_d, o_orderkey
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |      OR start_d > MAX(end_d) OVER (
+             |        PARTITION BY o_custkey ORDER BY start_d, end_d, o_orderkey
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    THEN 1 ELSE 0 END AS new_isl
+             |  FROM iv),
+             |isl AS (
+             |  SELECT o_custkey,
+             |    SUM(new_isl) OVER (
+             |      PARTITION BY o_custkey ORDER BY start_d, end_d, o_orderkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_no,
+             |    start_d, end_d
+             |  FROM flagged),
+             |islands AS (
+             |  SELECT o_custkey, island_no, MIN(start_d) AS island_start,
+             |    MAX(end_d) AS island_end, COUNT(*) AS n_intervals
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT o_custkey, COUNT(*) AS n_islands,
+             |  CAST(SUM(date_diff('day', island_start, island_end) + 1) AS BIGINT)
+             |    AS covered_days,
+             |  CAST(MAX(date_diff('day', island_start, island_end) + 1) AS BIGINT)
+             |    AS longest_island_days,
+             |  CAST(SUM(n_intervals) AS BIGINT) AS n_spells
+             |FROM islands GROUP BY 1""".stripMargin))
   )
 }

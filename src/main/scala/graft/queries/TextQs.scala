@@ -810,6 +810,45 @@ object TextQs {
     Q("t35_phrase_search",
       (s, d) => TextAnalysis.phraseSearch(Tables.documents(s, d), "doc_id",
         "text", phraseLen = 3),
-      Some(TextAnalysis.phraseSearchSql("doc_id", "text", "documents", 3)))
+      Some(TextAnalysis.phraseSearchSql("doc_id", "text", "documents", 3))),
+
+    // T36: N-GRAM NOVELTY — per document, the fraction of its distinct
+    // 3-gram shingles whose corpus-wide FIRST appearance (min doc_id, the
+    // ingest-order proxy) is this document: the "what does this doc add"
+    // signal of incremental curation (the marginal-content complement of
+    // d9's containment — containment asks how much of a doc is elsewhere,
+    // novelty asks how much of it arrived here FIRST; duplicate docs score
+    // 0, fresh material scores high). Floor milli-ratio finisher, the
+    // engine-wide exact-integer discipline.
+    // Scale: ONE shingle pass — first-seen is a whole-partition window MIN
+    // on the gram key (an agg + join-back would re-run the shingle
+    // Generate for the second reference, doubling the dominant cost; the
+    // d2 double-pipeline lesson, solved structurally instead of by
+    // checkpoint), then one doc-keyed agg. Linear in shingle volume,
+    // nothing corpus². Docs under 3 words carry no shingle and drop out
+    // (both engines).
+    Q("t36_ngram_novelty",
+      (s, d) => {
+        import graft.ops.Dedup
+        import org.apache.spark.sql.expressions.Window
+        val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
+        sh.withColumn("first_doc",
+            min(col("doc_id")).over(Window.partitionBy(col("shingle"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_milli", expr("n_novel * 1000 div n_grams"))
+      },
+      Some(
+        s"""WITH ${DedupQs.shinglesCte},
+           |fs AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+           |SELECT s.doc_id, COUNT(*) AS n_grams,
+           |  CAST(SUM(CASE WHEN fs.first_doc = s.doc_id THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_novel,
+           |  CAST(SUM(CASE WHEN fs.first_doc = s.doc_id THEN 1 ELSE 0 END)
+           |    AS BIGINT) * 1000 // COUNT(*) AS novelty_milli
+           |FROM sh s JOIN fs USING (shingle)
+           |GROUP BY 1""".stripMargin))
   )
 }

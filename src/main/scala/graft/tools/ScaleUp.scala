@@ -102,7 +102,18 @@ object ScaleUp {
     write(replicate(table("documents"), factor) { (df, r) =>
       if (r == 0) df
       else {
-        val suffix = ('a' + (r - 1) % 26).toChar.toString
+        // UNIQUE per-replica suffix (base-26, variable length): factors
+        // > 26 must not reuse letters, or replicas 26 apart would keep
+        // their cross-replica near-dup structure and inflate dup-cluster
+        // sizes ~factor/26× — distorting the Σcluster² exponent the
+        // scale probes measure. r-1 < 26 stays the single char earlier
+        // probes used, so sf1/sf3 regenerations are byte-stable.
+        val suffix = {
+          val sb = new StringBuilder
+          var x = r - 1
+          while ({ sb.append(('a' + x % 26).toChar); x /= 26; x > 0 }) ()
+          sb.toString
+        }
         df.withColumn("doc_id", col("doc_id") + lit(r * kDoc))
           .withColumn("text", expr(
             s"""array_join(transform(split(text, ' '),

@@ -47,6 +47,63 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver-side PPR reference with the identical integer fixed-point math. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val s = nodes.filter(seeds).toSet
+    val ns = s.size.toLong
+    var r = nodes.map(v => v -> (if (s(v)) 1000000000000L / ns else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => (r(u) * 85L) / (100L * deg(u)) }.sum).toMap
+      r = nodes.map(v => v ->
+        ((if (s(v)) 150000000000L / ns else 0L) + contrib.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  private def runPpr(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int,
+      parts: Int): Map[Long, Long] =
+    Graph.personalizedPageRank(edges.toDF("src", "dst").repartition(parts),
+        seeds.toDF("user_id"), "src", "dst", "user_id", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  test("personalizedPageRank matches the reference and is partition-invariant") {
+    for (seed <- Seq(3, 4)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 120).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val seedIds = Seq(0L, 1L, 2L)
+      val want = refPpr(edges, seedIds.toSet, 6)
+      assert(runPpr(edges, seedIds, 6, 2) == want, s"seed=$seed")
+      assert(runPpr(edges, seedIds, 6, 7) == want, s"seed=$seed parts=7")
+    }
+  }
+
+  test("personalizedPageRank: mass concentrates near the seed, far nodes get less") {
+    // path 1-2-3-4-5 (symmetrized), seed at 1. Strict per-hop monotonicity
+    // does NOT hold at the tail (deg(5)=1 bounces ALL its damped mass back
+    // to 4, so 5 can outrank 4) — assert what the walk guarantees: the seed
+    // dominates, near (2,3) beats far (4,5).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = pairs ++ pairs.map(_.swap)
+    val got = runPpr(edges, Seq(1L), 8, 3)
+    assert(got(1L) == got.values.max, s"got=$got")
+    assert(Seq(2L, 3L).map(got).min > Seq(4L, 5L).map(got).max, s"got=$got")
+    // seeds outside the graph's node set dilute nothing (6 has no edges)
+    assert(runPpr(edges, Seq(1L, 6L), 8, 3) == got)
+  }
+
+  test("personalizedPageRank rejects a seed set disjoint from the graph") {
+    val edges = Seq((1L, 2L), (2L, 1L))
+    assertThrows[IllegalArgumentException] {
+      runPpr(edges, Seq(9L), 4, 2)
+    }
+  }
+
   test("total mass stays within floor-truncation loss of 1e12 on a symmetric graph") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
     val edges = pairs ++ pairs.map(_.swap)

@@ -1856,4 +1856,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) == ((-7L, 120.0)), s"negative id must order first: $got")
     assert(got(2L) == ((9L, 31.0)), s"value must break the (ts,id) tie: $got")
   }
+
+  test("intervalIslands merges overlap and touch, splits gaps, and is partition-invariant") {
+    // key 1: [1,5] [5,8] touch-merge; [3,4] contained; gap; [10,12]
+    // key 2: single interval; key 3: chain where only the running MAX end
+    // merges correctly ([1,10] [2,3] [4,12]: a lag-based end would split at 4)
+    val iv = Seq(
+      (1L, 1L, 5L, 101L), (1L, 5L, 8L, 102L), (1L, 3L, 4L, 103L),
+      (1L, 10L, 12L, 104L),
+      (2L, 7L, 7L, 201L),
+      (3L, 1L, 10L, 301L), (3L, 2L, 3L, 302L), (3L, 4L, 12L, 303L)
+    ).toDF("k", "s", "e", "tb")
+    def got(parts: Int): Set[(Long, Long, Long, Long, Long)] =
+      Windows.intervalIslands(iv.repartition(parts), "k", "s", "e", "tb")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val want = Set(
+      (1L, 1L, 1L, 8L, 3L), (1L, 2L, 10L, 12L, 1L),
+      (2L, 1L, 7L, 7L, 1L),
+      (3L, 1L, 1L, 12L, 3L))
+    assert(got(2) == want)
+    assert(got(5) == want)
+  }
 }
