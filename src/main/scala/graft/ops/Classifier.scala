@@ -325,4 +325,123 @@ object Classifier {
        |    THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
        |FROM cm""".stripMargin
   }
+
+  /** Batch perceptron over the same hashed-unigram features — the
+    * ITERATIVE-training complement of [[nbScores]] (closed-form) and the
+    * OLS probe (one-pass moments): K SYNCHRONOUS rounds where every
+    * misclassified train doc contributes its update simultaneously
+    * (Rosenblatt '58 made distributed-deterministic, the LPA discipline —
+    * the sequential perceptron's doc-order dependence cannot be replayed
+    * across partitionings, the synchronous batch variant can).
+    *
+    * Round k, train slice only: margin(d) = Σ_b cnt(d,b)·w(b); d is
+    * misclassified iff y(d)·margin(d) <= 0 (round 1 thus updates on every
+    * train doc — w starts at 0); w'(b) = w(b) + Σ_miscl y(d)·cnt(d,b).
+    * A constant BIAS feature (bucket index `buckets`, count 1 per doc)
+    * rides the same update, so even an empty doc carries a margin. ALL
+    * arithmetic is int64 — margins and weights are exact, partitioning-
+    * independent, engine-portable, and an unrolled-rounds SQL oracle
+    * replays them bit-identically (the gr1/gr5 contract).
+    *
+    * Scale shape: the (doc, bucket) spine is built once and checkpointed;
+    * each round is one broadcast join of the (B+1)-row weight table onto
+    * the spine + two map-side-combinable integer sums; weight state is
+    * B+1 rows (KB-sized) at any corpus. K is fixed and small — the whole
+    * loop is K bounded passes, never data-dependent iteration.
+    *
+    * Returns (idCol, is_holdout, label, margin, predicted) for EVERY doc
+    * (train and holdout) under the final weights. */
+  def perceptronScores(df: DataFrame, idCol: String, textCol: String,
+      labelPred: Column, holdoutPred: Column, buckets: Int = 256,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && buckets >= 1, "need rounds >= 1 and buckets >= 1")
+    val spark = df.sparkSession
+    // label/holdout evaluated once per doc (the t23 lesson), y in {+1,-1}
+    val flags = df.select(col(idCol).as("__id"),
+        when(labelPred, 1).otherwise(-1).as("__y"), holdoutPred.as("__h"))
+      .localCheckpoint(true)
+    val wordBuckets = df
+      .select(col(idCol).as("__id"), explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("__c"))
+      .select(col("__id"), Normalize.hashBucket(col("__w"), buckets).as("__b"),
+        col("__c"))
+      .groupBy(col("__id"), col("__b")).agg(sum(col("__c")).as("__cnt"))
+    // spine = word features + the per-doc bias feature, with flags inlined
+    // so each round's two aggregations re-read ONE checkpointed table
+    val spine = wordBuckets
+      .unionByName(flags.select(col("__id"), lit(buckets.toLong).as("__b"),
+        lit(1L).as("__cnt")))
+      .join(flags, Seq("__id"))
+      .localCheckpoint(true)
+    var wts = spark.range(buckets + 1)
+      .select(col("id").as("__b"), lit(0L).as("__wt"))
+    for (_ <- 1 to rounds) {
+      val miscl = spine.join(broadcast(wts), Seq("__b"))
+        .groupBy(col("__id"), col("__y"), col("__h"))
+        .agg(sum(col("__cnt") * col("__wt")).as("__m"))
+        .filter(!col("__h") && col("__y") * col("__m") <= 0)
+        .select(col("__id").as("__uid"), col("__y").as("__uy"))
+      val upd = spine.join(miscl, spine("__id") === col("__uid"))
+        .groupBy(col("__b"))
+        .agg(sum(col("__uy") * col("__cnt")).as("__d"))
+      // (B+1)-row state; the checkpoint bounds the per-round plan (the
+      // pageRank cadence, affordable every round at KB size)
+      wts = wts.join(upd, Seq("__b"), "left")
+        .select(col("__b"),
+          (col("__wt") + coalesce(col("__d"), lit(0L))).as("__wt"))
+        .localCheckpoint(true)
+    }
+    spine.join(broadcast(wts), Seq("__b"))
+      .groupBy(col("__id"), col("__y"), col("__h"))
+      .agg(sum(col("__cnt") * col("__wt")).as("margin"))
+      .select(col("__id").as(idCol), col("__h").as("is_holdout"),
+        (col("__y") > 0).as("label"), col("margin"),
+        (col("margin") > 0).as("predicted"))
+  }
+
+  /** Oracle-side spelling of [[perceptronScores]]: the identical integer
+    * recurrence with the K rounds unrolled as chained CTEs (db/flags
+    * pinned MATERIALIZED — each round re-reads both). */
+  def perceptronSql(idExpr: String, textExpr: String, table: String,
+      labelSql: String, holdoutSql: String, buckets: Int,
+      rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s"""m$k AS (
+         |  SELECT id, SUM(cnt * wt) AS m FROM db JOIN $prev USING (b)
+         |  GROUP BY 1),
+         |w$k AS (
+         |  SELECT $prev.b, wt + COALESCE(u.d, 0) AS wt
+         |  FROM $prev LEFT JOIN (
+         |    SELECT b, SUM(y * cnt) AS d
+         |    FROM db JOIN flags USING (id) JOIN m$k USING (id)
+         |    WHERE NOT h AND y * m <= 0 GROUP BY 1) u ON $prev.b = u.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH flags AS MATERIALIZED (
+       |  SELECT $idExpr AS id, CASE WHEN ($labelSql) THEN 1 ELSE -1 END AS y,
+       |    ($holdoutSql) AS h
+       |  FROM $table),
+       |wrd AS (
+       |  SELECT $idExpr AS id, unnest(string_split($textExpr, ' ')) AS word
+       |  FROM $table),
+       |dw AS (
+       |  SELECT id, word, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM wrd WHERE word <> '' GROUP BY 1, 2),
+       |db AS MATERIALIZED (
+       |  SELECT id, ${Normalize.hashBucketSql("word", buckets)} AS b,
+       |    CAST(SUM(c) AS BIGINT) AS cnt
+       |  FROM dw GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT id, CAST($buckets AS BIGINT) AS b, CAST(1 AS BIGINT) AS cnt
+       |  FROM flags),
+       |w0 AS (SELECT r.range AS b, CAST(0 AS BIGINT) AS wt
+       |       FROM range(${buckets + 1}) r),
+       |$roundCtes,
+       |mf AS (SELECT id, SUM(cnt * wt) AS m FROM db JOIN w$rounds USING (b)
+       |       GROUP BY 1)
+       |SELECT flags.id AS $idExpr, h AS is_holdout, y > 0 AS label,
+       |  CAST(m AS BIGINT) AS margin, m > 0 AS predicted
+       |FROM flags JOIN mf ON flags.id = mf.id""".stripMargin
+  }
 }

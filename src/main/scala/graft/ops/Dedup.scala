@@ -172,6 +172,51 @@ object Dedup {
       .filter(col("containment_a") >= floor || col("containment_b") >= floor)
   }
 
+  /** Cross-source contamination matrix: for every unordered pair of values
+    * of `srcCol`, the exact shingle-set overlap between the two sources'
+    * corpora — the benchmark-contamination / split-leakage audit at corpus
+    * granularity (which sources share content with which), the provenance
+    * complement of per-doc-pair dedup (reference corpus hygiene:
+    * `deduplicate_*` in the reference only ever asks the DOC-pair question).
+    *
+    * Shape at 100 TB: the heavy pass is the distinct (source, shingle)
+    * reduce — map-side-combinable, output vocabulary-sized (far below the
+    * corpus). The self-join key is the shingle, whose fan-out is bounded by
+    * source-count² per shingle (sources are a FIXED small domain — tens,
+    * not data-sized), so pair volume is ≤ S²·vocab, never corpus². The
+    * final matrix is S(S-1)/2 rows. Ratios are exact integer ppm (floor) —
+    * full hash gate, no float summation anywhere.
+    *
+    * Emits one row per source pair (including zero-overlap pairs — a
+    * contamination REPORT must show the clean pairs too): sizes,
+    * intersection, Jaccard and max-containment in ppm, and a `contaminated`
+    * verdict at `floorPpm` max-containment. */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String, k: Int,
+      floorPpm: Long): DataFrame = {
+    // distinct (source, shingle): reused by totals AND both join sides
+    val sh = shingles(df.select(col(srcCol), col(textCol)), srcCol, textCol, k)
+      .localCheckpoint(true)
+    val tot = sh.groupBy(col(srcCol)).agg(count(lit(1)).as("n_sh"))
+    val side = sh.toDF("src", "shingle")
+    val inter = side.toDF("src_a", "sh_a")
+      .join(side.toDF("src_b", "sh_b"),
+        col("sh_a") === col("sh_b") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_inter"))
+    // S-row × S-row non-equi join (broadcast NL over the fixed source
+    // domain) builds the FULL upper-triangle matrix, zero-overlap included
+    val matrix = tot.toDF("src_a", "n_a")
+      .join(broadcast(tot.toDF("src_b", "n_b")), col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+    val ni = coalesce(col("n_inter"), lit(0L))
+    matrix.select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        ni.as("n_inter"),
+        expr("(1000000 * coalesce(n_inter, 0L)) div (n_a + n_b - coalesce(n_inter, 0L))")
+          .as("jaccard_ppm"),
+        expr("(1000000 * coalesce(n_inter, 0L)) div least(n_a, n_b)")
+          .as("containment_ppm"))
+      .withColumn("contaminated", col("containment_ppm") >= floorPpm)
+  }
+
   /** Largest 32-bit prime — the modulus of the minhash affine family. */
   val MinhashP = 4294967291L
 

@@ -206,6 +206,13 @@ object DailyPipeline {
       // conditional surprisal + OOV coverage vs the reference slice — the
       // model-based quality readout next to nb_quality_scores' classifier
       materialize("t34_kn_surprisal", "lm_gate_scores"),
+      // iterative linear gate next to NB's closed form and the KN LM:
+      // margins/predictions for every doc under the final batch-perceptron
+      // weights (int64 — reproducible across reruns and partitionings)
+      materialize("ml6_perceptron_gate", "perceptron_gate_scores"),
+      // corpus-provenance hygiene: which sources share content with which
+      // (split leakage / syndication audit at source granularity)
+      materialize("d12_source_overlap", "source_overlap_matrix"),
       // vocabulary heavy-hitters sketch report (mergeable CMS counters)
       materialize("t24_cms_heavy_hitters", "vocab_heavy_hitters"),
       // shift-invariant duplicated-region report (CDC chunk census) — the

@@ -995,6 +995,44 @@ object DedupQs {
              |JOIN n2 nb ON nb.doc_id = d.id_b
              |WHERE CAST(d.dot AS HUGEINT) * d.dot * 25
              |  >= CAST(na.n2 AS HUGEINT) * nb.n2 * 9""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // D12: cross-source contamination matrix — the CORPUS-granularity
+    // overlap question (which sources share content with which: benchmark
+    // contamination between splits, syndication between crawls) next to
+    // the d-family's doc-pair question. The self-join fans out by SOURCE
+    // occupancy per shingle (a fixed small domain), never by doc count —
+    // pair volume <= S²·vocab at any corpus size; the matrix is S(S-1)/2
+    // rows. Exact integer ppm ratios ⇒ full hash gate.
+    Q("d12_source_overlap",
+      (s, d) => Dedup.sourceOverlap(Tables.documents(s, d),
+        "source", "text", k = 3, floorPpm = 100000L),
+      Some("""WITH sh AS (
+             |  SELECT DISTINCT source, unnest(list_transform(
+             |    range(greatest(len(string_split(text, ' ')) - 2, 0)),
+             |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))
+             |    AS shingle
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+             |tot AS (
+             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+             |  FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.source AS src_a, b.source AS src_b,
+             |    CAST(COUNT(*) AS BIGINT) AS n_inter
+             |  FROM sh a JOIN sh b
+             |    ON a.shingle = b.shingle AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT ta.source AS src_a, tb.source AS src_b,
+             |  ta.n_sh AS n_a, tb.n_sh AS n_b,
+             |  COALESCE(n_inter, 0) AS n_inter,
+             |  (1000000 * COALESCE(n_inter, 0))
+             |    // (ta.n_sh + tb.n_sh - COALESCE(n_inter, 0)) AS jaccard_ppm,
+             |  (1000000 * COALESCE(n_inter, 0))
+             |    // least(ta.n_sh, tb.n_sh) AS containment_ppm,
+             |  (1000000 * COALESCE(n_inter, 0))
+             |    // least(ta.n_sh, tb.n_sh) >= 100000 AS contaminated
+             |FROM tot ta JOIN tot tb ON ta.source < tb.source
+             |LEFT JOIN inter ON src_a = ta.source AND src_b = tb.source"""
+        .stripMargin))
   )
 }

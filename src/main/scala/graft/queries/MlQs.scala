@@ -104,5 +104,30 @@ object MlQs {
               |FROM (${graft.ops.Regression.olsSql(
                 "len(string_split(text, ' '))",
                 "len(list_distinct(string_split(text, ' ')))",
-                "n_chars", "documents")}) s""".stripMargin)))
+                "n_chars", "documents")}) s""".stripMargin)),
+
+    // ML6: batch PERCEPTRON — the iterative-training shape next to ml1's
+    // closed-form NB and ml5's one-pass OLS: 4 synchronous integer rounds
+    // over the same hashed-unigram feature space and the same weak
+    // label/holdout split, every misclassified train doc contributing its
+    // update simultaneously (the doc-order-free variant — a sequential
+    // perceptron cannot be replayed across partitionings). Margins and
+    // weights are pure int64, so the 4-round recurrence replays
+    // bit-identically in the unrolled-CTE oracle (the gr1/gr5 contract) —
+    // a TRAINING LOOP under the full hash gate, not a tolerance check.
+    // Same honesty note as ml1: on this shared-vocabulary corpus the
+    // signal sits below the prior, and the linear model settles near the
+    // majority class — OpsSpec proves convergence on a separable corpus
+    // and that holdout docs never touch the weights.
+    // Scale: spine built once + checkpointed; per round one (B+1)-row
+    // broadcast join + two map-side-combinable integer sums; weight state
+    // KB-sized at any corpus.
+    Q("ml6_perceptron_gate",
+      (s, d) => Classifier.perceptronScores(Tables.documents(s, d),
+        "doc_id", "text",
+        col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8,
+        TextAnalysis.hashUnit(col("doc_id"), "nbsplit") % 5 === 0,
+        buckets = B, rounds = 4),
+      Some(Classifier.perceptronSql("doc_id", "text", "documents",
+        labelSql, holdoutSql, B, rounds = 4))))
 }

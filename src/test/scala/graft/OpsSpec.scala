@@ -1857,6 +1857,105 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L) == ((9L, 31.0)), s"value must break the (ts,id) tie: $got")
   }
 
+  /** Driver-side batch-perceptron reference with the identical integer
+    * recurrence (docs as (id, text, label, holdout)); returns final
+    * margins per doc. */
+  private def refPerceptron(docs: Seq[(Long, String, Boolean, Boolean)],
+      buckets: Int, rounds: Int): Map[Long, Long] = {
+    val feats = docs.map { case (id, t, y, h) =>
+      val wb = t.split(" ").filter(_.nonEmpty).toSeq
+        .groupBy(w => md5Bucket(w, buckets))
+        .map { case (b, ws) => b -> ws.size.toLong }
+      (id, wb + (buckets.toLong -> 1L), if (y) 1L else -1L, h)
+    }
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to rounds) {
+      val upd = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((_, f, y, h) <- feats if !h) {
+        val m = f.map { case (b, c) => c * w(b) }.sum
+        if (y * m <= 0L) for ((b, c) <- f) upd(b) += y * c
+      }
+      val base = w
+      w = base ++ upd.map { case (b, d) => b -> (base(b) + d) }
+      w = w.withDefaultValue(0L)
+    }
+    feats.map { case (id, f, _, _) =>
+      id -> f.map { case (b, c) => c * w(b) }.sum }.toMap
+  }
+
+  private def runPerceptron(docs: Seq[(Long, String, Boolean, Boolean)],
+      buckets: Int, rounds: Int, parts: Int): Map[Long, Long] =
+    Classifier.perceptronScores(
+        docs.toDF("doc_id", "text", "y", "h").repartition(parts),
+        "doc_id", "text", col("y"), col("h"), buckets, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+
+  test("perceptronScores matches the driver reference and is partition-invariant") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    for (seed <- Seq(11, 12)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 40L).map { id =>
+        val words = Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+        (id, words.mkString(" "), rnd.nextBoolean(), rnd.nextInt(5) == 0)
+      }
+      val want = refPerceptron(docs, 16, 3)
+      assert(runPerceptron(docs, 16, 3, 2) == want, s"seed=$seed")
+      assert(runPerceptron(docs, 16, 3, 7) == want, s"seed=$seed parts=7")
+    }
+  }
+
+  test("perceptron separates a disjoint-vocabulary corpus; holdout text never touches the weights") {
+    val docs = Seq(
+      (1L, "good fine nice", true, false), (2L, "good solid fine", true, false),
+      (3L, "bad awful poor", false, false), (4L, "poor bad rough", false, false),
+      (5L, "good nice solid fine", true, false), (6L, "awful rough bad", false, false))
+    val got = Classifier.perceptronScores(
+        docs.toDF("doc_id", "text", "y", "h").repartition(3),
+        "doc_id", "text", col("y"), col("h"), buckets = 32, rounds = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(4))))
+      .toMap
+    assert(got.forall { case (_, (label, pred)) => label == pred },
+      s"separable corpus must classify cleanly: $got")
+    // a holdout doc's text must not move the weights: margins of the train
+    // docs are identical whatever a holdout doc says
+    val h1 = docs :+ (7L, "good fine nice", true, true)
+    val h2 = docs :+ (7L, "bad awful rough good", true, true)
+    val m1 = runPerceptron(h1, 32, 3, 3).view.filterKeys(_ <= 6L).toMap
+    val m2 = runPerceptron(h2, 32, 3, 3).view.filterKeys(_ <= 6L).toMap
+    assert(m1 == m2)
+  }
+
+  test("sourceOverlap: exact pair matrix incl. zero-overlap rows, ppm floors, partition-invariant") {
+    // 2-gram shingle sets by construction:
+    //   sA: {a b, b c, c d}          (3)
+    //   sB: {a b, b c, x y}          (3)  -> inter(A,B)=2
+    //   sC: {p q, q r}               (2)  -> inter(A,C)=0, inter(B,C)=0
+    val docs = Seq(
+      (1L, "a b c d", "sA"), (2L, "a b c", "sB"), (3L, "x y", "sB"),
+      (4L, "p q r", "sC"), (5L, "p q", "sC"))
+      .toDF("doc_id", "text", "source")
+    def run(parts: Int) = Dedup.sourceOverlap(
+        docs.repartition(parts), "source", "text", k = 2, floorPpm = 600000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7)))).toMap
+    val got = run(2)
+    assert(got.keySet == Set(("sA", "sB"), ("sA", "sC"), ("sB", "sC")),
+      s"full upper triangle incl. zero-overlap pairs: ${got.keySet}")
+    // inter=2, union=4 -> jaccard 500000 ppm; containment 2/3 -> 666666 (floor)
+    assert(got(("sA", "sB")) == ((3L, 3L, 2L, 500000L, 666666L, true)), s"$got")
+    assert(got(("sA", "sC")) == ((3L, 2L, 0L, 0L, 0L, false)))
+    assert(got(("sB", "sC")) == ((3L, 2L, 0L, 0L, 0L, false)))
+    assert(run(5) == got, "partition-invariant")
+    // duplicate shingles within a source count once (set semantics)
+    val dup = Seq((1L, "a b a b", "sA"), (2L, "a b", "sB"))
+      .toDF("doc_id", "text", "source")
+    val one = Dedup.sourceOverlap(dup, "source", "text", 2, 1L).collect()(0)
+    assert(one.getLong(2) == 2L && one.getLong(3) == 1L && one.getLong(4) == 1L,
+      s"distinct shingles per source: $one")
+  }
+
   test("intervalIslands merges overlap and touch, splits gaps, and is partition-invariant") {
     // key 1: [1,5] [5,8] touch-merge; [3,4] contained; gap; [10,12]
     // key 2: single interval; key 3: chain where only the running MAX end
