@@ -343,6 +343,45 @@ object Dedup {
       .agg(sum(col("n_bands")).as("n_bands"))
   }
 
+  /** [[lshCandidates]] with a deterministic per-bucket SORTED-NEIGHBORHOOD
+    * window — the kNN-shaped occupancy guard: buckets with occ <= window+1
+    * pair exhaustively (bit-identical to [[lshCandidates]]); larger buckets
+    * order members by a salted hash and pair each with its next `window`
+    * successors only (u2c's SNM discipline), so per-bucket pair volume is
+    * occ·window — LINEAR in occupancy — and EVERY member keeps a
+    * ~2·window-candidate neighborhood. That last property is why a top-k
+    * consumer (kNN join) needs this shape instead of
+    * [[lshCandidatesCapped]]'s star edges, which preserve connectivity for
+    * CC consumers but starve non-hub members of neighbors. The cost of a
+    * dense SRP cell is the motivating case: a `bits`-bit band has only
+    * 2^bits values, so candidate pairs have a floor of n²/2^(bits+1) per
+    * band — quadratic in the corpus (measured: 595 s for 80k vectors at
+    * sf10, bits = 6) where the windowed form is n·window.
+    *
+    * The successor join is TWO equi-joins on (band, sig, window-block) —
+    * pos_b in (pos_a, pos_a+window] spans at most two window-sized blocks
+    * (the j6 bucketed-proximity shape) — never a per-bucket cross. */
+  def lshCandidatesRing(bands: DataFrame, idCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val w = Window.partitionBy(col("band"), col("sig"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val pos = bands.select(col(idCol), col("band"), col("sig"))
+      .withColumn("__pos", row_number().over(w).cast("long"))
+    val a = pos.toDF("id_a", "band", "sig", "pos_a")
+      .select(col("id_a"), col("band"), col("sig"), col("pos_a"),
+        explode(array(expr(s"(pos_a - 1) div $window"),
+          expr(s"(pos_a - 1) div $window + 1"))).as("__blk"))
+    val b = pos.toDF("id_b", "band", "sig", "pos_b")
+      .withColumn("__blk", expr(s"(pos_b - 1) div $window"))
+    a.join(b, Seq("band", "sig", "__blk"))
+      .filter(col("pos_b") > col("pos_a") &&
+        col("pos_b") <= col("pos_a") + window)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Exact shingle-set Jaccard for given candidate pairs (verification stage
     * of the LSH pipeline). `shRaw` may contain duplicates — it's semi-filtered
     * to the candidate docs FIRST, then deduped and sized (tiny), so the full
@@ -454,6 +493,72 @@ object Dedup {
         .reduce(_ + _).cast("int").as(s"b$b")
     }
     votes.select(col(idCol) +: bands: _*)
+  }
+
+  /** The Manku '07 multi-table banding over the SAME 64-bit fingerprint:
+    * 6 blocks (4×11 + 2×10 bits) and all C(6,3) = 20 tables, each keyed on
+    * one 3-block subset (~32 bits). Pigeonhole: ≤ 3 flipped bits touch ≤ 3
+    * blocks, so ≥ 3 blocks are clean and the pair collides in the table
+    * keyed on a clean 3-subset — the same LOSSLESS hamming ≤ 3 guarantee as
+    * the 4×16 banding, at a 2^16× lower CHANCE-collision rate: a 16-bit
+    * band has 65,536 values, so random docs alone put n²/2^17 pairs per
+    * band on the verify stage (the birthday effect — measured 176M
+    * candidate pairs for 79k true edges at 500k docs, quadratic in the
+    * corpus and the dominant cost of every simhash consumer at sf10);
+    * ~32-bit table keys push that floor to n²/2^33, leaving candidate
+    * volume ∝ dup-cluster structure (×20 table multiplicity), not corpus².
+    * The price is a 20-way banded explode instead of 4 on the
+    * doc-count-sized signature table — linear, and tiny next to the
+    * quadratic it removes.
+    *
+    * Emits the sig frame (b0..b3 for exact hamming + the banded key rows)
+    * consumers join; output pairs (after the exact hamming filter) are
+    * BIT-IDENTICAL to [[simhash64NearDupFromCounts]] — both candidate
+    * generators are supersets of the true hamming ≤ 3 pairs and the filter
+    * is exact, which also makes the 4-band DuckDB oracle spelling a
+    * cross-algorithm completeness check of this path (the gr2 discipline). */
+  def simhash64NearDupManku(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame =
+    simhash64NearDupMankuFromCounts(wordCounts(df, idCol, textCol), idCol,
+      maxHamming)
+
+  /** [[simhash64NearDupManku]] over a pre-built [[wordCounts]] frame. */
+  def simhash64NearDupMankuFromCounts(dw: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"6-block/20-table banding guarantees recall only to hamming 3: $maxHamming")
+    val sig = simhash64BandsFromCounts(dw, idCol).localCheckpoint(true)
+    // blocks: bits [0,11) [11,22) [22,33) [33,44) [44,54) [54,64) of the
+    // fingerprint, re-sliced from the four 16-bit band ints b0..b3 (bit i
+    // of the fingerprint = bit i%16 of band i/16)
+    def fpBit(i: Int): Column =
+      shiftright(col(s"b${i / 16}"), i % 16).bitwiseAND(lit(1))
+    val blockBounds = Seq(0, 11, 22, 33, 44, 54, 64)
+    val blocks = (0 until 6).map { b =>
+      (blockBounds(b) until blockBounds(b + 1)).zipWithIndex
+        .map { case (i, j) => fpBit(i) * lit(1 << j) }
+        .reduce(_ + _).cast("int").as(s"k$b")
+    }
+    val keyed = sig.select(col(idCol) +: blocks: _*)
+    // one (table, key) row per 3-block subset; key packs (table, blkA,
+    // blkB, blkC) into one BIGINT (blocks < 2^11, 20 tables: < 2^38)
+    val tables = (0 until 6).combinations(3).toSeq.zipWithIndex
+    val keyExprs = tables.map { case (s3, t) =>
+      s"(((CAST($t AS BIGINT) * 2048 + k${s3(0)}) * 2048 + k${s3(1)}) * 2048 + k${s3(2)})"
+    }
+    val banded = keyed.select(col(idCol),
+      explode(expr(keyExprs.mkString("array(", ", ", ")"))).as("__tk"))
+    val pairs = banded.toDF("id_a", "tk_a")
+      .join(banded.toDF("id_b", "tk_b"),
+        col("tk_a") === col("tk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    pairs
+      .join(sig.toDF("ja", "a0", "a1", "a2", "a3"), col("id_a") === col("ja"))
+      .join(sig.toDF("jb", "c0", "c1", "c2", "c3"), col("id_b") === col("jb"))
+      .withColumn("hamming", expr(
+        (0 until 4).map(k => s"bit_count(a$k ^ c$k)").mkString(" + ")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Hamming-banded near-dup pairs over the 64-bit simhash: candidates share

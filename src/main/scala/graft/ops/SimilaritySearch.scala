@@ -512,18 +512,38 @@ object SimilaritySearch {
     * bucket occupancy (bits per band is the knob), and the verification join
     * touches only candidates — the plan that survives a 100 TB embedding
     * corpus where the k-means IVF path needs a training step. */
-  def srpNearPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-      bands: Int, bits: Int, threshold: Double): DataFrame = {
+  /** (id, band, sig) banded SRP signature rows — the LSH bucket stream the
+    * candidate joins key on. The per-vector signature table is
+    * materialized because the band self-join's two renamed branches defeat
+    * ReuseExchange (same reason d2 checkpoints its minhash table) —
+    * without it the bands*bits-dot scan runs twice. */
+  def srpBanded(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bands: Int, bits: Int): DataFrame = {
     registerFns(emb)
-    // ONE row per vector; materialized because the band self-join's two
-    // renamed branches defeat ReuseExchange (same reason d2 checkpoints its
-    // minhash table) — without it the bands*bits-dot scan runs twice.
     val sig = emb.select(col(idCol) +: srpBandCols(vecCol, bands, bits, dim): _*)
       .localCheckpoint(true)
-    val banded = sig.select(col(idCol), expr(
+    sig.select(col(idCol), expr(
         s"explode(array(${(0 until bands).map(b => s"struct($b AS band, b$b AS sig)").mkString(", ")}))").as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val pairs = Dedup.lshCandidates(banded, idCol)
+  }
+
+  /** Default per-bucket sorted-neighborhood window for the SRP candidate
+    * joins: far above every measured bucket occupancy at the oracle-gated
+    * scales (so capped and uncapped candidates are bit-identical there —
+    * the minhash maxBucket discipline), while bounding a dense angular
+    * cell's pair volume to occ·window at corpus scale. A `bits`-bit band
+    * has only 2^bits values, so WITHOUT the window candidate pairs have a
+    * floor of n²/2^(bits+1) per band — the k5 sf10 blow-up (595 s for 80k
+    * vectors at bits = 6). Measured occupancy maxima: 68 at sf0.1, 250 at
+    * sf1 (both exhaustive under 256), 2,446 at sf10 (ringed). */
+  val SrpWindow = 256
+
+  def srpNearPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bands: Int, bits: Int, threshold: Double,
+      window: Int = SrpWindow): DataFrame = {
+    registerFns(emb)
+    val banded = srpBanded(emb, idCol, vecCol, dim, bands, bits)
+    val pairs = Dedup.lshCandidatesRing(banded, idCol, window)
     val withNorm = emb.select(col(idCol), col(vecCol),
       sqrt(expr(normSqExpr(vecCol)).cast("double")).as("__norm"))
     // candidate volume is data-dependent (a hot bucket is quadratic) — no

@@ -92,7 +92,7 @@ object DedupQs {
     * place. */
   private def nearDupGraph(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val pairs = Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3)
+    val pairs = Dedup.simhash64NearDupManku(Tables.documents(s, d), "doc_id", "text", 3)
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
     val nodes = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
@@ -198,7 +198,7 @@ object DedupQs {
       .filter(!col("unusual")).select("doc_id")
     val keepers = Dedup.exactDupGroups(docs, "doc_id", "text")
       .select(col("keeper_id").as("doc_id"))
-    val nearDrop = Dedup.simhash64NearDupFromCounts(dw, "doc_id", 3)
+    val nearDrop = Dedup.simhash64NearDupMankuFromCounts(dw, "doc_id", 3)
       .select(col("id_b").as("doc_id")).distinct()
     val base = docs
       .filter(col("lang") === "en" && TextAnalysis.qualityScore("text") >= 0.8)
@@ -552,11 +552,16 @@ object DedupQs {
              |  SELECT simhash, doc_id, COUNT(*) OVER (PARTITION BY simhash) AS group_size FROM sig)
              |WHERE group_size > 1""".stripMargin)),
 
-    // D5: 64-bit SimHash near-dup via hamming-banded LSH — 4 × 16-bit band
-    // equi-joins generate candidates (pigeonhole: hamming <= 3 over 4 bands
-    // forces >= 1 identical band), exact 64-bit hamming filters them.
+    // D5: 64-bit SimHash near-dup via hamming-banded LSH. The ENGINE uses
+    // the Manku '07 6-block/20-table banding (chance collisions n²/2^33,
+    // not n²/2^17 — the sf10 probe measured the 4×16 design's 176M
+    // candidate pairs for 79k true edges at 500k docs); the ORACLE keeps
+    // the 4 × 16-bit band spelling (pigeonhole: hamming <= 3 over 4 bands
+    // forces >= 1 identical band). Both generators are lossless and the
+    // hamming filter exact, so the hash gate is a CROSS-ALGORITHM
+    // completeness check (the gr2 discipline), not a replay.
     Q("d5_simhash64_neardup",
-      (s, d) => Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id", "text", 3),
+      (s, d) => Dedup.simhash64NearDupManku(Tables.documents(s, d), "doc_id", "text", 3),
       Some(
         s"""WITH $simhash64CtesSql
            |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""".stripMargin)),
@@ -606,7 +611,7 @@ object DedupQs {
     // bit-for-bit — the BPE-loop oracle pattern applied to a graph operator.
     Q("gr1_pagerank_neardup",
       (s, d) => {
-        val pairs = Dedup.simhash64NearDup(Tables.documents(s, d), "doc_id",
+        val pairs = Dedup.simhash64NearDupManku(Tables.documents(s, d), "doc_id",
           "text", 3).select(col("id_a"), col("id_b"))
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -801,7 +806,7 @@ object DedupQs {
         val docs = Tables.documents(s, d)
         val keepers = Dedup.exactDupGroups(docs, "doc_id", "text")
           .select(col("keeper_id").as("doc_id"))
-        val nearDrop = Dedup.simhash64NearDup(docs, "doc_id", "text", 3)
+        val nearDrop = Dedup.simhash64NearDupManku(docs, "doc_id", "text", 3)
           .select(col("id_b").as("doc_id")).distinct()
         val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1033,6 +1038,7 @@ object DedupQs {
              |    // least(ta.n_sh, tb.n_sh) >= 100000 AS contaminated
              |FROM tot ta JOIN tot tb ON ta.source < tb.source
              |LEFT JOIN inter ON src_a = ta.source AND src_b = tb.source"""
-        .stripMargin))
+        .stripMargin),
+      bench = true)
   )
 }

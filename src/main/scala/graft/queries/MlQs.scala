@@ -129,5 +129,6 @@ object MlQs {
         TextAnalysis.hashUnit(col("doc_id"), "nbsplit") % 5 === 0,
         buckets = B, rounds = 4),
       Some(Classifier.perceptronSql("doc_id", "text", "documents",
-        labelSql, holdoutSql, B, rounds = 4))))
+        labelSql, holdoutSql, B, rounds = 4)),
+      bench = true))
 }

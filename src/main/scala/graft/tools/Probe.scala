@@ -17,10 +17,15 @@ object Probe {
     val sfDir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Deploy-time sizing knob: shuffle partitions default to the thread
+    // count (right at the gated scales), but at probe scales >= sf10 the
+    // per-partition volume outgrows memory and sorts/aggs spill — a real
+    // cluster sizes partitions to the data, so the probe must be able to.
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -1926,6 +1926,68 @@ class OpsSpec extends AnyFunSuite {
     assert(m1 == m2)
   }
 
+  test("lshCandidatesRing: exhaustive under the window, windowed SNM pairs over it") {
+    // one bucket of 7, one of 3, across 2 bands
+    val rows = ((1L to 7L).map(id => (id, 0, 100)) ++
+      (11L to 13L).map(id => (id, 1, 200))).toDF("id", "band", "sig")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // window >= occ-1 -> bit-identical to the exhaustive join (incl. n_bands)
+    val exhaustive = pairSet(Dedup.lshCandidates(rows, "id"))
+    assert(pairSet(Dedup.lshCandidatesRing(rows, "id", 6)) == exhaustive)
+    assert(pairSet(Dedup.lshCandidatesRing(rows, "id", 100)) == exhaustive)
+    // window w: bucket of occ emits occ*w - w*(w+1)/2 pairs (each member
+    // pairs with its next w hash-order successors), and every pair is a
+    // subset of the exhaustive set
+    for (w <- Seq(1, 2, 3)) {
+      val got = pairSet(Dedup.lshCandidatesRing(rows, "id", w))
+      val expected7 = 7 * w - w * (w + 1) / 2
+      val expected3 = math.min(3 * w - w * (w + 1) / 2, 3)
+      assert(got.size == expected7 + expected3, s"w=$w: ${got.size}")
+      assert(got.map(p => (p._1, p._2)).subsetOf(exhaustive.map(p => (p._1, p._2))),
+        s"w=$w emits non-bucket pairs")
+    }
+    // partition invariance (the window order is a salted hash, not arrival)
+    assert(pairSet(Dedup.lshCandidatesRing(rows.repartition(7), "id", 2)) ==
+      pairSet(Dedup.lshCandidatesRing(rows.repartition(2), "id", 2)))
+    // a pair colliding in BOTH bands keeps n_bands = 2 under the ring
+    val two = Seq((1L, 0, 9), (2L, 0, 9), (1L, 1, 5), (2L, 1, 5))
+      .toDF("id", "band", "sig")
+    val nb = Dedup.lshCandidatesRing(two, "id", 4).collect()(0)
+    assert(nb.getLong(2) == 2L)
+  }
+
+  test("simhash64NearDupManku emits exactly the 4-band pairs (cross-algorithm equality)") {
+    // random word-salad corpora with planted near-dup mutations: both
+    // candidate generators are lossless for hamming <= 3 and the verify
+    // filter is exact, so the OUTPUT pair sets must be identical even
+    // though the candidate sets differ by orders of magnitude at scale
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (seed <- Seq(5, 6)) {
+      val rnd = new scala.util.Random(seed)
+      val base = (1L to 30L).map { id =>
+        (id, Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))))
+      }
+      // plant near-dups: copies with one word appended / one swapped
+      val docs = (base.map { case (id, ws) => (id, ws.mkString(" ")) } ++
+        base.take(8).map { case (id, ws) =>
+          (id + 100L, (ws :+ vocab(rnd.nextInt(vocab.size))).mkString(" ")) } ++
+        base.slice(8, 12).map { case (id, ws) => (id + 200L, ws.mkString(" ")) })
+        .toDF("doc_id", "text").repartition(3)
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val legacy = pairSet(Dedup.simhash64NearDup(docs, "doc_id", "text", 3))
+      val manku = pairSet(Dedup.simhash64NearDupManku(docs, "doc_id", "text", 3))
+      assert(manku == legacy, s"seed=$seed: manku=${manku.size} legacy=${legacy.size}")
+      assert(legacy.nonEmpty, s"seed=$seed: planted dups must collide")
+    }
+    // the exact-duplicate pair must always surface with hamming 0
+    val dup = Seq((1L, "x y z w"), (2L, "x y z w")).toDF("doc_id", "text")
+    val got = Dedup.simhash64NearDupManku(dup, "doc_id", "text", 3).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 0L)
+  }
+
   test("sourceOverlap: exact pair matrix incl. zero-overlap rows, ppm floors, partition-invariant") {
     // 2-gram shingle sets by construction:
     //   sA: {a b, b c, c d}          (3)

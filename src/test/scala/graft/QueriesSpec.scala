@@ -114,7 +114,8 @@ class QueriesSpec extends AnyFunSuite {
     "dq2_constraint_report",   // 1-row per-table metric crosses (Deequ suite)
     "t32_hybrid_rrf",          // inherits t25's 1-row avgdl/corpus-total broadcasts
     "t34_kn_surprisal",        // 1-row (T, V) model-totals broadcast (a6 shape)
-    "d11_cosine_allpairs"      // 1-row corpus-total broadcast (t11 shape)
+    "d11_cosine_allpairs",     // 1-row corpus-total broadcast (t11 shape)
+    "d12_source_overlap"       // S-row × S-row upper-triangle matrix (S = fixed source domain)
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
