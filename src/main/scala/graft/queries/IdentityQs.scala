@@ -42,12 +42,28 @@ object IdentityQs {
         val sup = Tables.supplier(s, d)
           .select((col("s_suppkey") + SupplierIdBase).as("id"),
             regexp_extract(col("s_name"), "#([0-9]+)", 1).as("num"))
+        // join key = (blk, deletion-1 variant): two strings within lev <= 1
+        // ALWAYS share a member of their deletion neighborhoods (FastSS —
+        // substitution: both delete the differing position; insertion: the
+        // longer's deletion IS the shorter; equal: the string itself, the
+        // i = len case), so the candidate set still covers every qualifying
+        // pair and the exact lev filter decides — output bit-identical to
+        // the plain blk join, oracle untouched. WITHOUT the variant key the
+        // blk join is a per-block cross: 15,000 × 1,000 per block at sf10
+        // (1.5B lev calls — measured killing the context at 100×); with it,
+        // per-key occupancy is near-dup-proportional. distinct() because a
+        // pair can share several variants (identical nums share all len+1).
+        def delVars(numCol: String) = explode(expr(
+          s"""transform(sequence(0, length($numCol)),
+             |  i -> concat(substring($numCol, 1, i),
+             |              substring($numCol, i + 2, 1000000)))""".stripMargin))
         val edges = c.select(col("id").as("src"), col("num").as("src_num"),
-            (col("num").cast("long") % 100).as("blk"))
+            (col("num").cast("long") % 100).as("blk"), delVars("num").as("dv"))
           .join(sup.select(col("id").as("dst"), col("num").as("dst_num"),
-            (col("num").cast("long") % 100).as("blk")), Seq("blk"))
+            (col("num").cast("long") % 100).as("blk"), delVars("num").as("dv")),
+            Seq("blk", "dv"))
           .filter(levenshtein(col("src_num"), col("dst_num")) <= 1)
-          .select(col("src"), col("dst"))
+          .select(col("src"), col("dst")).distinct()
         val nodes = c.select(col("id")).unionByName(sup.select(col("id")))
         val comps = Identity.connectedComponents(nodes, edges)
         comps.withColumn("comp_size",
