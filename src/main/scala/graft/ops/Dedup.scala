@@ -190,13 +190,21 @@ object Dedup {
     * Emits one row per source pair (including zero-overlap pairs — a
     * contamination REPORT must show the clean pairs too): sizes,
     * intersection, Jaccard and max-containment in ppm, and a `contaminated`
-    * verdict at `floorPpm` max-containment. */
+    * verdict at `floorPpm` max-containment. The pair domain is built from
+    * the DISTINCT sources of `df` itself, not from the shingle stream: a
+    * source whose documents are all shorter than `k` words produces no
+    * shingles but must still appear (as clean, n_sh = 0) — a report that
+    * silently omits a source reads as coverage it didn't have. Zero-shingle
+    * divisors floor to 0 ppm. */
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String, k: Int,
       floorPpm: Long): DataFrame = {
     // distinct (source, shingle): reused by totals AND both join sides
     val sh = shingles(df.select(col(srcCol), col(textCol)), srcCol, textCol, k)
       .localCheckpoint(true)
-    val tot = sh.groupBy(col(srcCol)).agg(count(lit(1)).as("n_sh"))
+    val tot = df.select(col(srcCol)).distinct()
+      .join(sh.groupBy(col(srcCol)).agg(count(lit(1)).as("n_sh")),
+        Seq(srcCol), "left")
+      .select(col(srcCol), coalesce(col("n_sh"), lit(0L)).as("n_sh"))
     val side = sh.toDF("src", "shingle")
     val inter = side.toDF("src_a", "sh_a")
       .join(side.toDF("src_b", "sh_b"),
@@ -210,9 +218,14 @@ object Dedup {
     val ni = coalesce(col("n_inter"), lit(0L))
     matrix.select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         ni.as("n_inter"),
-        expr("(1000000 * coalesce(n_inter, 0L)) div (n_a + n_b - coalesce(n_inter, 0L))")
+        expr("""CASE WHEN n_a + n_b - coalesce(n_inter, 0L) = 0
+               |  THEN CAST(0 AS BIGINT)
+               |  ELSE (1000000 * coalesce(n_inter, 0L))
+               |    div (n_a + n_b - coalesce(n_inter, 0L)) END""".stripMargin)
           .as("jaccard_ppm"),
-        expr("(1000000 * coalesce(n_inter, 0L)) div least(n_a, n_b)")
+        expr("""CASE WHEN least(n_a, n_b) = 0 THEN CAST(0 AS BIGINT)
+               |  ELSE (1000000 * coalesce(n_inter, 0L))
+               |    div least(n_a, n_b) END""".stripMargin)
           .as("containment_ppm"))
       .withColumn("contaminated", col("containment_ppm") >= floorPpm)
   }
@@ -360,7 +373,16 @@ object Dedup {
     *
     * The successor join is TWO equi-joins on (band, sig, window-block) —
     * pos_b in (pos_a, pos_a+window] spans at most two window-sized blocks
-    * (the j6 bucketed-proximity shape) — never a per-bucket cross. */
+    * (the j6 bucketed-proximity shape) — never a per-bucket cross.
+    *
+    * WEAKENED `n_bands` SEMANTICS: the output column counts bands where the
+    * pair landed WITHIN the window of each other, not bands where they
+    * share a signature — in an oversized bucket a pair colliding in 2 bands
+    * can report n_bands = 1. Identical to [[lshCandidates]] while every
+    * bucket fits window+1 (the oracle-gated regime); beyond that, do NOT
+    * use it as an r-of-b band-vote threshold (the minhash pattern) — it
+    * under-counts. Current consumers treat it as collide-at-least-once
+    * evidence only. */
   def lshCandidatesRing(bands: DataFrame, idCol: String,
       window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")

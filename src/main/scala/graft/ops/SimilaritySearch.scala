@@ -543,6 +543,21 @@ object SimilaritySearch {
       window: Int = SrpWindow): DataFrame = {
     registerFns(emb)
     val banded = srpBanded(emb, idCol, vecCol, dim, bands, bits)
+    // Surface the ring approximation at its seam: the windowed candidates
+    // are exhaustive only while every bucket fits window+1 — beyond that,
+    // true near pairs can drop in salted-hash order, invisibly to callers
+    // and to the oracle gate (which only sees scales where buckets fit).
+    // One bounded scalar agg over the (checkpointed-signature) band stream
+    // measures the worst bucket and says so loudly when the output stops
+    // being exhaustive, so consumers know which regime they are in.
+    val occRow = banded.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("occ")).agg(max(col("occ"))).head()
+    val maxOcc = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
+    if (maxOcc > window + 1)
+      System.err.println(s"[srpNearPairs] APPROXIMATE: max bucket occupancy " +
+        s"$maxOcc exceeds window+1 = ${window + 1} — candidates are " +
+        s"sorted-neighborhood-windowed, not exhaustive; raise `window` " +
+        s"(or add bits per band) for full recall")
     val pairs = Dedup.lshCandidatesRing(banded, idCol, window)
     val withNorm = emb.select(col(idCol), col(vecCol),
       sqrt(expr(normSqExpr(vecCol)).cast("double")).as("__norm"))

@@ -38,6 +38,21 @@ object DailyPipeline {
       // logs entries from the same runs that write flags)
       materialize("ab1_experiment_results", "experiment_results",
         Seq("customer_flags")),
+      // the experiment-entry LEDGER the readouts analyze (`experiment_
+      // tracking.py:15-103`'s accumulating CSV): same flag-run provenance
+      // as ab1, so it sits downstream of the materialized flag table too
+      materialize("ab2_entry_ledger", "experiment_entries",
+        Seq("customer_flags")),
+      // per-experiment journey progress over the ledger's entrants —
+      // reference read order: the journey audit runs after the ledger lands
+      materialize("ab3_experiment_journeys", "experiment_journeys",
+        Seq("experiment_entries")),
+      // billing health: payment-failure rates by membership category
+      // (`process_failed_payments.py:38-151`)
+      materialize("rp6_failed_payment_rates", "failed_payment_rates"),
+      // QuickBooks expense mart: category map + monthly rollup
+      // (`categorize_expenses.py:40-143`)
+      materialize("rp7_expense_categories", "expense_categories"),
       // the CRM review queue: health questions over the master + family
       // evidence, so it runs after both are materialized
       materialize("dq1_data_questions", "data_questions",

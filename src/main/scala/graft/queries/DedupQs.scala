@@ -1019,8 +1019,10 @@ object DedupQs {
              |    AS shingle
              |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
              |tot AS (
-             |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
-             |  FROM sh GROUP BY 1),
+             |  SELECT d.source, CAST(COALESCE(t.n_sh, 0) AS BIGINT) AS n_sh
+             |  FROM (SELECT DISTINCT source FROM documents) d
+             |  LEFT JOIN (SELECT source, COUNT(*) AS n_sh FROM sh
+             |             GROUP BY 1) t USING (source)),
              |inter AS (
              |  SELECT a.source AS src_a, b.source AS src_b,
              |    CAST(COUNT(*) AS BIGINT) AS n_inter
@@ -1030,12 +1032,17 @@ object DedupQs {
              |SELECT ta.source AS src_a, tb.source AS src_b,
              |  ta.n_sh AS n_a, tb.n_sh AS n_b,
              |  COALESCE(n_inter, 0) AS n_inter,
-             |  (1000000 * COALESCE(n_inter, 0))
-             |    // (ta.n_sh + tb.n_sh - COALESCE(n_inter, 0)) AS jaccard_ppm,
-             |  (1000000 * COALESCE(n_inter, 0))
-             |    // least(ta.n_sh, tb.n_sh) AS containment_ppm,
-             |  (1000000 * COALESCE(n_inter, 0))
-             |    // least(ta.n_sh, tb.n_sh) >= 100000 AS contaminated
+             |  CASE WHEN ta.n_sh + tb.n_sh - COALESCE(n_inter, 0) = 0
+             |    THEN CAST(0 AS BIGINT)
+             |    ELSE (1000000 * COALESCE(n_inter, 0))
+             |      // (ta.n_sh + tb.n_sh - COALESCE(n_inter, 0)) END
+             |    AS jaccard_ppm,
+             |  CASE WHEN least(ta.n_sh, tb.n_sh) = 0 THEN CAST(0 AS BIGINT)
+             |    ELSE (1000000 * COALESCE(n_inter, 0))
+             |      // least(ta.n_sh, tb.n_sh) END AS containment_ppm,
+             |  CASE WHEN least(ta.n_sh, tb.n_sh) = 0 THEN FALSE
+             |    ELSE (1000000 * COALESCE(n_inter, 0))
+             |      // least(ta.n_sh, tb.n_sh) >= 100000 END AS contaminated
              |FROM tot ta JOIN tot tb ON ta.source < tb.source
              |LEFT JOIN inter ON src_a = ta.source AND src_b = tb.source"""
         .stripMargin),

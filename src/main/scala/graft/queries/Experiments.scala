@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.ops.Normalize
+import graft.ops.{Normalize, Windows}
 import graft.plans.AsOfJoinPlan
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -75,6 +75,30 @@ object Experiments {
           .otherwise("B"))
   }
 
+  /** Oracle-side CTE chain (`co0…coN, uni, e`) mirroring [[entries]] —
+    * shared by the ab1/ab2/ab3 oracles so the ledger has ONE SQL spelling. */
+  private def entriesCtes: String = {
+    val ab = Normalize.abGroupSql("CAST(user_id AS VARCHAR)")
+    val flagsIn = entryFlags.map(f => s"'$f'").mkString(", ")
+    val cohorts = entryClocks.zipWithIndex.map { case (c, i) =>
+      s"""co$i AS (
+         |  SELECT user_id, flag_type AS entry_flag,
+         |    CAST($c AS BIGINT) AS entry_us
+         |  FROM (${FlagQs.flagsSql(c)})
+         |  WHERE flag_type IN ($flagsIn))""".stripMargin
+    }.mkString(",\n")
+    val uni = entryClocks.indices.map(i => s"SELECT * FROM co$i")
+      .mkString("\nUNION ALL\n")
+    s"""$cohorts,
+       |uni AS ($uni),
+       |e AS (
+       |  SELECT user_id, entry_flag, MIN(entry_us) AS entry_us,
+       |    CASE WHEN entry_flag = 'inactive_24h' THEN 'winback_2024_01'
+       |      ELSE 'member_retention_2024_01' END AS experiment_id,
+       |    CASE WHEN $ab <= 4 THEN 'A' ELSE 'B' END AS ab_group
+       |  FROM uni GROUP BY user_id, entry_flag)""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
     Q("ab1_experiment_results",
       (s, d) => {
@@ -108,25 +132,7 @@ object Experiments {
             col("conversion_rate_7d"), col("avg_days_to_conversion"))
       },
       Some {
-        val ab = Normalize.abGroupSql("CAST(user_id AS VARCHAR)")
-        val flagsIn = entryFlags.map(f => s"'$f'").mkString(", ")
-        val cohorts = entryClocks.zipWithIndex.map { case (c, i) =>
-          s"""co$i AS (
-             |  SELECT user_id, flag_type AS entry_flag,
-             |    CAST($c AS BIGINT) AS entry_us
-             |  FROM (${FlagQs.flagsSql(c)})
-             |  WHERE flag_type IN ($flagsIn))""".stripMargin
-        }.mkString(",\n")
-        val uni = entryClocks.indices.map(i => s"SELECT * FROM co$i")
-          .mkString("\nUNION ALL\n")
-        s"""WITH $cohorts,
-           |uni AS ($uni),
-           |e AS (
-           |  SELECT user_id, entry_flag, MIN(entry_us) AS entry_us,
-           |    CASE WHEN entry_flag = 'inactive_24h' THEN 'winback_2024_01'
-           |      ELSE 'member_retention_2024_01' END AS experiment_id,
-           |    CASE WHEN $ab <= 4 THEN 'A' ELSE 'B' END AS ab_group
-           |  FROM uni GROUP BY user_id, entry_flag),
+        s"""WITH $entriesCtes,
            |c AS (
            |  SELECT * FROM (
            |    SELECT e.*, p.p_us FROM e
@@ -151,6 +157,116 @@ object Experiments {
            |      THEN (p_us - entry_us) // $DayUs END)
            |    AS avg_days_to_conversion
            |FROM c GROUP BY 1, 2, 3""".stripMargin
+      }),
+
+    // AB2: the experiment-entry LEDGER itself — the reference's accumulating
+    // `customer_experiment_entries.csv` (`experiment_tracking.py:15-103`:
+    // per-run appends with a silent duplicate-entry skip at the
+    // (customer, experiment) grain, `:86-96`, plus the last-digit audit
+    // column, `:37-43`). Re-expressed as the o3 append+dedup shape: the two
+    // run-clock cohorts union (the appends), first-entry-wins min-aggregate
+    // (the skip), with the reference's exact ledger columns. ab1/ab3 are
+    // analyses OVER this ledger — one definition, no drift.
+    Q("ab2_entry_ledger",
+      (s, d) => entries(s, d).select(
+        col("user_id").as("customer_id"),
+        col("experiment_id"),
+        date_format(timestamp_micros(col("entry_us")), "yyyy-MM-dd")
+          .as("entry_date"),
+        col("ab_group"),
+        (col("user_id") % 10).as("customer_id_last_digit"),
+        col("entry_flag")),
+      Some(s"""WITH $entriesCtes
+              |SELECT user_id AS customer_id, experiment_id,
+              |  strftime(make_timestamp(entry_us), '%Y-%m-%d') AS entry_date,
+              |  ab_group,
+              |  user_id % 10 AS customer_id_last_digit,
+              |  entry_flag
+              |FROM e""".stripMargin)),
+
+    // AB3: per-experiment journey progress — the reference's funnel readout
+    // over entered customers (`experiment_tracking.py:182-213` reports
+    // per-group entry stats; `audit_ab_test_system.py` walks each entrant's
+    // journey). Each entrant's post-entry view→click→purchase chain is the
+    // w13 first-touch funnel ANCHORED AT THE ENTRY CLOCK (entry times
+    // differ per cohort, so the anchor is a join, not a constant filter),
+    // keyed on the (customer, experiment, group) struct — a user in two
+    // experiments walks two independent journeys. Rollup: entrants and
+    // stage-reach counts per experiment × group, with the exact milli-pct
+    // finisher. Scale: the entry ledger and the event stream hash-partition
+    // once on the user key; every funnel stage is a min-agg on that key;
+    // output is experiments × groups rows.
+    Q("ab3_experiment_journeys",
+      (s, d) => {
+        val e = entries(s, d)
+        val ev = Tables.events(s, d).select(col("user_id"),
+          col("event_type"), Q.usecs(col("ts")).as("us"))
+        val post = ev.join(
+          e.select(col("user_id"), col("experiment_id"), col("ab_group"),
+            col("entry_us")), Seq("user_id"))
+          .filter(col("us") > col("entry_us"))
+          .select(struct(col("user_id"), col("experiment_id"),
+            col("ab_group")).as("k"), col("event_type"), col("us"))
+        val fn = Windows.funnel(post, "k", "event_type", "us",
+          Seq("view", "click", "purchase"), windowUs = 7L * DayUs)
+        val reach = fn.groupBy(col("k.experiment_id").as("experiment_id"),
+            col("k.ab_group").as("ab_group"))
+          .agg(count(lit(1)).as("n_reached_view"),
+            sum(when(col("t2").isNotNull, 1L).otherwise(0L))
+              .as("n_reached_click"),
+            sum(when(col("t3").isNotNull, 1L).otherwise(0L))
+              .as("n_reached_purchase"))
+        e.groupBy(col("experiment_id"), col("ab_group"))
+          .agg(count(lit(1)).as("n_entered"))
+          .join(reach, Seq("experiment_id", "ab_group"), "left")
+          .select(col("experiment_id"), col("ab_group"), col("n_entered"),
+            coalesce(col("n_reached_view"), lit(0L)).as("n_reached_view"),
+            coalesce(col("n_reached_click"), lit(0L)).as("n_reached_click"),
+            coalesce(col("n_reached_purchase"), lit(0L))
+              .as("n_reached_purchase"))
+          .withColumn("purchase_pct_milli",
+            expr("n_reached_purchase * 100000 div n_entered"))
+      },
+      Some {
+        val w = 7L * DayUs
+        s"""WITH $entriesCtes,
+           |ev AS (SELECT user_id, event_type, ${Q.usecsSql("ts")} AS us
+           |       FROM events),
+           |j AS (
+           |  SELECT e.user_id, e.experiment_id, e.ab_group,
+           |    ev.event_type, ev.us
+           |  FROM e JOIN ev USING (user_id) WHERE ev.us > e.entry_us),
+           |s1 AS (SELECT user_id, experiment_id, ab_group, MIN(us) AS t1
+           |  FROM j WHERE event_type = 'view' GROUP BY 1, 2, 3),
+           |s2 AS (SELECT j.user_id, j.experiment_id, j.ab_group,
+           |    MIN(us) AS t2
+           |  FROM j JOIN s1 USING (user_id, experiment_id, ab_group)
+           |  WHERE event_type = 'click' AND us > t1 AND us <= t1 + $w
+           |  GROUP BY 1, 2, 3),
+           |s3 AS (SELECT j.user_id, j.experiment_id, j.ab_group,
+           |    MIN(us) AS t3
+           |  FROM j JOIN s2 USING (user_id, experiment_id, ab_group)
+           |  WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + $w
+           |  GROUP BY 1, 2, 3),
+           |fr AS (
+           |  SELECT s1.experiment_id, s1.ab_group,
+           |    CAST(COUNT(*) AS BIGINT) AS n_reached_view,
+           |    CAST(COUNT(t2) AS BIGINT) AS n_reached_click,
+           |    CAST(COUNT(t3) AS BIGINT) AS n_reached_purchase
+           |  FROM s1
+           |  LEFT JOIN s2 USING (user_id, experiment_id, ab_group)
+           |  LEFT JOIN s3 USING (user_id, experiment_id, ab_group)
+           |  GROUP BY 1, 2),
+           |en AS (SELECT experiment_id, ab_group,
+           |    CAST(COUNT(*) AS BIGINT) AS n_entered
+           |  FROM e GROUP BY 1, 2)
+           |SELECT experiment_id, ab_group, n_entered,
+           |  COALESCE(n_reached_view, 0) AS n_reached_view,
+           |  COALESCE(n_reached_click, 0) AS n_reached_click,
+           |  COALESCE(n_reached_purchase, 0) AS n_reached_purchase,
+           |  COALESCE(n_reached_purchase, 0) * 100000 // n_entered
+           |    AS purchase_pct_milli
+           |FROM en LEFT JOIN fr USING (experiment_id, ab_group)""".stripMargin
       })
   )
 }

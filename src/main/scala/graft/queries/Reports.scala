@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *    (`identify_family_day_passes.py:28-105`)
   *  - rp4: SMS-consent compliance audit — append-only consent ledger with
   *    keyed point-in-time status (`sms_consent_tracker.py:41-330`)
+  *  - rp6: payment-failure rates by membership category
+  *    (`process_failed_payments.py:12-151`)
+  *  - rp7: expense categorization + monthly rollup
+  *    (`categorize_expenses.py:40-143`)
   *
   * Event-ledger conventions follow cv1 (`ConversionFunnel`): 'view' events
   * are facility check-ins / received campaigns, 'purchase' events are
@@ -443,6 +447,150 @@ object Reports {
              |  GROUP BY 1, 2)
              |SELECT cohort_week, week_offset, n_active, cohort_size,
              |  n_active * 100000 // cohort_size AS retained_pct_milli
-             |FROM tri JOIN cs USING (cohort_week)""".stripMargin))
+             |FROM tri JOIN cs USING (cohort_week)""".stripMargin)),
+
+    // RP6: payment-failure rates by membership category — the billing-health
+    // report (`process_failed_payments.py:38-151`): for each membership
+    // CATEGORY (overlapping boolean flags) and each SIZE group, the count of
+    // active memberships, memberships with any failed payment, total/
+    // insufficient-funds failure counts, and the two unique-membership
+    // failure rates, mirroring the reference's output columns (`:101-110`).
+    // Memberships are orders (active = status 'O'); failed payments are
+    // returned lineitems (membership_id = l_orderkey), with decline_code
+    // 'insufficient_funds' for the settled ('F') half. The reference loops
+    // categories re-scanning the failures per category (`:72-146`, O(C·N));
+    // here one per-membership failure rollup (a single hash agg on the
+    // payment key) left-joins one exploded label table — the category
+    // dimension rides an array explode of the SAME membership scan, and the
+    // final rollup is categories-sized. Uniqueness needs no DISTINCT: the
+    // join grain IS the membership.
+    Q("rp6_failed_payment_rates",
+      (s, d) => {
+        val labels = array(
+          when(col("o_orderpriority") === "1-URGENT", "Urgent"),
+          when(col("o_orderpriority") === "2-HIGH", "High"),
+          when(col("o_orderpriority") === "3-MEDIUM", "Medium"),
+          when(col("o_orderpriority") === "5-LOW", "Low"),
+          when(col("o_orderpriority") === "4-NOT SPECIFIED",
+            "Standard (no special category)"),
+          when(col("o_totalprice") >= 400000.0, "High Value"),
+          when(col("o_totalprice") < 125000.0, "Solo (by size)")
+            .when(col("o_totalprice") < 250000.0, "Duo (by size)")
+            .when(col("o_totalprice") < 375000.0, "Family (by size)")
+            .otherwise("Corporate (by size)"))
+        val members = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey").as("membership_id"),
+            explode(filter(labels, x => x.isNotNull)).as("membership_type"))
+        val fails = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_orderkey").as("membership_id"))
+          .agg(count(lit(1)).as("n_fail"),
+            sum(when(col("l_linestatus") === "F", 1L).otherwise(0L))
+              .as("n_insuff"))
+        members.join(fails, Seq("membership_id"), "left")
+          .groupBy(col("membership_type"))
+          .agg(
+            count(lit(1)).as("active_memberships"),
+            sum(when(col("n_fail").isNotNull, 1L).otherwise(0L))
+              .as("unique_with_failures"),
+            sum(coalesce(col("n_fail"), lit(0L))).as("total_failures"),
+            sum(coalesce(col("n_insuff"), lit(0L)))
+              .as("insufficient_funds_failures"),
+            sum(when(col("n_insuff") > 0L, 1L).otherwise(0L))
+              .as("unique_with_insuff_funds"))
+          .withColumn("failure_rate_pct_milli",
+            expr("unique_with_failures * 100000 div active_memberships"))
+          .withColumn("insufficient_funds_rate_pct_milli",
+            expr("unique_with_insuff_funds * 100000 div active_memberships"))
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderkey AS membership_id, o_orderpriority AS pr,
+             |    o_totalprice AS tp
+             |  FROM orders WHERE o_orderstatus = 'O'),
+             |lab AS (
+             |  SELECT membership_id, 'Urgent' AS membership_type FROM m
+             |    WHERE pr = '1-URGENT'
+             |  UNION ALL SELECT membership_id, 'High' FROM m WHERE pr = '2-HIGH'
+             |  UNION ALL SELECT membership_id, 'Medium' FROM m
+             |    WHERE pr = '3-MEDIUM'
+             |  UNION ALL SELECT membership_id, 'Low' FROM m WHERE pr = '5-LOW'
+             |  UNION ALL SELECT membership_id, 'Standard (no special category)'
+             |    FROM m WHERE pr = '4-NOT SPECIFIED'
+             |  UNION ALL SELECT membership_id, 'High Value' FROM m
+             |    WHERE tp >= 400000.0
+             |  UNION ALL SELECT membership_id,
+             |    CASE WHEN tp < 125000.0 THEN 'Solo (by size)'
+             |         WHEN tp < 250000.0 THEN 'Duo (by size)'
+             |         WHEN tp < 375000.0 THEN 'Family (by size)'
+             |         ELSE 'Corporate (by size)' END FROM m),
+             |f AS (
+             |  SELECT l_orderkey AS membership_id,
+             |    CAST(COUNT(*) AS BIGINT) AS n_fail,
+             |    CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_insuff
+             |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+             |SELECT membership_type,
+             |  CAST(COUNT(*) AS BIGINT) AS active_memberships,
+             |  CAST(COUNT(n_fail) AS BIGINT) AS unique_with_failures,
+             |  CAST(SUM(COALESCE(n_fail, 0)) AS BIGINT) AS total_failures,
+             |  CAST(SUM(COALESCE(n_insuff, 0)) AS BIGINT)
+             |    AS insufficient_funds_failures,
+             |  CAST(COUNT(CASE WHEN n_insuff > 0 THEN 1 END) AS BIGINT)
+             |    AS unique_with_insuff_funds,
+             |  CAST(COUNT(n_fail) AS BIGINT) * 100000
+             |    // CAST(COUNT(*) AS BIGINT) AS failure_rate_pct_milli,
+             |  CAST(COUNT(CASE WHEN n_insuff > 0 THEN 1 END) AS BIGINT) * 100000
+             |    // CAST(COUNT(*) AS BIGINT)
+             |    AS insufficient_funds_rate_pct_milli
+             |FROM lab LEFT JOIN f USING (membership_id)
+             |GROUP BY 1""".stripMargin)),
+
+    // RP7: expense categorization mart (`categorize_expenses.py:40-143`) —
+    // the exact-match category map (subcategory list → group, everything
+    // else dropped, `:40-61`) applied to the expense line items, then the
+    // monthly rollup per category group with the summary's count/avg
+    // columns (`get_monthly_expenses` + `get_category_summary`). Expenses
+    // are lineitems (amount = l_extendedprice, date = l_shipdate) with the
+    // part type as the raw QuickBooks category. The map lives on the PART
+    // side and filters BEFORE the join — only mapped parts reach the fact
+    // join (the category filter is the most selective predicate, so it
+    // prunes the build side instead of post-filtering the joined fact), and
+    // the rollup output is months × groups regardless of corpus size.
+    Q("rp7_expense_categories",
+      (s, d) => {
+        val catMap = when(col("p_type").isin("STANDARD", "ECONOMY", "MEDIUM"),
+          "Payroll")
+          .when(col("p_type").isin("PROMO"), "Marketing")
+        val parts = Tables.part(s, d)
+          .select(col("p_partkey"), catMap.as("category_group"))
+          .filter(col("category_group").isNotNull)
+        Tables.lineitem(s, d)
+          .select(col("l_partkey").as("p_partkey"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("year_month"),
+            col("l_extendedprice").as("amount"))
+          .join(parts, "p_partkey")
+          .groupBy(col("year_month"), col("category_group"))
+          .agg(Q.dsum(col("amount")).as("total_amount"),
+            count(lit(1)).as("transaction_count"),
+            // decimal SUM → double, THEN divide (the ab1 pattern): decimal
+            // division scale/rounding is engine-specific, double÷int isn't
+            (Q.dsum(col("amount")) / count(lit(1))).as("avg_amount"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT p_partkey,
+              |    CASE WHEN p_type IN ('STANDARD', 'ECONOMY', 'MEDIUM')
+              |           THEN 'Payroll'
+              |         WHEN p_type IN ('PROMO') THEN 'Marketing'
+              |    END AS category_group
+              |  FROM part
+              |  WHERE p_type IN ('STANDARD', 'ECONOMY', 'MEDIUM', 'PROMO'))
+              |SELECT strftime(l_shipdate, '%Y-%m') AS year_month,
+              |  category_group,
+              |  ${Q.dsumSql("l_extendedprice")} AS total_amount,
+              |  CAST(COUNT(*) AS BIGINT) AS transaction_count,
+              |  ${Q.dsumSql("l_extendedprice")} / COUNT(*) AS avg_amount
+              |FROM lineitem JOIN p ON l_partkey = p_partkey
+              |GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -45,12 +45,7 @@ object Probe {
         }.toSeq
       } else Registry.all.filter(_.bench)
 
-    // Warm classloading/codegen on the first query so its reading isn't
-    // charged for JVM startup (same discipline as Bench).
-    qs.headOption.foreach(q =>
-      try q.run(spark, sfDir).count() catch { case _: Throwable => () })
-
-    def median(xs: Array[Double]): Double = {
+    def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
@@ -58,19 +53,38 @@ object Probe {
 
     var total = 0.0
     qs.foreach { q =>
+      // One untimed warm rep PER QUERY: each query pays its own codegen +
+      // classloading on first execution, and with the default reps=2 the
+      // median of (cold, warm) is their mean — a cold-start artifact, not a
+      // scale signal. (An earlier global first-query warm only fixed query
+      // #1.) Failed reps are excluded from the timing and marked, never
+      // averaged in.
       var rows = -1L
-      val ts = Array.fill(reps) {
-        val t0 = System.nanoTime()
-        rows = try q.run(spark, sfDir).count() catch {
-          case e: Throwable =>
-            System.err.println(s"[probe] ${q.name} FAILED: ${e.getMessage}")
-            -1L
-        }
-        (System.nanoTime() - t0) / 1e9
+      try rows = q.run(spark, sfDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[probe] ${q.name} warm rep FAILED: ${e.getMessage}")
       }
-      val m = median(ts)
-      total += m
-      println(f"[probe] ${q.name} median_s=$m%.3f rows=$rows reps=$reps")
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = 0
+      (1 to reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        try {
+          rows = q.run(spark, sfDir).count()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            failed += 1
+            System.err.println(s"[probe] ${q.name} FAILED: ${e.getMessage}")
+        }
+      }
+      if (times.nonEmpty) {
+        val m = median(times.toSeq)
+        total += m
+        val failNote = if (failed > 0) s" failed_reps=$failed" else ""
+        println(f"[probe] ${q.name} median_s=$m%.3f min_s=${times.min}%.3f " +
+          f"rows=$rows reps_ok=${times.length}/$reps$failNote")
+      } else
+        println(s"[probe] ${q.name} ALL_REPS_FAILED reps_ok=0/$reps")
     }
     println(f"[probe] TOTAL median_s=$total%.3f queries=${qs.length} sf=$sfDir")
     spark.stop()
