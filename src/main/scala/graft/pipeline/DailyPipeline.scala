@@ -498,10 +498,17 @@ object DailyPipeline {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_warehouse"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions derive from the data (Sizing: input footprint ×
+    // expansion / AQE advisory size), not from a fixed session constant —
+    // the round-8 sf10 run showed the warehouse build spilling at the
+    // 32-partition default. SPARK_GRAFT_SHUFFLE remains as an A/B override.
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      graft.core.Sizing.shufflePartitions(sfDir, cpus.toInt).toString)
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

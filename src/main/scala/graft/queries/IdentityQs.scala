@@ -17,6 +17,25 @@ object IdentityQs {
     * components in a way the oracle (sharing the offset) cannot catch. */
   private val SupplierIdBase = 1L << 40
 
+  /** FastSS deletion-neighborhood key: two strings within lev <= 1 ALWAYS
+    * share a member of their deletion-1 neighborhoods (substitution: both
+    * delete the differing position; insertion: the longer's deletion IS the
+    * shorter; equal: the string itself, the i = len case), so a join keyed
+    * on (block, variant) still covers every qualifying pair and the exact
+    * lev filter decides — output bit-identical to the plain block join, the
+    * oracle keeps the plain spelling (a cross-algorithm completeness check,
+    * the gr2 discipline). WITHOUT the variant key a block join is a
+    * per-block cross — u2's was 15,000 × 1,000 per block at sf10 (1.5B lev
+    * calls, measured killing the context at 100×), and u2b's 300 coarse
+    * (suffix, domain) blocks measured 17.4× wall for 10× data before the
+    * variant key landed there too (n²/300 candidates: 5M at sf1, 500M at
+    * sf10). Pair up with distinct(): a pair can share several variants
+    * (identical nums share all len+1). */
+  private def delVars(numCol: String) = explode(expr(
+    s"""transform(sequence(0, length($numCol)),
+       |  i -> concat(substring($numCol, 1, i),
+       |              substring($numCol, i + 2, 1000000)))""".stripMargin))
+
   // Shared edge definition: block on suffix-number % 100, link when the
   // 9-digit suffixes are within levenshtein 1. Suppliers offset to a disjoint
   // id space.
@@ -42,21 +61,6 @@ object IdentityQs {
         val sup = Tables.supplier(s, d)
           .select((col("s_suppkey") + SupplierIdBase).as("id"),
             regexp_extract(col("s_name"), "#([0-9]+)", 1).as("num"))
-        // join key = (blk, deletion-1 variant): two strings within lev <= 1
-        // ALWAYS share a member of their deletion neighborhoods (FastSS —
-        // substitution: both delete the differing position; insertion: the
-        // longer's deletion IS the shorter; equal: the string itself, the
-        // i = len case), so the candidate set still covers every qualifying
-        // pair and the exact lev filter decides — output bit-identical to
-        // the plain blk join, oracle untouched. WITHOUT the variant key the
-        // blk join is a per-block cross: 15,000 × 1,000 per block at sf10
-        // (1.5B lev calls — measured killing the context at 100×); with it,
-        // per-key occupancy is near-dup-proportional. distinct() because a
-        // pair can share several variants (identical nums share all len+1).
-        def delVars(numCol: String) = explode(expr(
-          s"""transform(sequence(0, length($numCol)),
-             |  i -> concat(substring($numCol, 1, i),
-             |              substring($numCol, i + 2, 1000000)))""".stripMargin))
         val edges = c.select(col("id").as("src"), col("num").as("src_num"),
             (col("num").cast("long") % 100).as("blk"), delVars("num").as("dv"))
           .join(sup.select(col("id").as("dst"), col("num").as("dst_num"),
@@ -82,7 +86,10 @@ object IdentityQs {
               |comps AS (SELECT id, MIN(r) AS comp_id FROM reach GROUP BY id)
               |SELECT id AS node_id, comp_id,
               |  COUNT(*) OVER (PARTITION BY comp_id) AS comp_size
-              |FROM comps""".stripMargin)),
+              |FROM comps""".stripMargin),
+      // promoted round 9: the warehouse's heaviest iterative job
+      // (identity_map was the EP1 sf10 tail) belongs on the driver's clock
+      bench = true),
 
     // U2b: the FUZZY identity pass — edges require the normalized email
     // domains to match after TLD-typo correction (gmail.con == gmail.com),
@@ -118,12 +125,16 @@ object IdentityQs {
             regexp_extract(col("s_name"), "#([0-9]+)", 1).as("num"),
             Normalize.fixDomainTypos(
               domain(floor(col("s_suppkey") / 10).cast("long"), 1)).as("dom"))
+        // (blk, dom, deletion-variant) key — see delVars: without it the
+        // 300 coarse (suffix, domain) blocks are a per-block cross
         val edges = c.select(col("id").as("src"), col("num").as("src_num"),
-            (col("num").cast("long") % 100).as("blk"), col("dom"))
+            (col("num").cast("long") % 100).as("blk"), col("dom"),
+            delVars("num").as("dv"))
           .join(sup.select(col("id").as("dst"), col("num").as("dst_num"),
-            (col("num").cast("long") % 100).as("blk"), col("dom")), Seq("blk", "dom"))
+            (col("num").cast("long") % 100).as("blk"), col("dom"),
+            delVars("num").as("dv")), Seq("blk", "dom", "dv"))
           .filter(levenshtein(col("src_num"), col("dst_num")) <= 1)
-          .select(col("src"), col("dst"))
+          .select(col("src"), col("dst")).distinct()
         val nodes = c.select(col("id")).unionByName(sup.select(col("id")))
         Identity.connectedComponents(nodes, edges)
           .withColumn("comp_size",

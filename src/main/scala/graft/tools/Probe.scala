@@ -17,11 +17,12 @@ object Probe {
     val sfDir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Deploy-time sizing knob: shuffle partitions default to the thread
-    // count (right at the gated scales), but at probe scales >= sf10 the
-    // per-partition volume outgrows memory and sorts/aggs spill — a real
-    // cluster sizes partitions to the data, so the probe must be able to.
-    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Shuffle partitions derive from the probed directory's footprint
+    // (graft.core.Sizing): at probe scales >= sf10 the thread-count default
+    // puts 10x the intended volume per sort partition and spills. The env
+    // knob survives as an explicit A/B override only.
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      graft.core.Sizing.shufflePartitions(sfDir, cpus.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)

@@ -65,10 +65,33 @@ object ScaleUp {
     val kDoc = stride(table("documents"), "doc_id")
     val kVec = stride(table("embeddings"), "vec_id")
 
+    // Entity NAMES must scale with their keys: the generator's own
+    // sf0.01 → sf0.1 step grows the name-number domain 10×, and the
+    // identity/fuzzy-join family (u2/u2b/u2c, j7) blocks on the digit
+    // string inside c_name/s_name. Replicating keys but not names leaves
+    // 10 byte-identical copies of the whole name domain — measured 10M
+    // equal-num candidate pairs at sf10 (100× sf1): a quadratic artifact
+    // of the probe data, not of the operators. Fix: replica r >= 1 inserts
+    // a DOUBLED two-digit replica code after '#' (e.g. '#0303...').
+    //  - within a replica, the code is a common prefix of every num, and
+    //    edit distance is invariant under common-prefix removal — the
+    //    replica's lev <= k pair structure is byte-preserved;
+    //  - across replicas, distinct doubled codes differ in >= 2 positions
+    //    of equal-length strings (and a 1-shift alignment costs a
+    //    delete + insert = 2), so cross-replica nums sit at lev >= 2 —
+    //    outside every gate the engine uses (all are <= 1);
+    //  - blk = num % 100 reads the unchanged low digits, so block
+    //    assignment and per-block occupancy match the generator's.
+    def nameShift(df: DataFrame, nameCol: String, r: Int): DataFrame =
+      if (r == 0) df
+      else df.withColumn(nameCol,
+        regexp_replace(col(nameCol), "#", f"#$r%02d$r%02d"))
     write(replicate(table("customer"), factor)((df, r) =>
-      df.withColumn("c_custkey", col("c_custkey") + lit(r * kCust))), "customer")
+      nameShift(df.withColumn("c_custkey", col("c_custkey") + lit(r * kCust)),
+        "c_name", r)), "customer")
     write(replicate(table("supplier"), factor)((df, r) =>
-      df.withColumn("s_suppkey", col("s_suppkey") + lit(r * kSupp))), "supplier")
+      nameShift(df.withColumn("s_suppkey", col("s_suppkey") + lit(r * kSupp)),
+        "s_name", r)), "supplier")
     write(replicate(table("part"), factor)((df, r) =>
       df.withColumn("p_partkey", col("p_partkey") + lit(r * kPart))), "part")
     write(replicate(table("orders"), factor)((df, r) =>

@@ -2016,6 +2016,35 @@ class OpsSpec extends AnyFunSuite {
     val one = Dedup.sourceOverlap(dup, "source", "text", 2, 1L).collect()(0)
     assert(one.getLong(2) == 2L && one.getLong(3) == 1L && one.getLong(4) == 1L,
       s"distinct shingles per source: $one")
+    // a source whose docs are all shorter than k words produces NO shingles
+    // but must still appear in the matrix as clean (n_sh = 0, 0 ppm, no
+    // division blow-up) — a silently omitted source reads as coverage
+    val short = Seq((1L, "a b c", "sA"), (2L, "z", "sEmpty"), (3L, "q", "sE2"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlap(short, "source", "text", 2, 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7)))).toMap
+    assert(m.keySet == Set(("sA", "sE2"), ("sA", "sEmpty"), ("sE2", "sEmpty")),
+      s"shingle-less sources must stay in the matrix: ${m.keySet}")
+    assert(m(("sA", "sEmpty")) == ((2L, 0L, 0L, 0L, 0L, false)))
+    assert(m(("sE2", "sEmpty")) == ((0L, 0L, 0L, 0L, 0L, false)),
+      "both-empty pair: guarded divisors floor to 0 ppm, never error")
+  }
+
+  test("Sizing.shufflePartitions derives from footprint and clamps to [cpus, cap]") {
+    import graft.core.Sizing
+    // missing path -> 0 bytes -> cpus floor
+    assert(Sizing.shufflePartitions("/nonexistent/dir", 32) == 32)
+    // the gated scales reproduce the historical session default exactly
+    assert(Sizing.shufflePartitions("/root/testdata/sf0.1", 32) == 32)
+    // formula: bytes*Expansion/TargetBytes inside the clamp
+    val b = Sizing.inputBytes("/root/testdata/sf0.1")
+    assert(b > 0L)
+    val want = math.min(1024, math.max(4, (b * Sizing.Expansion / Sizing.TargetBytes).toInt))
+    assert(Sizing.shufflePartitions("/root/testdata/sf0.1", 4) == want)
+    // cap binds for huge inputs
+    assert(Sizing.shufflePartitions("/root/testdata/sf0.1", 4, cap = 1) == 1)
   }
 
   test("intervalIslands merges overlap and touch, splits gaps, and is partition-invariant") {
