@@ -543,22 +543,32 @@ object SimilaritySearch {
       window: Int = SrpWindow): DataFrame = {
     registerFns(emb)
     val banded = srpBanded(emb, idCol, vecCol, dim, bands, bits)
-    // Surface the ring approximation at its seam: the windowed candidates
-    // are exhaustive only while every bucket fits window+1 — beyond that,
-    // true near pairs can drop in salted-hash order, invisibly to callers
-    // and to the oracle gate (which only sees scales where buckets fit).
-    // One bounded scalar agg over the (checkpointed-signature) band stream
-    // measures the worst bucket and says so loudly when the output stops
-    // being exhaustive, so consumers know which regime they are in.
+    // Measure the worst bucket (one bounded scalar agg over the
+    // checkpointed-signature band stream), then pick the candidate path
+    // ADAPTIVELY — the r8-advice occupancy seam, closed both ways:
+    //  - every bucket fits window+1: the plain exhaustive equi-join. The
+    //    ring would be bit-identical here (OpsSpec proves the equality) but
+    //    pays a per-bucket row_number window + a two-block explode-join —
+    //    measured ~1.35x on k5 at the gated scales, where the rewrite
+    //    bought nothing. The measurement IS the regime witness, so spend
+    //    it on skipping the machinery, not just on a warning.
+    //  - any bucket exceeds window+1: the sorted-neighborhood ring (the
+    //    sf10 fix — a bits-bit band has 2^bits values, so exhaustive
+    //    candidates have an n²/2^(bits+1) floor), and say LOUDLY that the
+    //    output is no longer exhaustive: pairs drop in salted-hash order,
+    //    invisible to callers and to the oracle gate otherwise.
     val occRow = banded.groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("occ")).agg(max(col("occ"))).head()
     val maxOcc = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
-    if (maxOcc > window + 1)
-      System.err.println(s"[srpNearPairs] APPROXIMATE: max bucket occupancy " +
-        s"$maxOcc exceeds window+1 = ${window + 1} — candidates are " +
-        s"sorted-neighborhood-windowed, not exhaustive; raise `window` " +
-        s"(or add bits per band) for full recall")
-    val pairs = Dedup.lshCandidatesRing(banded, idCol, window)
+    val pairs =
+      if (maxOcc <= window + 1) Dedup.lshCandidates(banded, idCol)
+      else {
+        System.err.println(s"[srpNearPairs] APPROXIMATE: max bucket " +
+          s"occupancy $maxOcc exceeds window+1 = ${window + 1} — candidates " +
+          s"are sorted-neighborhood-windowed, not exhaustive; raise `window` " +
+          s"(or add bits per band) for full recall")
+        Dedup.lshCandidatesRing(banded, idCol, window)
+      }
     val withNorm = emb.select(col(idCol), col(vecCol),
       sqrt(expr(normSqExpr(vecCol)).cast("double")).as("__norm"))
     // candidate volume is data-dependent (a hot bucket is quadratic) — no
