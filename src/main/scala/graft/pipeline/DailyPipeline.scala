@@ -39,14 +39,17 @@ object DailyPipeline {
       materialize("ab1_experiment_results", "experiment_results",
         Seq("customer_flags")),
       // the experiment-entry LEDGER the readouts analyze (`experiment_
-      // tracking.py:15-103`'s accumulating CSV): same flag-run provenance
-      // as ab1, so it sits downstream of the materialized flag table too
-      materialize("ab2_entry_ledger", "experiment_entries",
+      // tracking.py:15-103`'s accumulating CSV at the (customer,
+      // experiment) grain): same flag-run provenance as ab1, so it sits
+      // downstream of the materialized flag table too. Distinct from the
+      // `experiment_entries` offer-flag log: that mart records the 2wk-offer
+      // flag emissions; this one is the reference's dedup'd entry REGISTER.
+      materialize("ab2_entry_ledger", "experiment_entry_ledger",
         Seq("customer_flags")),
       // per-experiment journey progress over the ledger's entrants —
       // reference read order: the journey audit runs after the ledger lands
       materialize("ab3_experiment_journeys", "experiment_journeys",
-        Seq("experiment_entries")),
+        Seq("experiment_entry_ledger")),
       // billing health: payment-failure rates by membership category
       // (`process_failed_payments.py:38-151`)
       materialize("rp6_failed_payment_rates", "failed_payment_rates"),
