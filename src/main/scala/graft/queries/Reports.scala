@@ -562,9 +562,12 @@ object Reports {
         val catMap = when(col("p_type").isin("STANDARD", "ECONOMY", "MEDIUM"),
           "Payroll")
           .when(col("p_type").isin("PROMO"), "Marketing")
+        // the explicit IN predicate (not just the CASE's isNotNull) so the
+        // most selective filter PUSHES to the part scan — plan-checked:
+        // PushedFilters carries In(p_type, ...)
         val parts = Tables.part(s, d)
+          .filter(col("p_type").isin("STANDARD", "ECONOMY", "MEDIUM", "PROMO"))
           .select(col("p_partkey"), catMap.as("category_group"))
-          .filter(col("category_group").isNotNull)
         Tables.lineitem(s, d)
           .select(col("l_partkey").as("p_partkey"),
             date_format(col("l_shipdate"), "yyyy-MM").as("year_month"),
