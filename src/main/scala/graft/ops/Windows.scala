@@ -62,11 +62,13 @@ object Windows {
 
   /** W6 + rank column: top-k with an explicit 1-based `rank` output. The
     * window runs AFTER the limit, over exactly k rows — the single-partition
-    * window is on a k-row frame, never the full input. */
+    * window is on a k-row frame, never the full input (the constant
+    * partition key silences the global-window warning; same plan). */
   def topKRanked(df: DataFrame, k: Int, rank: Column, tiebreak: Column,
       as: String = "rank"): DataFrame =
     topK(df, k, rank, tiebreak)
-      .withColumn(as, row_number().over(Window.orderBy(rank.desc, tiebreak)))
+      .withColumn(as, row_number().over(
+        Window.partitionBy(lit(0)).orderBy(rank.desc, tiebreak)))
 
   /** W8: gap-based sessionization — consecutive rows per key share a session
     * while the step on `axis` is <= maxGap; `as` is the 1-based session

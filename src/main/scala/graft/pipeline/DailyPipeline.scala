@@ -256,6 +256,18 @@ object DailyPipeline {
       // component and community marts can't express), with the in-query
       // convergence verdict downstream consumers must check before acting
       materialize("gr4_kcore_dupfarms", "dup_farm_report"),
+      // local-density companion: per-doc triangle counts + clustering
+      // coefficient over the same near-dup graph — clique-like template
+      // farms (milli ≈ 1000) vs hub-like boilerplate wrappers (milli ≈ 0),
+      // the readout gr4's binary core membership can't grade
+      materialize("gr6_triangle_count", "dup_clustering_report"),
+      // cross-sell affinity mart: brand-pair support/lift over order
+      // baskets (the merchandising readout next to customer_connections)
+      materialize("a20_basket_lift", "brand_affinity"),
+      // audience-overlap mart: pairwise event-type user overlap from the
+      // stored HLL states (union by register merge, intersection by
+      // inclusion–exclusion) with the exact gated-scale audit columns
+      materialize("a4e_hll_overlap", "audience_overlap"),
       // privacy mart: the shareable customer export (pseudonyms + k-anonymity
       // suppression) — the form that may leave the warehouse.
       materialize("u5_anonymize", "anonymized_customers"),

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.ops.Categorize
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -225,6 +226,125 @@ object Aggregates {
              |  CAST(COALESCE(zeros, 256) AS INTEGER) AS n_zero,
              |  true AS merge_exact
              |FROM days LEFT JOIN sk2 ON true""".stripMargin)),
+
+    // A4e: sketch SET OPERATIONS — pairwise audience overlap between event
+    // types from the STORED per-type HLL states (the a4d mart column), never
+    // from a re-scan: union = bucketwise register max (hll_merge over the
+    // two states), intersection ESTIMATE by inclusion–exclusion
+    // est(A)+est(B)−est(A∪B). This is the 100 TB overlap pattern — T
+    // KB-sized states answer all T(T−1)/2 pair overlaps; the exact columns
+    // (n_inter from ONE distinct self-join on the user key, n_union by
+    // arithmetic n_a+n_b−n_inter) are the audit the gated scales can still
+    // afford. Registers are md5-replayable (the a4c contract), so the
+    // oracle rebuilds the pair-union sketches from the raw rows and both
+    // verdicts — union estimate within 15%, inclusion–exclusion
+    // intersection within 25%-of-union (3 compounding sketch errors) —
+    // hash-match as booleans computed from identical IEEE literal trees.
+    Q("a4e_hll_overlap",
+      (s, d) => {
+        graft.plans.HllSketch.register(s)
+        val ut = Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("event_type").as("t"), col("user_id").as("u"))
+          .distinct().localCheckpoint(true)
+        val st = ut.groupBy(col("t"))
+          .agg(expr("hll_state(CAST(u AS STRING))").as("st"),
+            count(lit(1)).as("nex")) // ut is distinct: count = exact distinct
+        // per-type readout: a 1-row merge exposes (s_hi, s_lo, zeros)
+        val singles = st.groupBy(col("t"))
+          .agg(expr("hll_merge(st)").as("h"), first(col("nex")).as("nex"))
+          .select(col("t"), col("h.s_hi").as("hi"), col("h.s_lo").as("lo"),
+            col("h.zeros").as("z"), col("nex"))
+        val pairsRaw = st.select(col("t").as("ta"), col("st").as("sa"))
+          .join(st.select(col("t").as("tb"), col("st").as("sb")),
+            col("ta") < col("tb"))
+        val merged = pairsRaw
+          .select(col("ta"), col("tb"),
+            explode(array(col("sa"), col("sb"))).as("stx"))
+          .groupBy(col("ta"), col("tb")).agg(expr("hll_merge(stx)").as("h"))
+        val inter = ut.toDF("t1", "u").join(ut.toDF("t2", "u2"),
+            col("u") === col("u2") && col("t1") < col("t2"))
+          .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("ni"))
+        def estOf(hi: Column, lo: Column, z: Column): Column = {
+          val sD = hi.cast("double") * lit(68719476736.0) + lo.cast("double")
+          val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+            lit(65536.0) * lit(math.pow(2.0, 65)) / sD
+          when(raw <= lit(640.0) && z > 0,
+            lit(256.0) * log(lit(256.0) / z.cast("double"))).otherwise(raw)
+        }
+        val withSingles = merged
+          .join(singles.toDF("ta", "hi_a", "lo_a", "z_a", "n_a"), "ta")
+          .join(singles.toDF("tb", "hi_b", "lo_b", "z_b", "n_b"), "tb")
+          .join(inter.toDF("ta", "tb", "ni"), Seq("ta", "tb"), "left")
+          .withColumn("n_inter", coalesce(col("ni"), lit(0L)))
+        val estU = estOf(col("h.s_hi"), col("h.s_lo"), col("h.zeros"))
+        val estI = estOf(col("hi_a"), col("lo_a"), col("z_a")) +
+          estOf(col("hi_b"), col("lo_b"), col("z_b")) - estU
+        val nUnion = (col("n_a") + col("n_b") - col("n_inter"))
+        withSingles.select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("n_a"), col("n_b"), col("n_inter"),
+          nUnion.as("n_union"),
+          col("h.s_hi").as("s_hi"), col("h.s_lo").as("s_lo"),
+          col("h.zeros").as("n_zero"),
+          (abs(estU - nUnion.cast("double")) <=
+            nUnion.cast("double") * lit(0.15)).as("union_est_ok"),
+          (abs(estI - col("n_inter").cast("double")) <=
+            nUnion.cast("double") * lit(0.25)).as("inter_est_ok"))
+      },
+      Some {
+        def estSql(hi: String, lo: String, z: String): String = {
+          val raw = s"0.7213/(1.0+1.079/256.0)*65536.0*pow(2,65)" +
+            s"/(CAST($hi AS DOUBLE)*68719476736.0 + CAST($lo AS DOUBLE))"
+          s"CASE WHEN $raw <= 640.0 AND $z > 0 " +
+            s"THEN 256.0*ln(256.0/CAST($z AS DOUBLE)) ELSE $raw END"
+        }
+        val ea = estSql("sa.s_hi", "sa.s_lo", "sa.zeros")
+        val eb = estSql("sb.s_hi", "sb.s_lo", "sb.zeros")
+        s"""WITH ${hllOracleCtes(
+             """SELECT grp, CAST(u AS VARCHAR) AS sv FROM (
+               |    SELECT event_type AS grp, user_id AS u FROM events
+               |      WHERE user_id IS NOT NULL
+               |    UNION ALL
+               |    SELECT p.ga || '&' || p.gb AS grp, e.user_id AS u
+               |    FROM events e
+               |    JOIN (SELECT a.t AS ga, b.t AS gb
+               |          FROM (SELECT DISTINCT event_type AS t FROM events
+               |                WHERE user_id IS NOT NULL) a
+               |          JOIN (SELECT DISTINCT event_type AS t FROM events
+               |                WHERE user_id IS NOT NULL) b ON a.t < b.t) p
+               |      ON e.event_type IN (p.ga, p.gb)
+               |    WHERE e.user_id IS NOT NULL)""".stripMargin)},
+           |ut AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events
+           |       WHERE user_id IS NOT NULL),
+           |sing AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS nex
+           |         FROM ut GROUP BY 1),
+           |tp AS (SELECT a.t AS ta, b.t AS tb
+           |       FROM (SELECT DISTINCT t FROM ut) a
+           |       JOIN (SELECT DISTINCT t FROM ut) b ON a.t < b.t),
+           |ix AS (SELECT x.t AS ta, y.t AS tb,
+           |         CAST(COUNT(*) AS BIGINT) AS ni
+           |       FROM ut x JOIN ut y ON x.u = y.u AND x.t < y.t
+           |       GROUP BY 1, 2)
+           |SELECT tp.ta AS type_a, tp.tb AS type_b,
+           |  na.nex AS n_a, nb.nex AS n_b,
+           |  COALESCE(ix.ni, 0) AS n_inter,
+           |  na.nex + nb.nex - COALESCE(ix.ni, 0) AS n_union,
+           |  su.s_hi, su.s_lo, CAST(su.zeros AS INTEGER) AS n_zero,
+           |  abs(${estSql("su.s_hi", "su.s_lo", "su.zeros")}
+           |      - CAST(na.nex + nb.nex - COALESCE(ix.ni, 0) AS DOUBLE))
+           |    <= CAST(na.nex + nb.nex - COALESCE(ix.ni, 0) AS DOUBLE) * 0.15
+           |    AS union_est_ok,
+           |  abs(($ea) + ($eb) - (${estSql("su.s_hi", "su.s_lo", "su.zeros")})
+           |      - CAST(COALESCE(ix.ni, 0) AS DOUBLE))
+           |    <= CAST(na.nex + nb.nex - COALESCE(ix.ni, 0) AS DOUBLE) * 0.25
+           |    AS inter_est_ok
+           |FROM tp
+           |JOIN sk2 su ON su.grp = tp.ta || '&' || tp.tb
+           |JOIN sk2 sa ON sa.grp = tp.ta
+           |JOIN sk2 sb ON sb.grp = tp.tb
+           |JOIN sing na ON na.t = tp.ta
+           |JOIN sing nb ON nb.t = tp.tb
+           |LEFT JOIN ix ON ix.ta = tp.ta AND ix.tb = tp.tb""".stripMargin
+      }),
 
     // A5: conditional aggregates (gross / discounted / net in one pass).
     // Reference: `dashboard.py:660-684`.
@@ -681,6 +801,64 @@ object Aggregates {
            |  CAST(${bucketLowSql("b95")} AS DOUBLE) / 10000 AS p95_low,
            |  true AS merge_exact
            |FROM days CROSS JOIN pick""".stripMargin
-      })
+      }),
+
+    // A20: market-basket pair co-occurrence with support and lift — which
+    // product brands sell TOGETHER (the cross-sell readout next to a16's
+    // interaction edges). Baskets are orders, items the DISTINCT part
+    // brands in each; for every unordered brand pair: the basket count,
+    // support (baskets with both / all baskets) and lift (observed /
+    // expected-under-independence), both as exact integer milli units.
+    // Engine shape: brand dim broadcast into the fact scan (J3), ONE
+    // groupBy(order) collect_set, pairs emitted group-local by the g4b
+    // pair_combinations generator — zero extra shuffle, safe because
+    // baskets are bounded (≤7 lineitems/order ⇒ ≤21 pairs) while the
+    // oracle's self-join spelling re-derives the same counts by a
+    // different algorithm; the rollup output is brand-pair-sized (≤300
+    // rows) at any fact volume. lift_milli = n_both·n_orders·1000 div
+    // (n_a·n_b) stays in int64: n_both, n_a, n_b ≤ n_orders and
+    // n_orders³·1000 needs n_orders ≲ 2·10⁵ per partitioned report grain —
+    // at warehouse scale the same report runs per month/region partition,
+    // never one global basket universe.
+    Q("a20_basket_lift",
+      (s, d) => {
+        val ob = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+          .distinct().localCheckpoint(true) // three consumers below
+        val nOrders = ob.agg(countDistinct(col("ok")).as("n_orders"))
+        val bc = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+        val baskets = ob.groupBy(col("ok"))
+          .agg(sort_array(collect_set(col("b"))).as("bs"))
+        val pairs = graft.plans.PairCombinations
+          .pairsOf(s, baskets, "bs", Seq("ok"))
+          .groupBy(col("a").as("brand_a"), col("b").as("brand_b"))
+          .agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(bc.toDF("brand_a", "n_a"), "brand_a")
+          .join(bc.toDF("brand_b", "n_b"), "brand_b")
+          .crossJoin(broadcast(nOrders))
+          .select(col("brand_a"), col("brand_b"), col("n_both"),
+            col("n_a"), col("n_b"),
+            expr("n_both * 100000 div n_orders").as("support_pct_milli"),
+            expr("n_both * n_orders * 1000 div (n_a * n_b)").as("lift_milli"))
+      },
+      Some("""WITH ob AS (
+             |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM ob),
+             |bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM ob GROUP BY 1),
+             |pr AS (
+             |  SELECT x.b AS brand_a, y.b AS brand_b,
+             |    CAST(COUNT(*) AS BIGINT) AS n_both
+             |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+             |  GROUP BY 1, 2)
+             |SELECT brand_a, brand_b, n_both, ca.nb AS n_a, cb.nb AS n_b,
+             |  n_both * 100000 // n_orders AS support_pct_milli,
+             |  n_both * n_orders * 1000 // (ca.nb * cb.nb) AS lift_milli
+             |FROM pr JOIN bc ca ON ca.b = brand_a
+             |JOIN bc cb ON cb.b = brand_b CROSS JOIN n""".stripMargin))
   )
 }

@@ -794,6 +794,55 @@ object DedupQs {
       },
       bench = true),
 
+    // GR6: per-node triangle counts + local clustering coefficient
+    // (Graph.triangleCounts, degree-ordered "node iterator++") over the same
+    // d5 near-dup graph — the LOCAL density readout the other graph views
+    // can't give: gr4's 2-core is a binary gate (in the dense region or
+    // not), the clustering coefficient MEASURES each doc's neighborhood
+    // closure (1000 = my near-dups are all near-dups of each other — a
+    // template clique; 0 = a hub stitching unrelated dups — a boilerplate
+    // wrapper). Engine enumerates wedges ONLY at each triangle's lowest
+    // (degree, id)-rank corner (per-vertex out-degree O(√m), hubs
+    // contribute zero wedges), closed by one semi-join; the oracle counts
+    // the identical triangle set by the plain a<b<c triple join — the hash
+    // gate is a cross-algorithm check (the gr2 discipline).
+    Q("gr6_triangle_count",
+      (s, d) => {
+        import graft.ops.Graph
+        val (nodes, edges) = nearDupGraph(s, d)
+        Graph.triangleCounts(nodes, edges)
+          .select(col("id").as("doc_id"), col("degree"),
+            col("n_triangles"), col("clustering_milli"))
+      },
+      Some(
+        s"""WITH $simhash64CtesSql,
+           |np AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+           |ue AS (
+           |  SELECT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+           |  FROM np WHERE id_a <> id_b GROUP BY 1, 2),
+           |nd AS (SELECT a AS id FROM ue UNION SELECT b FROM ue),
+           |deg AS (
+           |  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+           |  FROM (SELECT a AS id FROM ue UNION ALL SELECT b FROM ue)
+           |  GROUP BY 1),
+           |tri AS (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM ue e1 JOIN ue e2 ON e2.a = e1.b
+           |  JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |tn AS (
+           |  SELECT id, CAST(COUNT(*) AS BIGINT) AS t
+           |  FROM (SELECT x AS id FROM tri
+           |        UNION ALL SELECT y FROM tri
+           |        UNION ALL SELECT z FROM tri)
+           |  GROUP BY 1)
+           |SELECT n.id AS doc_id, d.degree,
+           |  COALESCE(tn.t, 0) AS n_triangles,
+           |  CASE WHEN d.degree >= 2
+           |    THEN (2000 * COALESCE(tn.t, 0)) // (d.degree * (d.degree - 1))
+           |    ELSE 0 END AS clustering_milli
+           |FROM nd n JOIN deg d USING (id) LEFT JOIN tn USING (id)""".stripMargin),
+      bench = true),
+
     // C1: end-to-end corpus curation — the LLM-training-data pipeline as ONE
     // declared plan: language gate → quality gate → exact-dedup keeper →
     // simhash near-dup removal (keep the lower id) → per-source token budget

@@ -1,0 +1,80 @@
+package graft.tools
+
+import graft.core.Tables
+import graft.ops.{Dedup, Identity, SimilaritySearch}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage probe for d7 (SemDeDup semantic dedup — the warehouse's top sf10
+  * job as embedding_dedup_clusters): times the SRP band stream, the bucket
+  * occupancy audit, the ring candidate join, the exact-cosine verify, and
+  * the CC collapse — all via the PRODUCTION code paths (srpBanded /
+  * lshCandidatesRing / connectedComponents), so the probe cannot drift from
+  * the shape it claims to measure. Stage volumes print first: every cost
+  * here is candidate-volume-driven.
+  * Usage: runMain graft.tools.ProfileD7 <sfDir> [reps] */
+object ProfileD7 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      graft.core.Sizing.shufflePartitions(sfDir, cpus.toInt).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shuf)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (dim, bands, bits, threshold, window) = (64, 4, 6, 0.4, 256)
+    def emb = Tables.embeddings(spark, sfDir)
+    // prebuilt predecessors: srpBanded checkpoints the signature table, so
+    // downstream stage timings exclude the upstream they consumed
+    val banded0 = SimilaritySearch.srpBanded(emb, "vec_id", "embedding",
+      dim, bands, bits)
+    val cand0 = Dedup.lshCandidatesRing(banded0, "vec_id", window)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    def verify0 = {
+      graft.plans.FloatDot.register(spark)
+      val withNorm = emb.select(col("vec_id"), col("embedding"),
+        sqrt(expr(SimilaritySearch.normSqExpr("embedding")).cast("double"))
+          .as("__norm"))
+      cand0
+        .join(withNorm.toDF("ja", "vec_a", "norm_a"), col("id_a") === col("ja"))
+        .join(withNorm.toDF("jb", "vec_b", "norm_b"), col("id_b") === col("jb"))
+        .withColumn("cos_sim",
+          round(expr(SimilaritySearch.dotExpr("vec_a", "vec_b")) /
+            (col("norm_a") * col("norm_b")), 6))
+        .filter(col("cos_sim") >= threshold)
+        .select(col("id_a"), col("id_b"))
+    }
+    val edges0 = verify0.localCheckpoint(true)
+    val probes: Seq[(String, () => Long)] = Seq(
+      "banded" -> (() => SimilaritySearch.srpBanded(emb, "vec_id", "embedding",
+        dim, bands, bits).count()),
+      "occ" -> (() => banded0.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("occ")).agg(max(col("occ"))).count()),
+      "ring_cand" -> (() => Dedup.lshCandidatesRing(banded0, "vec_id", window).count()),
+      "verify" -> (() => verify0.count()),
+      "cc" -> (() => Identity.connectedComponents(
+        emb.select(col("vec_id").as("id")),
+        edges0.select(col("id_a").as("src"), col("id_b").as("dst"))).count()),
+      "full" -> (() => SimilaritySearch.semanticDedup(emb, "vec_id", "embedding",
+        dim, bands, bits, threshold).count()))
+    val vols = probes.map { case (name, f) => name -> f() } // warm + volumes
+    vols.foreach { case (name, v) => println(f"VOLUME  $name%-10s $v%12d rows") }
+    probes.foreach { case (name, f) =>
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"PROFILE $name%-10s ${ts(ts.length / 2)}%7.3f s")
+    }
+    spark.stop()
+  }
+}

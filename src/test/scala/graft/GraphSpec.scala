@@ -279,6 +279,64 @@ class GraphSpec extends AnyFunSuite {
     assert(full.values.forall(_ == ((false, 0L, true))))
   }
 
+  /** Brute-force reference: count a<b<c triples whose three edges exist. */
+  private def refTriangles(nodes: Seq[Long],
+      edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    val es = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val ns = (nodes ++ es.toSeq.flatMap(e => Seq(e._1, e._2))).distinct
+    val deg = ns.map(v => v -> es.count(e => e._1 == v || e._2 == v).toLong).toMap
+    val sorted = ns.sorted
+    val tris = for {
+      i <- sorted.indices; j <- (i + 1) until sorted.size
+      if es((sorted(i), sorted(j)))
+      k <- (j + 1) until sorted.size
+      if es((sorted(i), sorted(k))) && es((sorted(j), sorted(k)))
+    } yield (sorted(i), sorted(j), sorted(k))
+    ns.map { v =>
+      val t = tris.count(x => x._1 == v || x._2 == v || x._3 == v).toLong
+      val d = deg(v)
+      val c = if (d >= 2) (2000L * t) / (d * (d - 1)) else 0L
+      v -> ((d, t, c))
+    }.toMap
+  }
+
+  private def triangles(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      parts: Int = 4): Map[Long, (Long, Long, Long)] =
+    Graph.triangleCounts(nodes.toDF("id"), edges.toDF("src", "dst").repartition(parts))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("triangleCounts equals brute force on random graphs, any partitioning") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 4) {
+      val n = 40
+      val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val nodes = (0L until n.toLong)
+      val want = refTriangles(nodes, edges)
+      assert(triangles(nodes, edges, parts = 3) == want, s"trial=$trial")
+      assert(triangles(nodes, edges, parts = 13) == want, s"trial=$trial parts=13")
+    }
+  }
+
+  test("triangleCounts: clique closes at 1000, hub star at 0, direction-blind") {
+    // K5: every node has deg 4, T = C(4,2) = 6 closed wedges -> exactly 1000
+    val k5 = for (a <- 0L until 5L; b <- 0L until 5L if a < b) yield (a, b)
+    val got = triangles(0L until 5L, k5)
+    assert(got.values.forall(_ == ((4L, 6L, 1000L))))
+    // star hub: no closure anywhere; hub degree 6, leaves degree 1
+    val star = (1L to 6L).map(i => (0L, i))
+    val s = triangles(0L to 6L, star)
+    assert(s(0L) == ((6L, 0L, 0L)) && s(1L) == ((1L, 0L, 0L)))
+    // duplicate + reversed edges collapse to the same undirected set
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (1L, 2L))
+    val t = triangles(Seq(1L, 2L, 3L), tri)
+    assert(t.values.forall(_ == ((2L, 1L, 1000L))))
+    // isolated node from `nodes` appears with zeros; empty edges fine
+    assert(triangles(Seq(9L), Seq.empty) == Map(9L -> ((0L, 0L, 0L))))
+  }
+
   test("kCore 3-core spans two bridged cliques and is partition-invariant") {
     // two K4 cliques joined by one bridge: every node keeps degree >= 3,
     // so the whole graph IS its own 3-core (the bridge does not peel)

@@ -115,7 +115,9 @@ class QueriesSpec extends AnyFunSuite {
     "t32_hybrid_rrf",          // inherits t25's 1-row avgdl/corpus-total broadcasts
     "t34_kn_surprisal",        // 1-row (T, V) model-totals broadcast (a6 shape)
     "d11_cosine_allpairs",     // 1-row corpus-total broadcast (t11 shape)
-    "d12_source_overlap"       // S-row × S-row upper-triangle matrix (S = fixed source domain)
+    "d12_source_overlap",      // S-row × S-row upper-triangle matrix (S = fixed source domain)
+    "a20_basket_lift",         // 1-row n_orders broadcast (a6 shape)
+    "a4e_hll_overlap"          // T-row × T-row type-pair sketch pairing (T = fixed type domain)
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {
