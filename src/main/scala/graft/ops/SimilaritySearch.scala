@@ -516,6 +516,22 @@ object SimilaritySearch {
     * bucket occupancy (bits per band is the knob), and the verification join
     * touches only candidates — the plan that survives a 100 TB embedding
     * corpus where the k-means IVF path needs a training step. */
+  /** One fine-grained SRP code from FRESH hyperplanes (indices offset..
+    * offset+bits-1 of the same deterministic LCG stream, disjoint from the
+    * banding planes) — the similarity-correlated ring-order key: vectors at
+    * high cosine agree on most sign bits, so sorting a bucket by this
+    * integer puts true near-dups next to each other (Manku '07
+    * rotate-and-sort, applied to the SNM window order). */
+  private[graft] def srpFineCol(vecCol: String, offset: Int, bits: Int,
+      dim: Int): Column = {
+    val h = srpNumerators(offset + bits, dim)
+    (0 until bits).map { j =>
+      val lit = h(offset + j).map(k => s"($k/1024.0D)")
+        .mkString("CAST(array(", ", ", ") AS ARRAY<FLOAT>)")
+      when(expr(s"float_dot($vecCol, $lit)") > 0d, 1 << j).otherwise(0)
+    }.reduce(_ + _).cast("int")
+  }
+
   /** (id, band, sig) banded SRP signature rows — the LSH bucket stream the
     * candidate joins key on. The per-vector signature table is
     * materialized because the band self-join's two renamed branches defeat
@@ -569,9 +585,19 @@ object SimilaritySearch {
       else {
         System.err.println(s"[srpNearPairs] APPROXIMATE: max bucket " +
           s"occupancy $maxOcc exceeds window+1 = ${window + 1} — candidates " +
-          s"are sorted-neighborhood-windowed, not exhaustive; raise `window` " +
-          s"(or add bits per band) for full recall")
-        Dedup.lshCandidatesRing(banded, idCol, window)
+          s"are sorted-neighborhood-windowed (similarity-ordered), not " +
+          s"exhaustive; raise `window` (or add bits per band) for full recall")
+        // ring order = a 16-bit fine SRP code from FRESH planes: within a
+        // bucket, true near-dups agree on most fine sign bits and sort next
+        // to each other, so the occ·window candidate budget is spent on
+        // likely positives instead of a uniform hash sample (sf10 d7: 1.31×
+        // the true edges at the same candidate count — BENCH_NOTES). Below
+        // the window the order is irrelevant (all pairs emit), so the
+        // gated-scale exhaustive equality is untouched.
+        val fine = emb.select(col(idCol),
+          srpFineCol(vecCol, bands * bits, 16, dim).as("__fine"))
+        Dedup.lshCandidatesRing(banded.join(fine, idCol), idCol, window,
+          Some("__fine"))
       }
     val withNorm = emb.select(col(idCol), col(vecCol),
       sqrt(expr(normSqExpr(vecCol)).cast("double")).as("__norm"))

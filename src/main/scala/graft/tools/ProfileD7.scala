@@ -40,12 +40,12 @@ object ProfileD7 {
       dim, bands, bits)
     val cand0 = Dedup.lshCandidatesRing(banded0, "vec_id", window)
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    def verify0 = {
+    def verifyOf(cand: org.apache.spark.sql.DataFrame) = {
       graft.plans.FloatDot.register(spark)
       val withNorm = emb.select(col("vec_id"), col("embedding"),
         sqrt(expr(SimilaritySearch.normSqExpr("embedding")).cast("double"))
           .as("__norm"))
-      cand0
+      cand
         .join(withNorm.toDF("ja", "vec_a", "norm_a"), col("id_a") === col("ja"))
         .join(withNorm.toDF("jb", "vec_b", "norm_b"), col("id_b") === col("jb"))
         .withColumn("cos_sim",
@@ -54,7 +54,28 @@ object ProfileD7 {
         .filter(col("cos_sim") >= threshold)
         .select(col("id_a"), col("id_b"))
     }
+    def verify0 = verifyOf(cand0)
     val edges0 = verify0.localCheckpoint(true)
+    // yield A/B: the similarity-ordered ring (fine SRP code from fresh
+    // planes) vs the salted-hash ring — same occ·window candidate budget,
+    // how many TRUE (cos >= threshold) edges does each surface?
+    val fineEdges = {
+      graft.plans.FloatDot.register(spark)
+      val fine = emb.select(col("vec_id"),
+        SimilaritySearch.srpFineCol("embedding", bands * bits, 16, dim)
+          .as("__fine"))
+      verifyOf(Dedup.lshCandidatesRing(banded0.join(fine, "vec_id"), "vec_id",
+        window, Some("__fine")).select(col("id_a"), col("id_b"))).count()
+    }
+    println(f"YIELD   ring_hash  ${edges0.count()}%12d true edges (of the same candidate budget)")
+    println(f"YIELD   ring_fine  $fineEdges%12d true edges (of the same candidate budget)")
+    // optional ground truth (3rd arg "truth"): the EXHAUSTIVE candidate set
+    // verified — n²/2^(bits+1)-floor work, affordable as a one-off denominator
+    if (args.length > 2 && args(2) == "truth") {
+      val truth = verifyOf(Dedup.lshCandidates(banded0, "vec_id")
+        .select(col("id_a"), col("id_b"))).count()
+      println(f"YIELD   exhaustive $truth%12d true edges (ground truth)")
+    }
     val probes: Seq[(String, () => Long)] = Seq(
       "banded" -> (() => SimilaritySearch.srpBanded(emb, "vec_id", "embedding",
         dim, bands, bits).count()),

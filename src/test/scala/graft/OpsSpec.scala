@@ -1957,6 +1957,27 @@ class OpsSpec extends AnyFunSuite {
     assert(nb.getLong(2) == 2L)
   }
 
+  test("lshCandidatesRing orderCol: exhaustive below the window, locality-ordered above") {
+    // one bucket of 6 with an explicit order key (the fine-SRP seat):
+    // ids 1..6, keys chosen so key order (4,5,6,1,2,3) differs from both
+    // id order and md5 order
+    val rows = Seq((1L, 10), (2L, 11), (3L, 12), (4L, 1), (5L, 2), (6L, 3))
+      .map { case (id, k) => (id, 0, 100, k) }.toDF("id", "band", "sig", "k")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // window >= occ-1: order key irrelevant — bit-identical to exhaustive
+    val exhaustive = pairSet(Dedup.lshCandidates(
+      rows.select(col("id"), col("band"), col("sig")), "id"))
+    assert(pairSet(Dedup.lshCandidatesRing(rows, "id", 5, Some("k"))) == exhaustive)
+    // window 1: each member pairs with its key-order successor ONLY —
+    // the deterministic locality semantics the fine SRP code buys
+    assert(pairSet(Dedup.lshCandidatesRing(rows, "id", 1, Some("k"))) ==
+      Set((4L, 5L), (5L, 6L), (1L, 6L), (1L, 2L), (2L, 3L)))
+    // partition invariance holds with an order key too
+    assert(pairSet(Dedup.lshCandidatesRing(rows.repartition(5), "id", 2, Some("k"))) ==
+      pairSet(Dedup.lshCandidatesRing(rows.repartition(2), "id", 2, Some("k"))))
+  }
+
   test("simhash64NearDupManku emits exactly the 4-band pairs (cross-algorithm equality)") {
     // random word-salad corpora with planted near-dup mutations: both
     // candidate generators are lossless for hamming <= 3 and the verify
