@@ -268,6 +268,16 @@ object DailyPipeline {
       // stored HLL states (union by register merge, intersection by
       // inclusion–exclusion) with the exact gated-scale audit columns
       materialize("a4e_hll_overlap", "audience_overlap"),
+      // dedup re-examination queue: non-adjacent embedding pairs sharing
+      // near-dup neighbors (gr7) — the cosine threshold's own likely false
+      // negatives, surfaced by graph structure instead of a second
+      // quadratic scan
+      materialize("gr7_link_prediction", "neardup_candidate_queue"),
+      // cross-system email repair: orders missing contact email recovered
+      // by normalized person-name match against the second record system
+      // (match_shopify_to_capitan.py), with the opt-in/waiver flags the
+      // subscribe step gates on
+      materialize("u2d_email_recovery", "recovered_emails"),
       // privacy mart: the shareable customer export (pseudonyms + k-anonymity
       // suppression) — the form that may leave the warehouse.
       materialize("u5_anonymize", "anonymized_customers"),

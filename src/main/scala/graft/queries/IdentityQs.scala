@@ -222,6 +222,76 @@ object IdentityQs {
               |  CAST(levenshtein(a.email, b.email) AS BIGINT) AS lev,
               |  levenshtein(a.email, b.email) <= 1 AS is_match
               |FROM ranked a JOIN ranked b
-              |  ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4""".stripMargin))
+              |  ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4""".stripMargin)),
+
+    // U2d: NAME-MATCH EMAIL RECOVERY (`match_shopify_to_capitan.py:225-280`)
+    // — the reference's cross-system identity repair: orders whose customer
+    // record carries NO email are matched by normalized person name
+    // (.lower().strip() equality, `:235-244`) against the OTHER system's
+    // directory, and the directory's email is recovered along with the
+    // opt-in/waiver flags the subscribe step gates on (`:281-300`). In the
+    // §1.2 identity model the "person name" is the 9-digit name suffix
+    // (u2/u2b's key): the order side renders it with Shopify's case noise
+    // (uppercased), the directory side is the supplier system (u2's second
+    // record source, offset id space), with %11 modeling directory rows
+    // missing email (the reference's pd.notna gate) — only those can
+    // recover. First-match-wins (`iloc[0]`) is a DECLARED min-key election,
+    // not an accident of file order.
+    // Scale: the missing-email filter prunes 6/7 of customers BEFORE the
+    // orders join (the only fact-sized join, keyed on the customer key);
+    // the directory is dim-sized — its election and attribute join-back
+    // stay on the supplier key, and the recovery join keys on the name
+    // suffix. No driver-side state, no per-order loop (the reference
+    // iterates orders in Python, `:240`).
+    Q("u2d_email_recovery",
+      (s, d) => {
+        val noEmail = Tables.orders(s, d)
+          .join(Tables.customer(s, d)
+              .filter(CustomerMaster.synthEmail.isNull)
+              .select(col("c_custkey"), upper(col("c_name")).as("shopify_name")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey").as("order_id"), col("shopify_name"),
+            regexp_extract(lower(trim(col("shopify_name"))), "#([0-9]+)", 1)
+              .as("num"))
+        val sup = Tables.supplier(s, d)
+          .withColumn("email",
+            when(col("s_suppkey") % 11 =!= 5,
+              concat(lit("s"), col("s_suppkey").cast("string"),
+                lit("@supplier.net"))))
+          .filter(col("email").isNotNull)
+        val dir = sup
+          .withColumn("num",
+            regexp_extract(lower(trim(col("s_name"))), "#([0-9]+)", 1))
+          .groupBy(col("num")).agg(min(col("s_suppkey")).as("skey"))
+          .join(sup.select(col("s_suppkey").as("skey"), col("email"),
+            (col("s_suppkey") % 3 === 0).as("has_opted_in"),
+            (col("s_acctbal") > 0).as("has_active_waiver")), "skey")
+        noEmail.join(dir, "num")
+          .select(col("order_id"), col("shopify_name"),
+            col("email").as("recovered_email"),
+            (col("skey") + SupplierIdBase).as("capitan_customer_id"),
+            col("has_opted_in"), col("has_active_waiver"))
+      },
+      Some(s"""WITH no_email AS (
+              |  SELECT o.o_orderkey AS order_id, upper(c.c_name) AS shopify_name,
+              |    regexp_extract(lower(trim(upper(c.c_name))), '#([0-9]+)', 1)
+              |      AS num
+              |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              |  WHERE (${CustomerMaster.synthEmailSql}) IS NULL),
+              |sup AS (
+              |  SELECT s_suppkey, s_acctbal,
+              |    regexp_extract(lower(trim(s_name)), '#([0-9]+)', 1) AS num,
+              |    's' || CAST(s_suppkey AS VARCHAR) || '@supplier.net' AS email
+              |  FROM supplier WHERE s_suppkey % 11 <> 5),
+              |dir AS (
+              |  SELECT m.num, m.skey, s2.email,
+              |    s2.s_suppkey % 3 = 0 AS has_opted_in,
+              |    s2.s_acctbal > 0 AS has_active_waiver
+              |  FROM (SELECT num, MIN(s_suppkey) AS skey FROM sup GROUP BY 1) m
+              |  JOIN sup s2 ON s2.s_suppkey = m.skey)
+              |SELECT n.order_id, n.shopify_name, d.email AS recovered_email,
+              |  1099511627776 + d.skey AS capitan_customer_id,
+              |  d.has_opted_in, d.has_active_waiver
+              |FROM no_email n JOIN dir d USING (num)""".stripMargin))
   )
 }

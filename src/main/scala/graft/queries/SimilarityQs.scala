@@ -702,6 +702,81 @@ object SimilarityQs {
            |LEFT JOIN nc ON nc.id_a = e.vec_id
            |LEFT JOIN nd ON nd.id_a = e.vec_id
            |WHERE e.vec_id % 5 = 0""".stripMargin
-      })
+      }),
+
+    // GR7: LINK PREDICTION (Graph.linkPrediction, Liben-Nowell & Kleinberg
+    // '03 common-neighbor/Jaccard) over the SRP-verified cosine graph (the
+    // d7 candidate machinery at threshold 0.3, 8 bands x 4 bits) — the
+    // FORWARD-looking readout of the embedding-dedup family: cosine
+    // similarity is NOT transitive, so the graph is full of open wedges
+    // near the threshold, and a pair of vectors that are each near-dups of
+    // the same neighbors but whose direct similarity was missed (by the
+    // bands or by the threshold) is the prime re-examination candidate —
+    // the near-dup pass's own false-negative queue, pointed at by the
+    // graph's structure instead of a second quadratic scan. (Two WRONG
+    // bases, both measured: the d5 simhash graph — hamming
+    // near-transitivity leaves it 13 disjoint edges, zero wedges at
+    // sf0.01; the k3 label-blocked exact graph — its all-pairs edge build
+    // densifies quadratically within fixed labels, probed 118 s / 25.4M
+    // rows at sf10 before the rebase.)
+    // Scored by common-neighbor count + exact integer neighborhood Jaccard.
+    // Scale: the edge build inherits d7's measured-linear candidate story
+    // (banded equi-joins, occupancy-adaptive ring above the window);
+    // exact common-neighbor counting must then enumerate EVERY wedge
+    // (Σ deg² — no orientation trick saves it, unlike gr6's triangles), so
+    // the op declares the hub-filtered subgraph (degree <= 64): wedge
+    // volume is bounded by 64·2|E| — linear in edges — and the filter is
+    // the LP literature's own practice (a hub is a common neighbor of
+    // everything in its cluster; its signal is noise, and d7/gr4 already
+    // report the dense clusters). Degrees, candidates, and Jaccard
+    // denominators are all computed ON the declared subgraph, so the
+    // result is exact on it and the oracle replays it verbatim at the
+    // gated scales (below the ring window the candidate set is provably
+    // exhaustive — the d7 discipline).
+    Q("gr7_link_prediction",
+      (s, d) => {
+        import graft.ops.Graph
+        val edges = SimilaritySearch.srpNearPairs(
+            Tables.embeddings(s, d), "vec_id", "embedding", dim,
+            bands = 8, bits = 4, threshold = 0.3)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        Graph.linkPrediction(edges, maxDegree = 64, minCommon = 1)
+      },
+      Some(
+        s"""WITH ${srpCandCtes(8, 4)},
+           |ue AS MATERIALIZED (
+           |  SELECT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+           |  FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+           |    JOIN embeddings eb ON eb.vec_id = id_b
+           |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.3
+           |  GROUP BY 1, 2),
+           |deg AS (
+           |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+           |  FROM (SELECT a AS id FROM ue UNION ALL SELECT b FROM ue)
+           |  GROUP BY 1),
+           |kept AS (SELECT id FROM deg WHERE deg <= 64),
+           |sub AS MATERIALIZED (
+           |  SELECT a, b FROM ue
+           |  WHERE a IN (SELECT id FROM kept) AND b IN (SELECT id FROM kept)),
+           |deg2 AS (
+           |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+           |  FROM (SELECT a AS id FROM sub UNION ALL SELECT b FROM sub)
+           |  GROUP BY 1),
+           |adj AS (SELECT a AS v, b AS n FROM sub
+           |        UNION ALL SELECT b, a FROM sub),
+           |cn AS (
+           |  SELECT a1.n AS id_a, a2.n AS id_b,
+           |    CAST(COUNT(*) AS BIGINT) AS n_common
+           |  FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.n < a2.n
+           |  GROUP BY 1, 2)
+           |SELECT c.id_a, c.id_b, c.n_common,
+           |  (1000 * c.n_common) // (da.deg + db.deg - c.n_common)
+           |    AS jaccard_milli
+           |FROM cn c
+           |JOIN deg2 da ON da.id = c.id_a
+           |JOIN deg2 db ON db.id = c.id_b
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM sub e WHERE e.a = c.id_a AND e.b = c.id_b)""".stripMargin),
+      bench = true)
   )
 }

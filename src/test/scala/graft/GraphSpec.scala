@@ -349,4 +349,73 @@ class GraphSpec extends AnyFunSuite {
     assert(a.values.forall { case (in, _, conv) => in && conv })
     assert(a(4L)._2 == 4L && a(1L)._2 == 3L) // bridge endpoint keeps its extra edge
   }
+
+  /** Driver-side link-prediction reference: brute-force neighbor-set
+    * intersection on the hub-filtered subgraph, identical integer math. */
+  private def refLinkPred(edges: Seq[(Long, Long)], maxDeg: Int,
+      minCommon: Int): Set[(Long, Long, Long, Long)] = {
+    val can = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct
+    val deg = can.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val kept = deg.filter(_._2 <= maxDeg).keySet
+    val sub = can.filter(e => kept(e._1) && kept(e._2))
+    val adj = (sub ++ sub.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    (for {
+      a <- nodes; b <- nodes if a < b && !adj(a).contains(b)
+      cn = (adj(a) & adj(b)).size if cn >= minCommon
+    } yield (a, b, cn.toLong,
+      1000L * cn / (adj(a).size + adj(b).size - cn))).toSet
+  }
+
+  private def linkPred(edges: Seq[(Long, Long)], maxDeg: Int, minCommon: Int,
+      parts: Int): Set[(Long, Long, Long, Long)] =
+    Graph.linkPrediction(edges.toDF("src", "dst").repartition(parts),
+        maxDeg, minCommon)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+  test("linkPrediction matches brute force on a hand graph") {
+    // path 1-2-3 plus 3-4: open wedges (1,3)? no — adjacent; (1,3) IS an
+    // edge here? build: square with one diagonal missing
+    // edges: 1-2, 2-3, 3-4, 4-1 → open pairs (1,3) and (2,4), cn=2 each,
+    // jaccard = 2/(2+2-2) = 1000
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(linkPred(sq, 64, 2, 3) ==
+      Set((1L, 3L, 2L, 1000L), (2L, 4L, 2L, 1000L)))
+    assert(linkPred(sq, 64, 2, 3) == refLinkPred(sq, 64, 2))
+    // duplicate + reversed edges collapse to the same undirected set
+    assert(linkPred(sq ++ sq.map(_.swap), 64, 2, 2) == refLinkPred(sq, 64, 2))
+  }
+
+  test("hub filter computes on the induced subgraph, not the full graph") {
+    // star hub 0 with leaves 1..5 plus path 1-2-3: with maxDeg=3 the hub
+    // (degree 5) is dropped; candidates and degrees come from the path only
+    val edges = (1L to 5L).map(i => (0L, i)) ++ Seq((1L, 2L), (2L, 3L))
+    val got = linkPred(edges, 3, 1, 3)
+    assert(got == refLinkPred(edges, 3, 1))
+    // the path's single open wedge survives with SUBGRAPH degrees 1 and 1
+    // (node 1's hub edge is gone): jaccard = 1000·1/(1+1−1) = 1000 — the
+    // full-graph degrees (2, 2) would have said 333
+    assert(got == Set((1L, 3L, 1L, 1000L)))
+    // without the cap the hub makes every leaf pair a candidate
+    assert(linkPred(edges, 64, 1, 3) == refLinkPred(edges, 64, 1))
+    // C(5,2) leaf pairs minus the two that are real path edges (1-2, 2-3)
+    assert(linkPred(edges, 64, 1, 3).size == 8)
+  }
+
+  test("linkPrediction matches brute force on random graphs, any partitioning") {
+    for (seed <- Seq(3, 4)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 55).map(_ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val want = refLinkPred(edges, 6, 1)
+      assert(want.nonEmpty, s"seed=$seed degenerate")
+      assert(linkPred(edges, 6, 1, 2) == want, s"seed=$seed")
+      assert(linkPred(edges, 6, 1, 7) == want, s"seed=$seed parts=7")
+    }
+  }
 }
