@@ -736,11 +736,29 @@ object SimilarityQs {
     Q("gr7_link_prediction",
       (s, d) => {
         import graft.ops.Graph
+        val emb = Tables.embeddings(s, d)
         val edges = SimilaritySearch.srpNearPairs(
-            Tables.embeddings(s, d), "vec_id", "embedding", dim,
+            emb, "vec_id", "embedding", dim,
             bands = 8, bits = 4, threshold = 0.3)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
-        Graph.linkPrediction(edges, maxDegree = 64, minCommon = 1)
+        val predicted = Graph.linkPrediction(edges, maxDegree = 64, minCommon = 1)
+        // enrich the queue with the pair's ACTUAL cosine (float_dot is
+        // registered by srpNearPairs above): the readout that makes it
+        // actionable — a predicted pair at cos 0.29 is a threshold near-miss
+        // to re-admit, one at 0.05 is a true structural hole. Output-sized
+        // work: two id joins + one codegen dot per predicted pair.
+        val withVec = emb.select(col("vec_id"), col("embedding"),
+          sqrt(expr(SimilaritySearch.normSqExpr("embedding")).cast("double"))
+            .as("__n"))
+        predicted
+          .join(withVec.toDF("id_a", "va", "na"), "id_a")
+          .join(withVec.toDF("id_b", "vb", "nb"), "id_b")
+          .select(col("id_a"), col("id_b"), col("n_common"),
+            col("jaccard_milli"),
+            // + 0.0 canonicalizes IEEE signed zero: a tiny negative dot
+            // rounds to -0.0, which DuckDB prints as a DISTINCT value
+            (round(expr(SimilaritySearch.dotExpr("va", "vb")) /
+              (col("na") * col("nb")), 6) + lit(0.0)).as("actual_cos"))
       },
       Some(
         s"""WITH ${srpCandCtes(8, 4)},
@@ -771,10 +789,13 @@ object SimilarityQs {
            |  GROUP BY 1, 2)
            |SELECT c.id_a, c.id_b, c.n_common,
            |  (1000 * c.n_common) // (da.deg + db.deg - c.n_common)
-           |    AS jaccard_milli
+           |    AS jaccard_milli,
+           |  (${cosSql("va.embedding", "vb.embedding")} + 0.0) AS actual_cos
            |FROM cn c
            |JOIN deg2 da ON da.id = c.id_a
            |JOIN deg2 db ON db.id = c.id_b
+           |JOIN embeddings va ON va.vec_id = c.id_a
+           |JOIN embeddings vb ON vb.vec_id = c.id_b
            |WHERE NOT EXISTS (
            |  SELECT 1 FROM sub e WHERE e.a = c.id_a AND e.b = c.id_b)""".stripMargin),
       bench = true)
