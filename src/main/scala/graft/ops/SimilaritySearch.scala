@@ -633,6 +633,19 @@ object SimilaritySearch {
     TextAnalysis.quotaSample(sig, "cell", idCol, lit(quota), salt)
   }
 
+  /** Bucket-blocked EXACT cosine pairs (>= threshold) — the verification
+    * baseline of the pair family, like [[topKNeighbors]] is for ANN: every
+    * within-bucket pair is scored, so recall is 1.0 BY CONSTRUCTION within
+    * the blocking and the LSH paths can be judged against it.
+    *
+    * Scale caveat, measured: the within-bucket all-pairs build is quadratic
+    * in bucket occupancy, so this is a gated-scale harness and a valid
+    * production path ONLY where the blocking keys scale with the corpus
+    * (IVF cells with bounded occupancy, the SemDeDup design). Under a FIXED
+    * bucket domain it densifies quadratically — the gr7 basis rejection
+    * measured 118 s / 25.4M candidate-pairs at sf10 on the 10-label
+    * testdata before that query moved to [[srpNearPairs]], whose banded
+    * candidates + occupancy ring keep the decade exponent linear. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, threshold: Double): DataFrame = {
     registerFns(emb)

@@ -278,6 +278,10 @@ object DailyPipeline {
       // (match_shopify_to_capitan.py), with the opt-in/waiver flags the
       // subscribe step gates on
       materialize("u2d_email_recovery", "recovered_emails"),
+      // journey health: per 2-week-pass purchaser, the first automated-
+      // journey stage that broke (flag -> email -> commerce sync ->
+      // campaigns), the diagnose_2week_pass_journey.py readout
+      materialize("rp8_pass_journey_diagnostic", "pass_journey_diagnostic"),
       // privacy mart: the shareable customer export (pseudonyms + k-anonymity
       // suppression) — the form that may leave the warehouse.
       materialize("u5_anonymize", "anonymized_customers"),

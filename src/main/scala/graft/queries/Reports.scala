@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   *    (`process_failed_payments.py:12-151`)
   *  - rp7: expense categorization + monthly rollup
   *    (`categorize_expenses.py:40-143`)
+  *  - rp8: 2-week-pass journey diagnostic — first broken stage per
+  *    purchaser (`diagnose_2week_pass_journey.py:27-220`)
   *
   * Event-ledger conventions follow cv1 (`ConversionFunnel`): 'view' events
   * are facility check-ins / received campaigns, 'purchase' events are
@@ -594,6 +596,163 @@ object Reports {
               |  CAST(COUNT(*) AS BIGINT) AS transaction_count,
               |  ${Q.dsumSql("l_extendedprice")} / COUNT(*) AS avg_amount
               |FROM lineitem JOIN p ON l_partkey = p_partkey
-              |GROUP BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2""".stripMargin)),
+
+    // RP8: 2-week-pass journey diagnostic (`diagnose_2week_pass_journey.py:
+    // 27-220`) — per 2-week-pass purchaser, walk the automated-journey
+    // stages and name the first one that BROKE: first qualifying check-in →
+    // flag created (the reference's 2_week_pass flag = our
+    // returning_offer_2wk, the same FirstTimeDayPass2WeekOfferFlag family)
+    // → email known (the capitan→uuid→email identifier chain = synthEmail,
+    // with the reference's 'No email' sentinel) → present in the commerce
+    // system (the u2d name-number directory — ONE matching definition
+    // shared with the recovery mart, so the two reports can never disagree
+    // about who is findable) → campaign emails received, split by system
+    // (the reference's SendGrid/Mailchimp recipient activity = rp2's
+    // campaign model partitioned by k parity). The 2-week classes refine
+    // rp3's entry-method ladder on the 8-modulus (both land in rp3's
+    // non-membership seats, so the two reports' cohort algebra composes).
+    // Shape: ONE event pass (window first-row per user on (ts, event_id) —
+    // user-keyed, never global), then user-keyed left joins: flag rollup,
+    // customer dim, directory, one conditional campaign aggregate — one
+    // hash partitioning end to end; output is cohort-sized.
+    Q("rp8_pass_journey_diagnostic",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pt8 = col("event_id") % 8
+        val cohortEvents = Tables.events(s, d)
+          .filter(col("event_type") === "view" && Q.usecs(col("ts")) < asOfUs &&
+            (pt8 === 1 || pt8 === 5))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(pt8 === 1, "2-Week Climbing Pass")
+              .otherwise("2-Week Fitness Pass").as("pass_type"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val cohort = cohortEvents
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("user_id"), Q.tsFmt(col("ts")).as("first_checkin"),
+            col("pass_type"))
+        val flags = FlagQs.flagsAt(s, d, asOfUs)
+          .filter(col("flag_type") === "returning_offer_2wk")
+          .select(col("user_id"), col("flag_data"))
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey").cast("long").as("user_id"),
+            col("c_name").as("name"), CustomerMaster.synthEmail.as("email"),
+            regexp_extract(lower(trim(col("c_name"))), "#([0-9]+)", 1)
+              .as("num"))
+        // the u2d directory: suppliers with an email seat, keyed by the
+        // normalized person number
+        val dir = Tables.supplier(s, d)
+          .filter(col("s_suppkey") % 11 =!= 5)
+          .select(
+            regexp_extract(lower(trim(col("s_name"))), "#([0-9]+)", 1)
+              .as("num"))
+          .groupBy(col("num")).agg(count(lit(1)).as("__d"))
+          .select(col("num"), lit(true).as("shopify_found"))
+        val camp = Tables.events(s, d)
+          // campaigns are the views that are NOT facility check-ins (the
+          // rp3/rp8 entry-method classes) — without the exclusion the
+          // cohort's own check-in counts as a received email and the
+          // 'no_emails_received' break can structurally never fire
+          .filter(col("event_type") === "view" && Q.usecs(col("ts")) < asOfUs &&
+            col("event_id") % 4 === 3)
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("k") % 2 === 0, 1L).otherwise(0L))
+              .as("sendgrid_email_count"),
+            sum(when(col("k") % 2 === 1, 1L).otherwise(0L))
+              .as("mailchimp_email_count"))
+        cohort
+          .join(flags, Seq("user_id"), "left")
+          .join(cust, Seq("user_id"), "left")
+          .join(dir, Seq("num"), "left")
+          .join(camp, Seq("user_id"), "left")
+          .select(col("user_id").as("customer_id"), col("name"),
+            coalesce(col("email"), lit("No email")).as("email"),
+            col("pass_type"), col("first_checkin"),
+            col("flag_data").isNotNull.as("has_flag"),
+            coalesce(col("flag_data"), lit("N/A")).as("flag_data"),
+            coalesce(col("shopify_found"), lit(false)).as("shopify_found"),
+            // email-gated counts: the reference only reads recipient
+            // activity when the identifier chain produced an email
+            when(col("email").isNotNull,
+              coalesce(col("sendgrid_email_count"), lit(0L))).otherwise(0L)
+              .as("sendgrid_email_count"),
+            when(col("email").isNotNull,
+              coalesce(col("mailchimp_email_count"), lit(0L))).otherwise(0L)
+              .as("mailchimp_email_count"))
+          .withColumn("journey_break",
+            when(!col("has_flag"), "missing_flag")
+              .when(col("email") === "No email", "missing_email")
+              .when(!col("shopify_found"), "not_in_shopify")
+              .when(col("sendgrid_email_count") + col("mailchimp_email_count")
+                === 0L, "no_emails_received")
+              .otherwise("complete"))
+      },
+      Some(s"""WITH flags AS (${FlagQs.flagsSql(asOfUs)}),
+              |ce AS (
+              |  SELECT user_id, ts, event_id,
+              |    CASE event_id % 8 WHEN 1 THEN '2-Week Climbing Pass'
+              |         ELSE '2-Week Fitness Pass' END AS pass_type
+              |  FROM events
+              |  WHERE event_type = 'view' AND ${Q.usecsSql("ts")} < $asOfUs
+              |    AND event_id % 8 IN (1, 5)),
+              |cohort AS (
+              |  SELECT user_id, ${Q.tsFmtSql("ts")} AS first_checkin, pass_type
+              |  FROM ce
+              |  QUALIFY row_number() OVER (PARTITION BY user_id
+              |    ORDER BY ts, event_id) = 1),
+              |f2 AS (
+              |  SELECT user_id, flag_data FROM flags
+              |  WHERE flag_type = 'returning_offer_2wk'),
+              |cust AS (
+              |  SELECT CAST(c_custkey AS BIGINT) AS user_id, c_name AS name,
+              |    ${CustomerMaster.synthEmailSql} AS email,
+              |    regexp_extract(lower(trim(c_name)), '#([0-9]+)', 1) AS num
+              |  FROM customer),
+              |dir AS (
+              |  SELECT regexp_extract(lower(trim(s_name)), '#([0-9]+)', 1)
+              |      AS num, true AS shopify_found
+              |  FROM supplier WHERE s_suppkey % 11 <> 5
+              |  GROUP BY 1),
+              |camp AS (
+              |  SELECT user_id,
+              |    CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$$.k')
+              |      AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS sendgrid_email_count,
+              |    CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$$.k')
+              |      AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS mailchimp_email_count
+              |  FROM events
+              |  WHERE event_type = 'view' AND ${Q.usecsSql("ts")} < $asOfUs
+              |    AND event_id % 4 = 3
+              |  GROUP BY 1),
+              |base AS (
+              |  SELECT co.user_id AS customer_id, cu.name,
+              |    COALESCE(cu.email, 'No email') AS email,
+              |    co.pass_type, co.first_checkin,
+              |    f2.flag_data IS NOT NULL AS has_flag,
+              |    COALESCE(f2.flag_data, 'N/A') AS flag_data,
+              |    COALESCE(dr.shopify_found, false) AS shopify_found,
+              |    CASE WHEN cu.email IS NOT NULL
+              |      THEN COALESCE(ca.sendgrid_email_count, 0) ELSE 0
+              |      END AS sendgrid_email_count,
+              |    CASE WHEN cu.email IS NOT NULL
+              |      THEN COALESCE(ca.mailchimp_email_count, 0) ELSE 0
+              |      END AS mailchimp_email_count
+              |  FROM cohort co
+              |  LEFT JOIN f2 ON f2.user_id = co.user_id
+              |  LEFT JOIN cust cu ON cu.user_id = co.user_id
+              |  LEFT JOIN dir dr ON dr.num = cu.num
+              |  LEFT JOIN camp ca ON ca.user_id = co.user_id)
+              |SELECT *,
+              |  CASE WHEN NOT has_flag THEN 'missing_flag'
+              |       WHEN email = 'No email' THEN 'missing_email'
+              |       WHEN NOT shopify_found THEN 'not_in_shopify'
+              |       WHEN sendgrid_email_count + mailchimp_email_count = 0
+              |         THEN 'no_emails_received'
+              |       ELSE 'complete' END AS journey_break
+              |FROM base""".stripMargin))
   )
 }
