@@ -282,6 +282,10 @@ object DailyPipeline {
       // journey stage that broke (flag -> email -> commerce sync ->
       // campaigns), the diagnose_2week_pass_journey.py readout
       materialize("rp8_pass_journey_diagnostic", "pass_journey_diagnostic"),
+      // tokenizer quality sheet: per-source fertility / compression /
+      // unmerged-share over the learned BPE table — the judge step of the
+      // learn->encode->judge tokenizer lifecycle, next to corpus_datacard
+      materialize("t38_tokenizer_fertility", "tokenizer_fertility"),
       // privacy mart: the shareable customer export (pseudonyms + k-anonymity
       // suppression) — the form that may leave the warehouse.
       materialize("u5_anonymize", "anonymized_customers"),

@@ -624,6 +624,21 @@ object TextQs {
         merges = 8),
       Some(graft.ops.Bpe.bpeEncodeSql("doc_id", "text", "documents", merges = 8))),
 
+    // T38: TOKENIZER FERTILITY report (Bpe.fertilityBySource) — the third
+    // seat of the tokenizer lifecycle (learn t20 -> encode t21 -> JUDGE):
+    // per source, BPE tokens per word (the words->tokens exchange rate the
+    // t17/t33 budget mixers trade in), mean token length (compression),
+    // and the share of word occurrences no merge ever fired on — the
+    // "vocabulary has never seen this source" alarm that precedes a bad
+    // fertility number. Exact integer milli floors; sources-sized output;
+    // ONE vocab join over the learning loop's final symbol state, no
+    // second corpus pass.
+    Q("t38_tokenizer_fertility",
+      (s, d) => graft.ops.Bpe.fertilityBySource(Tables.documents(s, d),
+        "doc_id", "text", "source", merges = 8),
+      Some(graft.ops.Bpe.bpeFertilitySql("doc_id", "text", "source",
+        "documents", merges = 8))),
+
     // T32: HYBRID retrieval fusion — BM25 (t25's tf-idf family) and
     // Dirichlet query-likelihood (Zhai & Lafferty '01; TextAnalysis.qlTopK)
     // rank the same query independently, then Reciprocal Rank Fusion
