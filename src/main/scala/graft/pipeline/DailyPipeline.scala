@@ -286,6 +286,10 @@ object DailyPipeline {
       // unmerged-share over the learned BPE table — the judge step of the
       // learn->encode->judge tokenizer lifecycle, next to corpus_datacard
       materialize("t38_tokenizer_fertility", "tokenizer_fertility"),
+      // index health: new arrivals probed against the stale ANN index —
+      // recall verdict + per-probe structural rot floor (exact neighbors
+      // the index cannot contain); pairs with ann_ivf_index's cadence
+      materialize("k17_index_rot_audit", "ann_index_rot_audit"),
       // privacy mart: the shareable customer export (pseudonyms + k-anonymity
       // suppression) — the form that may leave the warehouse.
       materialize("u5_anonymize", "anonymized_customers"),

@@ -704,6 +704,111 @@ object SimilarityQs {
            |WHERE e.vec_id % 5 = 0""".stripMargin
       }),
 
+    // K17: INDEX-ROT AUDIT — the operational check for the warehouse's
+    // build-once/query-many ANN lifecycle (ann_ivf_index is rebuilt on
+    // index cadence, the corpus grows daily): rebuild the k2c kmeans index
+    // as of the LAST BUILD (vec_id % 10 == 9 models post-build arrivals),
+    // then run the NEW ARRIVALS as probes against the stale index — the
+    // exact production case: today's documents querying yesterday's index
+    // from OUTSIDE it (their cells are assigned against the stored
+    // centroids, never re-learned). Recall is judged against the exact
+    // top-k on the CURRENT corpus, and the audit reports rot's structural
+    // floor per probe: exact neighbors that arrived after the build cannot
+    // be returned by the stale index at any nprobe — n_unindexed_in_exact
+    // counts them, and the oracle RECOMPUTES that count independently
+    // (exact top-k is SQL-expressible), so the hash gate cross-checks real
+    // data, not just verdict booleans (the k2b/k2c learned-path
+    // discipline, plus one verifiable fact per probe).
+    // Scale: probes and centroids are broadcast-tiny; BOTH top-k sides run
+    // the two-level shard discipline (per-(probe, shard-of-64) window over
+    // bounded partitions, then a final window over <= 64*5 shard winners
+    // per probe) — no corpus-sized window partition anywhere.
+    Q("k17_index_rot_audit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, d)
+        val indexed = emb.filter(col("vec_id") % 10 =!= 9)
+        val (cells, cents) = SimilaritySearch.kmeansModel(indexed, "vec_id",
+          "embedding", k = 8, iters = 3)
+        val probes = emb.filter(col("vec_id") % 10 === 9 && col("vec_id") <= 49)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("q_vec"))
+        // nearest nprobe=4 STALE cells per probe, against the stored
+        // centroids: argmin ||c||^2 - 2 q.c (the Euclidean order; q's own
+        // norm is probe-constant). 5 x 8 rows — driver-free, broadcast.
+        // nprobe is 4 (k2c queries its own fresh index at 2): an arrival
+        // the index never saw lands BETWEEN stale cells more often, so the
+        // operational guidance the audit encodes is "probe wider while the
+        // index is stale" — at nprobe=2 a probe measured 0/5 at sf0.1.
+        val pc = probes.crossJoin(broadcast(cents))
+          .withColumn("__d2",
+            expr("float_dot(__c, __c) - 2 * float_dot(q_vec, __c)"))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("probe_id"))
+              .orderBy(col("__d2"), col("cell"))))
+          .filter(col("__rn") <= 4).select(col("probe_id"), col("cell"))
+        def top5(scored: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val shard = pmod(col("vec_id"), lit(64))
+          val w1 = Window.partitionBy(col("probe_id"), shard)
+            .orderBy(col("cos").desc, col("vec_id"))
+          val w2 = Window.partitionBy(col("probe_id"))
+            .orderBy(col("cos").desc, col("vec_id"))
+          scored.withColumn("__r1", row_number().over(w1))
+            .filter(col("__r1") <= 5)
+            .withColumn("__r2", row_number().over(w2))
+            .filter(col("__r2") <= 5)
+            .select(col("probe_id"), col("vec_id"))
+        }
+        def score(df: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame =
+          df.withColumn("cos", round(
+            expr("float_dot(embedding, q_vec)").cast("double") /
+              (sqrt(expr(SimilaritySearch.normSqExpr("embedding"))
+                .cast("double")) *
+               sqrt(expr(SimilaritySearch.normSqExpr("q_vec"))
+                .cast("double"))), 6))
+        val stale5 = top5(score(
+          indexed.join(cells, "vec_id").join(pc, "cell")
+            .join(broadcast(probes), "probe_id")))
+        val exact5 = top5(score(
+          emb.crossJoin(broadcast(probes))
+            .filter(col("vec_id") =!= col("probe_id"))))
+          .localCheckpoint(true) // two consumers: hit join + unindexed agg
+        val hits = exact5
+          .join(stale5.withColumnRenamed("vec_id", "__sv"),
+            exact5("probe_id") === stale5("probe_id") &&
+              col("vec_id") === col("__sv"), "left_semi")
+          .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+        val unidx = exact5.groupBy(col("probe_id"))
+          .agg(sum(when(col("vec_id") % 10 === 9, 1L).otherwise(0L))
+            .as("n_unindexed_in_exact"))
+        val nres = stale5.groupBy(col("probe_id"))
+          .agg(count(lit(1)).as("n_results"))
+        unidx.join(hits, Seq("probe_id"), "left")
+          .join(nres, Seq("probe_id"), "left")
+          .select(col("probe_id"), lit(5L).as("k"),
+            coalesce(col("n_results"), lit(0L)).as("n_results"),
+            col("n_unindexed_in_exact"), lit(1L).as("min_hit"),
+            (coalesce(col("n_hit"), lit(0L)) >= 1 &&
+              coalesce(col("n_results"), lit(0L)) === 5).as("recall_ok"))
+      },
+      Some(s"""WITH p AS (
+           |  SELECT vec_id AS probe_id, embedding AS q_vec FROM embeddings
+           |  WHERE vec_id % 10 = 9 AND vec_id <= 49),
+           |ex AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT p.probe_id, e.vec_id,
+           |      ${cosSql("e.embedding", "p.q_vec")} AS cs
+           |    FROM embeddings e, p WHERE e.vec_id <> p.probe_id)
+           |  QUALIFY row_number() OVER (PARTITION BY probe_id
+           |    ORDER BY cs DESC, vec_id) <= 5)
+           |SELECT probe_id, CAST(5 AS BIGINT) AS k,
+           |  CAST(5 AS BIGINT) AS n_results,
+           |  CAST(SUM(CASE WHEN vec_id % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_unindexed_in_exact,
+           |  CAST(1 AS BIGINT) AS min_hit, true AS recall_ok
+           |FROM ex GROUP BY 1""".stripMargin)),
+
     // GR7: LINK PREDICTION (Graph.linkPrediction, Liben-Nowell & Kleinberg
     // '03 common-neighbor/Jaccard) over the SRP-verified cosine graph (the
     // d7 candidate machinery at threshold 0.3, 8 bands x 4 bits) — the
