@@ -286,6 +286,19 @@ object DailyPipeline {
       // unmerged-share over the learned BPE table — the judge step of the
       // learn->encode->judge tokenizer lifecycle, next to corpus_datacard
       materialize("t38_tokenizer_fertility", "tokenizer_fertility"),
+      // transaction→customer match waterfall (build_customer_transactions
+      // .py): membership # → entry pass # → email, confidence-tiered,
+      // first match wins — the CRM's per-transaction customer link
+      materialize("cm2_customer_transactions", "customer_transactions"),
+      // typed signup events from the reservations ledger
+      // (build_reservation_events.py): keyword-ladder classification with
+      // booking-owner attribution
+      materialize("ev1_reservation_events", "reservation_events"),
+      // ONE table for all events for all people (build_events_table.py):
+      // the 7-source union mart; consumes the same frames the two jobs
+      // above materialize, so it runs after them (reference read order)
+      materialize("ev2_events_table", "events_table",
+        Seq("customer_transactions", "reservation_events")),
       // index health: new arrivals probed against the stale ANN index —
       // recall verdict + per-probe structural rot floor (exact neighbors
       // the index cannot contain); pairs with ann_ivf_index's cadence

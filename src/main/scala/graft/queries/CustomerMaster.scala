@@ -47,29 +47,40 @@ object CustomerMaster {
 
   private val DayUs = 86400000000L
 
-  /** Synthetic contact email over `c_custkey` (SURVEY §1.2 identity model:
-    * `%7==3` models missing-email rows, `%13==12` shares the previous
-    * customer's email — the duplicate class the reference flags). Shared by
-    * the master build and the rp2 flag-email cross-check. */
-  private[queries] val synthEmail: org.apache.spark.sql.Column = {
-    val emailKey = col("c_custkey") -
-      when(col("c_custkey") % 13 === 12, 1L).otherwise(0L)
+  /** Synthetic contact email over an arbitrary person-key column (SURVEY
+    * §1.2 identity model: `%7==3` models missing-email rows, `%13==12`
+    * shares the previous customer's email — the duplicate class the
+    * reference flags). Parameterized so a TRANSACTION row can carry the
+    * same person's receipt email without pre-linking through the key
+    * (cm2's email-match strategy — the cross-system identifier is the
+    * email string, never the key). */
+  private[queries] def synthEmailOf(key: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val emailKey = key - when(key % 13 === 12, 1L).otherwise(0L)
     val domain = when(emailKey % 10 <= 3, "gmail.com")
       .when(emailKey % 10 <= 7, "climb.org").otherwise("yahoo.net")
-    when(col("c_custkey") % 7 =!= 3,
+    when(key % 7 =!= 3,
       concat(lit("c"), emailKey.cast("string"), lit("@"), domain))
   }
 
-  /** Oracle-side spelling of [[synthEmail]]. */
-  private[queries] val synthEmailSql: String = {
-    val ek = "(c_custkey - CASE WHEN c_custkey % 13 = 12 THEN 1 ELSE 0 END)"
-    s"""CASE WHEN c_custkey % 7 <> 3 THEN
+  /** The customer-master spelling of [[synthEmailOf]]. Shared by the master
+    * build and the rp2 flag-email cross-check. */
+  private[queries] val synthEmail: org.apache.spark.sql.Column =
+    synthEmailOf(col("c_custkey"))
+
+  /** Oracle-side spelling of [[synthEmailOf]]. */
+  private[queries] def synthEmailSqlOf(keyExpr: String): String = {
+    val ek = s"($keyExpr - CASE WHEN $keyExpr % 13 = 12 THEN 1 ELSE 0 END)"
+    s"""CASE WHEN $keyExpr % 7 <> 3 THEN
        |      'c' || CAST($ek AS VARCHAR) || '@' ||
        |      CASE WHEN $ek % 10 <= 3 THEN 'gmail.com'
        |           WHEN $ek % 10 <= 7 THEN 'climb.org'
        |           ELSE 'yahoo.net' END
        |    END""".stripMargin
   }
+
+  /** Oracle-side spelling of [[synthEmail]]. */
+  private[queries] val synthEmailSql: String = synthEmailSqlOf("c_custkey")
 
   /** The wide-master frame, reusable by downstream composites (dq1). */
   private[queries] def master(s: org.apache.spark.sql.SparkSession, d: String)

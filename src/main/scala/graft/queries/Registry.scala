@@ -26,7 +26,8 @@ object Registry {
     Experiments.qs,
     DataQuestions.qs,
     MlQs.qs,
-    Reports.qs)
+    Reports.qs,
+    EventsTable.qs)
 
   lazy val all: Seq[Q] = {
     val qs = families.flatten

@@ -673,7 +673,12 @@ object Reports {
             col("pass_type"), col("first_checkin"),
             col("flag_data").isNotNull.as("has_flag"),
             coalesce(col("flag_data"), lit("N/A")).as("flag_data"),
-            coalesce(col("shopify_found"), lit(false)).as("shopify_found"),
+            // the reference's Shopify search only RUNS when the identifier
+            // chain produced an email — a no-email purchaser must read
+            // shopify_found=false even if their number is in the directory
+            when(col("email").isNotNull,
+              coalesce(col("shopify_found"), lit(false))).otherwise(false)
+              .as("shopify_found"),
             // email-gated counts: the reference only reads recipient
             // activity when the identifier chain produced an email
             when(col("email").isNotNull,
@@ -734,7 +739,9 @@ object Reports {
               |    co.pass_type, co.first_checkin,
               |    f2.flag_data IS NOT NULL AS has_flag,
               |    COALESCE(f2.flag_data, 'N/A') AS flag_data,
-              |    COALESCE(dr.shopify_found, false) AS shopify_found,
+              |    CASE WHEN cu.email IS NOT NULL
+              |      THEN COALESCE(dr.shopify_found, false) ELSE false
+              |      END AS shopify_found,
               |    CASE WHEN cu.email IS NOT NULL
               |      THEN COALESCE(ca.sendgrid_email_count, 0) ELSE 0
               |      END AS sendgrid_email_count,

@@ -792,6 +792,20 @@ object SimilarityQs {
             (coalesce(col("n_hit"), lit(0L)) >= 1 &&
               coalesce(col("n_results"), lit(0L)) === 5).as("recall_ok"))
       },
+      // ORACLE CONTRACT (r9 advice): the SQL below hardcodes n_results=5
+      // and recall_ok=true — i.e. it asserts the stale index RETURNS a
+      // full page and keeps >=1 exact hit per probe, rather than replaying
+      // the learned stale-index side (kmeans is iteration-ordered and not
+      // SQL-expressible; the k2c discipline). That contract is VERIFIED at
+      // the gated scales sf0.001/sf0.01/sf0.1 with nprobe=4 (at nprobe=2 a
+      // probe measured 0/5 at sf0.1 — the margin the widened probe buys).
+      // At an untested scale a legitimate stale-index recall miss (a probe
+      // whose entire exact top-5 arrived post-build AND whose stale page
+      // misses) would surface HERE as a hash mismatch on recall_ok — read
+      // such a mismatch as the audit's contract being outgrown (re-gate
+      // with a wider nprobe or relax to the data columns), not as a
+      // translation bug: n_unindexed_in_exact is the independently
+      // recomputed cross-check column and stays valid regardless.
       Some(s"""WITH p AS (
            |  SELECT vec_id AS probe_id, embedding AS q_vec FROM embeddings
            |  WHERE vec_id % 10 = 9 AND vec_id <= 49),

@@ -117,7 +117,9 @@ class QueriesSpec extends AnyFunSuite {
     "d11_cosine_allpairs",     // 1-row corpus-total broadcast (t11 shape)
     "d12_source_overlap",      // S-row × S-row upper-triangle matrix (S = fixed source domain)
     "a20_basket_lift",         // 1-row n_orders broadcast (a6 shape)
-    "a4e_hll_overlap"          // T-row × T-row type-pair sketch pairing (T = fixed type domain)
+    "a4e_hll_overlap",         // T-row × T-row type-pair sketch pairing (T = fixed type domain)
+    "k17_index_rot_audit"      // exact-recall ground truth: corpus × 5-row broadcast probe
+                               // table (k8_ann_recall's shape — linear in the corpus)
   )
 
   test("no batch query plans a nested-loop or cartesian join unless by design") {

@@ -65,4 +65,41 @@ class SurfaceClaimsSpec extends AnyFunSuite {
     assert(bench.get.group(1).toInt == nBench,
       s"end-state claims ${bench.get.group(1)} bench queries; registry has $nBench")
   }
+
+  // Round-9 lesson: a query landing after the last recorded test run left the
+  // README's "N ScalaTests" stale (476 vs 484 registered) — exactly the drift
+  // class this spec exists to stop. The total CAN be computed from inside a
+  // test: ScalaTest registers tests at Suite construction, so instantiating
+  // every *Spec class on the test classpath and summing testNames gives the
+  // registered count without running anything.
+  test("README ScalaTest count matches the registered test total") {
+    val claimed =
+      """(\d+) ScalaTests \+ (\d+) ScalaCheck properties""".r.findFirstMatchIn(readme)
+    assert(claimed.nonEmpty,
+      "README should state the test count as 'N ScalaTests + M ScalaCheck properties'")
+    val dir = java.nio.file.Paths.get("target/scala-2.13/test-classes/graft")
+    assert(java.nio.file.Files.isDirectory(dir), s"expected compiled test classes at $dir")
+    val specNames = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      .filter(_.endsWith("Spec.class")).filterNot(_.contains("$"))
+      .map(p => "graft." + p.split('/').last.stripSuffix(".class")).sorted
+    // (scalatest count, scalacheck count) per suite — sbt's own "Total number
+    // of tests run" reports only the former; the 4 ScalaCheck properties
+    // print separately as '+' lines, so the README states both figures.
+    val perSuite = specNames.map { cn =>
+      val cls = Class.forName(cn)
+      if (this.getClass == cls) cn -> (this.testNames.size, 0)
+      else if (classOf[org.scalatest.Suite].isAssignableFrom(cls))
+        cn -> (cls.getDeclaredConstructor().newInstance()
+          .asInstanceOf[org.scalatest.Suite].testNames.size, 0)
+      else // a ScalaCheck Properties *object* (e.g. PropertiesSpec)
+        cn -> (0, Class.forName(cn + "$").getField("MODULE$").get(null)
+          .asInstanceOf[org.scalacheck.Properties].properties.size)
+    }
+    val (nTest, nProp) = (perSuite.map(_._2._1).sum, perSuite.map(_._2._2).sum)
+    assert((claimed.get.group(1).toInt, claimed.get.group(2).toInt) == ((nTest, nProp)),
+      s"README claims ${claimed.get.group(0)}; ${specNames.size} suites register " +
+      s"$nTest tests + $nProp properties: " +
+      perSuite.map { case (c, (a, b)) =>
+        s"${c.stripPrefix("graft.")}=${a + b}" }.mkString(", "))
+  }
 }
