@@ -558,9 +558,40 @@ object SimilaritySearch {
     * sf1 (both exhaustive under 256), 2,446 at sf10 (ringed). */
   val SrpWindow = 256
 
+  /** Declared ring recall target and the coverage ratio that buys it: in
+    * the approximate regime the sorted-neighborhood window is derived FROM
+    * the measured worst-bucket occupancy as `ceil(RingCoverage · maxOcc)`
+    * (floored at the caller's `window`), instead of staying a fixed width
+    * that silently becomes an ever-thinner slice as the corpus densifies.
+    * The ratio is set by the measured fine-ordered recall-vs-window curve
+    * at sf10 (d7 geometry, 80k vectors, occ 2,446, exhaustive 415,642-edge
+    * denominator — BENCH_NOTES round-10):
+    *
+    *   coverage 10.5% (w=257)  → recall 45.9%
+    *   coverage 20.9% (w=512)  → recall 69.7%   ← declared point
+    *   coverage 41.9% (w=1024) → recall 94.1%
+    *
+    * RingCoverage = 0.21 therefore targets ring-stage recall ≥ 60% with
+    * measured margin (69.7%); candidate volume — the cost axis, verify is
+    * candidate-priced — grows sub-linearly in the window (71.7M → 126.6M
+    * from w=257 to 512: smaller buckets saturate). Below the window the
+    * ring is exhaustive, so the oracle-gated scales are bit-identical
+    * regardless of this value. */
+  val RingRecallTarget = 0.60
+  val RingCoverage = 0.21
+
+  /** `adaptiveWindow = false` keeps the caller's FIXED window in the ring
+    * regime — declared BUDGET semantics instead of the recall target.
+    * Measured rejection of the adaptive width for gr7 (sf10, maxOcc 7,547
+    * → derived window 1,585): 614 s (6.4× the fixed-budget probe) AND an
+    * EMPTIED output — the ~6× denser cos≥0.3 edge basis pushed nearly
+    * every node past linkPrediction's deg≤64 hub filter, so the queue
+    * collapsed to 0 rows. For a degree-bounded downstream the recall
+    * lever is bits-per-band, not ring width; the queue's contract stays
+    * "what the budget can see" (BENCH_NOTES round-10). */
   def srpNearPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       bands: Int, bits: Int, threshold: Double,
-      window: Int = SrpWindow): DataFrame = {
+      window: Int = SrpWindow, adaptiveWindow: Boolean = true): DataFrame = {
     registerFns(emb)
     val banded = srpBanded(emb, idCol, vecCol, dim, bands, bits)
     // Measure the worst bucket (one bounded scalar agg over the
@@ -583,10 +614,27 @@ object SimilaritySearch {
     val pairs =
       if (maxOcc <= window + 1) Dedup.lshCandidates(banded, idCol)
       else {
+        // occupancy-derived width: a FIXED window is an ever-thinner slice
+        // of a densifying bucket (10.5% of occ at sf10 read 45.9% recall);
+        // covering RingCoverage of the worst bucket holds the ring's recall
+        // at the declared target as the corpus grows (the r9-advice knob,
+        // measured at sf10 — see RingCoverage's curve)
+        val effWindow =
+          if (adaptiveWindow)
+            math.max(window, math.ceil(maxOcc * RingCoverage).toInt)
+          else window
+        val widthNote =
+          if (adaptiveWindow)
+            s"window derived as max($window, ceil($RingCoverage*$maxOcc)) " +
+            s"= $effWindow for ring recall >= " +
+            s"${(RingRecallTarget * 100).toInt}% (measured 69.7% at this " +
+            s"coverage, sf10 curve)"
+          else s"window FIXED at $window by the caller (declared budget " +
+            s"semantics — coverage ${"%.1f".format(window * 100.0 / maxOcc)}%)"
         System.err.println(s"[srpNearPairs] APPROXIMATE: max bucket " +
           s"occupancy $maxOcc exceeds window+1 = ${window + 1} — candidates " +
           s"are sorted-neighborhood-windowed (similarity-ordered), not " +
-          s"exhaustive; raise `window` (or add bits per band) for full recall")
+          s"exhaustive; $widthNote; add bits per band for full recall")
         // ring order = a 16-bit fine SRP code from FRESH planes: within a
         // bucket, true near-dups agree on most fine sign bits and sort next
         // to each other, so the occ·window candidate budget is spent on
@@ -596,7 +644,7 @@ object SimilaritySearch {
         // gated-scale exhaustive equality is untouched.
         val fine = emb.select(col(idCol),
           srpFineCol(vecCol, bands * bits, 16, dim).as("__fine"))
-        Dedup.lshCandidatesRing(banded.join(fine, idCol), idCol, window,
+        Dedup.lshCandidatesRing(banded.join(fine, idCol), idCol, effWindow,
           Some("__fine"))
       }
     val withNorm = emb.select(col(idCol), col(vecCol),

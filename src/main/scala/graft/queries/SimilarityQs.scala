@@ -856,9 +856,14 @@ object SimilarityQs {
       (s, d) => {
         import graft.ops.Graph
         val emb = Tables.embeddings(s, d)
+        // adaptiveWindow = false: the queue's edge basis keeps BUDGET
+        // semantics — the recall-derived width was measured at sf10 and
+        // REJECTED for this op (614 s and an output collapsed to 0 rows:
+        // the denser basis pushed nearly every node past the deg<=64 hub
+        // filter; see srpNearPairs' scaladoc + BENCH_NOTES round-10)
         val edges = SimilaritySearch.srpNearPairs(
             emb, "vec_id", "embedding", dim,
-            bands = 8, bits = 4, threshold = 0.3)
+            bands = 8, bits = 4, threshold = 0.3, adaptiveWindow = false)
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         val predicted = Graph.linkPrediction(edges, maxDegree = 64, minCommon = 1)
         // enrich the queue with the pair's ACTUAL cosine (float_dot is

@@ -76,6 +76,32 @@ object ProfileD7 {
         .select(col("id_a"), col("id_b"))).count()
       println(f"YIELD   exhaustive $truth%12d true edges (ground truth)")
     }
+    // recall-vs-window curve (3rd arg "curve", 4th "w1,w2,..."): ground
+    // truth once, then per window the fine-ordered ring's candidate volume,
+    // surfaced true edges, recall, and wall — the measurement that backs
+    // SimilaritySearch.RingCoverage's declared recall target.
+    if (args.length > 3 && args(2) == "curve") {
+      graft.plans.FloatDot.register(spark)
+      val truth = verifyOf(Dedup.lshCandidates(banded0, "vec_id")
+        .select(col("id_a"), col("id_b"))).count()
+      println(f"CURVE   truth $truth%12d true edges (exhaustive denominator)")
+      val fine = emb.select(col("vec_id"),
+        SimilaritySearch.srpFineCol("embedding", bands * bits, 16, dim)
+          .as("__fine"))
+      val bandedFine = banded0.join(fine, "vec_id").localCheckpoint(true)
+      args(3).split(",").map(_.trim.toInt).foreach { w =>
+        val t0 = System.nanoTime()
+        val cand = Dedup.lshCandidatesRing(bandedFine, "vec_id", w,
+          Some("__fine")).select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        val nCand = cand.count()
+        val hits = verifyOf(cand).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"CURVE   window=$w%-6d cand=$nCand%12d true=$hits%9d " +
+          f"recall=${hits * 100.0 / truth}%5.1f%% wall=$secs%7.1f s")
+      }
+      spark.stop(); return
+    }
     val probes: Seq[(String, () => Long)] = Seq(
       "banded" -> (() => SimilaritySearch.srpBanded(emb, "vec_id", "embedding",
         dim, bands, bits).count()),
