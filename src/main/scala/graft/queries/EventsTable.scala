@@ -281,6 +281,139 @@ object EventsTable {
        |FROM res r LEFT JOIN booker b
        |  ON r.o_orderdate = b.b_date AND r.o_orderpriority = b.b_prio""".stripMargin
 
+  /** The four event-stream-sourced EV2 slices (check-ins with
+    * birthday-attendee detection, uuid-mapped pipeline customer events,
+    * campaign/flow deliveries, crew contacts) normalized to the unified
+    * schema, with the source `ts` RETAINED and the slice-priority column
+    * attached — ONE definition read by the batch mart (ev2, which drops
+    * `ts`) and the streaming ingest seat (st15, which watermarks on it).
+    * Slice event_types are mutually disjoint BY CONSTRUCTION (checkin* /
+    * membership_start|purchase / klaviyo_* / crew_contact), and within a
+    * slice every non-key column is a function of the dedup key — so any
+    * keep-first over (customer_id, event_type, event_date, details) is
+    * order-independent here (the st2 discipline; st15's oracle leans on
+    * it: streaming first-arrival == batch DISTINCT). */
+  private[queries] def eventSlices(ev: DataFrame): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm"
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    // 1. check-ins (views that are NOT campaign deliveries), with the
+    // reference's birthday-attendee detection on the entry description
+    val isBday = col("event_id") % 25 === 13
+    val checkins = ev
+      .filter(col("event_type") === "view" && col("event_id") % 4 =!= 3)
+      .select(col("ts"), col("user_id").as("customer_id"),
+        date_format(col("ts"), fmt).as("event_date"),
+        when(isBday, "birthday_party_attendee_checkin")
+          .otherwise("checkin").as("event_type"),
+        when(isBday, "Birthday party guest pass")
+          .when(col("event_id") % 4 === 0, "Day Pass")
+          .when(col("event_id") % 4 === 1, "Punch Pass")
+          .otherwise("Pass with Gear").as("details"),
+        lit("capitan").as("source"),
+        when(isBday, "birthday")
+          .when(col("event_id") % 4 === 0, "day_pass")
+          .when(col("event_id") % 4 === 1, "punch_pass")
+          .otherwise("pass_with_gear").as("entry_method"),
+        lit(null).cast("double").as("amount"), lit(1).as("prio"))
+    // 2. pipeline customer events — UUID-keyed rows map to the master
+    // only when the person has an email identity (%7==3 unmappable →
+    // dropped, the reference's to_capitan_id None branch)
+    val custEvents = ev
+      .filter(col("event_type").isin("signup", "purchase") &&
+        col("user_id") % 7 =!= 3)
+      .select(col("ts"), col("user_id").as("customer_id"),
+        date_format(col("ts"), fmt).as("event_date"),
+        when(col("event_type") === "signup", "membership_start")
+          .otherwise("purchase").as("event_type"),
+        substring(col("props"), 1, 200).as("details"),
+        lit("pipeline").as("source"),
+        lit(null).cast("string").as("entry_method"),
+        lit(null).cast("double").as("amount"), lit(2).as("prio"))
+    // 3. campaign/flow deliveries (rp8's campaign class): type by the
+    // flow key's residue, flow id by its decade
+    val klaviyo = ev
+      .filter(col("event_type") === "view" && col("event_id") % 4 === 3)
+      .select(col("ts"), col("user_id").as("customer_id"),
+        date_format(col("ts"), fmt).as("event_date"),
+        when(k % 4 === 0, "klaviyo_email_received")
+          .when(k % 4 === 1, "klaviyo_email_opened")
+          .when(k % 4 === 2, "klaviyo_email_clicked")
+          .otherwise("klaviyo_sms_received").as("event_type"),
+        concat(lit("flow #"), (k / 10).cast("long").cast("string"))
+          .as("details"),
+        lit("klaviyo").as("source"),
+        lit(null).cast("string").as("entry_method"),
+        lit(null).cast("double").as("amount"), lit(3).as("prio"))
+    // 4. crew interactions: contact type by event key, outcome by the
+    // engagement value
+    val crew = ev.filter(col("event_type") === "click")
+      .select(col("ts"), col("user_id").as("customer_id"),
+        date_format(col("ts"), fmt).as("event_date"),
+        lit("crew_contact").as("event_type"),
+        concat(
+          when(col("event_id") % 3 === 0, "call")
+            .when(col("event_id") % 3 === 1, "email")
+            .otherwise("in_person"),
+          lit(" -> "),
+          when(col("value") > 5, "connected").otherwise("left_message"))
+          .as("details"),
+        lit("supabase").as("source"),
+        lit(null).cast("string").as("entry_method"),
+        lit(null).cast("double").as("amount"), lit(4).as("prio"))
+    Seq(checkins, custEvents, klaviyo, crew).reduce(_.unionByName(_))
+  }
+
+  /** Oracle-side UNION ALL of [[eventSlices]] (same column set incl. prio,
+    * minus ts) — embedded by both the ev2 and st15 oracles. */
+  private[queries] val eventSlicesSql: String =
+    """  SELECT user_id AS customer_id,
+      |    strftime(ts, '%Y-%m-%d %H:%M') AS event_date,
+      |    CASE WHEN event_id % 25 = 13
+      |      THEN 'birthday_party_attendee_checkin'
+      |      ELSE 'checkin' END AS event_type,
+      |    CASE WHEN event_id % 25 = 13 THEN 'Birthday party guest pass'
+      |         WHEN event_id % 4 = 0 THEN 'Day Pass'
+      |         WHEN event_id % 4 = 1 THEN 'Punch Pass'
+      |         ELSE 'Pass with Gear' END AS details,
+      |    'capitan' AS source,
+      |    CASE WHEN event_id % 25 = 13 THEN 'birthday'
+      |         WHEN event_id % 4 = 0 THEN 'day_pass'
+      |         WHEN event_id % 4 = 1 THEN 'punch_pass'
+      |         ELSE 'pass_with_gear' END AS entry_method,
+      |    CAST(NULL AS DOUBLE) AS amount, 1 AS prio
+      |  FROM events WHERE event_type = 'view' AND event_id % 4 <> 3
+      |  UNION ALL
+      |  SELECT user_id,
+      |    strftime(ts, '%Y-%m-%d %H:%M'),
+      |    CASE WHEN event_type = 'signup' THEN 'membership_start'
+      |         ELSE 'purchase' END,
+      |    substr(props, 1, 200), 'pipeline', NULL,
+      |    CAST(NULL AS DOUBLE), 2
+      |  FROM events
+      |  WHERE event_type IN ('signup', 'purchase') AND user_id % 7 <> 3
+      |  UNION ALL
+      |  SELECT user_id,
+      |    strftime(ts, '%Y-%m-%d %H:%M'),
+      |    CASE CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+      |         WHEN 0 THEN 'klaviyo_email_received'
+      |         WHEN 1 THEN 'klaviyo_email_opened'
+      |         WHEN 2 THEN 'klaviyo_email_clicked'
+      |         ELSE 'klaviyo_sms_received' END,
+      |    'flow #' || CAST(CAST(json_extract_string(props, '$.k')
+      |      AS BIGINT) // 10 AS VARCHAR),
+      |    'klaviyo', NULL, CAST(NULL AS DOUBLE), 3
+      |  FROM events WHERE event_type = 'view' AND event_id % 4 = 3
+      |  UNION ALL
+      |  SELECT user_id,
+      |    strftime(ts, '%Y-%m-%d %H:%M'), 'crew_contact',
+      |    (CASE WHEN event_id % 3 = 0 THEN 'call'
+      |          WHEN event_id % 3 = 1 THEN 'email'
+      |          ELSE 'in_person' END) || ' -> ' ||
+      |    (CASE WHEN value > 5 THEN 'connected'
+      |          ELSE 'left_message' END),
+      |    'supabase', NULL, CAST(NULL AS DOUBLE), 4
+      |  FROM events WHERE event_type = 'click'""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     Q("cm2_customer_transactions",
@@ -304,75 +437,8 @@ object EventsTable {
         def slice(df: DataFrame, prio: Int): DataFrame =
           df.withColumn("prio", lit(prio))
         val ev = Tables.events(s, d)
-        val k = get_json_object(col("props"), "$.k").cast("long")
-
-        // 1. check-ins (views that are NOT campaign deliveries), with the
-        // reference's birthday-attendee detection on the entry description
-        val isBday = col("event_id") % 25 === 13
-        val checkins = slice(ev
-          .filter(col("event_type") === "view" && col("event_id") % 4 =!= 3)
-          .select(col("user_id").as("customer_id"),
-            date_format(col("ts"), fmt).as("event_date"),
-            when(isBday, "birthday_party_attendee_checkin")
-              .otherwise("checkin").as("event_type"),
-            when(isBday, "Birthday party guest pass")
-              .when(col("event_id") % 4 === 0, "Day Pass")
-              .when(col("event_id") % 4 === 1, "Punch Pass")
-              .otherwise("Pass with Gear").as("details"),
-            lit("capitan").as("source"),
-            when(isBday, "birthday")
-              .when(col("event_id") % 4 === 0, "day_pass")
-              .when(col("event_id") % 4 === 1, "punch_pass")
-              .otherwise("pass_with_gear").as("entry_method"),
-            lit(null).cast("double").as("amount")), 1)
-
-        // 2. pipeline customer events — UUID-keyed rows map to the master
-        // only when the person has an email identity (%7==3 unmappable →
-        // dropped, the reference's to_capitan_id None branch)
-        val custEvents = slice(ev
-          .filter(col("event_type").isin("signup", "purchase") &&
-            col("user_id") % 7 =!= 3)
-          .select(col("user_id").as("customer_id"),
-            date_format(col("ts"), fmt).as("event_date"),
-            when(col("event_type") === "signup", "membership_start")
-              .otherwise("purchase").as("event_type"),
-            substring(col("props"), 1, 200).as("details"),
-            lit("pipeline").as("source"),
-            lit(null).cast("string").as("entry_method"),
-            lit(null).cast("double").as("amount")), 2)
-
-        // 3. campaign/flow deliveries (rp8's campaign class): type by the
-        // flow key's residue, flow id by its decade
-        val klaviyo = slice(ev
-          .filter(col("event_type") === "view" && col("event_id") % 4 === 3)
-          .select(col("user_id").as("customer_id"),
-            date_format(col("ts"), fmt).as("event_date"),
-            when(k % 4 === 0, "klaviyo_email_received")
-              .when(k % 4 === 1, "klaviyo_email_opened")
-              .when(k % 4 === 2, "klaviyo_email_clicked")
-              .otherwise("klaviyo_sms_received").as("event_type"),
-            concat(lit("flow #"), (k / 10).cast("long").cast("string"))
-              .as("details"),
-            lit("klaviyo").as("source"),
-            lit(null).cast("string").as("entry_method"),
-            lit(null).cast("double").as("amount")), 3)
-
-        // 4. crew interactions: contact type by event key, outcome by the
-        // engagement value
-        val crew = slice(ev.filter(col("event_type") === "click")
-          .select(col("user_id").as("customer_id"),
-            date_format(col("ts"), fmt).as("event_date"),
-            lit("crew_contact").as("event_type"),
-            concat(
-              when(col("event_id") % 3 === 0, "call")
-                .when(col("event_id") % 3 === 1, "email")
-                .otherwise("in_person"),
-              lit(" -> "),
-              when(col("value") > 5, "connected").otherwise("left_message"))
-              .as("details"),
-            lit("supabase").as("source"),
-            lit(null).cast("string").as("entry_method"),
-            lit(null).cast("double").as("amount")), 4)
+        // slices 1-4 — shared with the streaming ingest seat (st15)
+        val fromEvents = eventSlices(ev).drop("ts")
 
         // 5. reservations — the EV1 frame (one definition, two readers)
         val res = slice(reservationEvents(s, d)
@@ -427,7 +493,7 @@ object EventsTable {
             lit(null).cast("string").as("entry_method"),
             col("amount")), 7)
 
-        val unioned = Seq(checkins, custEvents, klaviyo, crew, res,
+        val unioned = Seq(fromEvents, res,
           hosts, attendees, txns).reduce(_.unionByName(_))
         val w = Window
           .partitionBy(col("customer_id"), col("event_type"),
@@ -446,53 +512,7 @@ object EventsTable {
               |${reservationEventsSql.linesIterator
                   .map("  " + _).mkString("\n")}),
               |unioned AS (
-              |  SELECT user_id AS customer_id,
-              |    strftime(ts, '%Y-%m-%d %H:%M') AS event_date,
-              |    CASE WHEN event_id % 25 = 13
-              |      THEN 'birthday_party_attendee_checkin'
-              |      ELSE 'checkin' END AS event_type,
-              |    CASE WHEN event_id % 25 = 13 THEN 'Birthday party guest pass'
-              |         WHEN event_id % 4 = 0 THEN 'Day Pass'
-              |         WHEN event_id % 4 = 1 THEN 'Punch Pass'
-              |         ELSE 'Pass with Gear' END AS details,
-              |    'capitan' AS source,
-              |    CASE WHEN event_id % 25 = 13 THEN 'birthday'
-              |         WHEN event_id % 4 = 0 THEN 'day_pass'
-              |         WHEN event_id % 4 = 1 THEN 'punch_pass'
-              |         ELSE 'pass_with_gear' END AS entry_method,
-              |    CAST(NULL AS DOUBLE) AS amount, 1 AS prio
-              |  FROM events WHERE event_type = 'view' AND event_id % 4 <> 3
-              |  UNION ALL
-              |  SELECT user_id,
-              |    strftime(ts, '%Y-%m-%d %H:%M'),
-              |    CASE WHEN event_type = 'signup' THEN 'membership_start'
-              |         ELSE 'purchase' END,
-              |    substr(props, 1, 200), 'pipeline', NULL,
-              |    CAST(NULL AS DOUBLE), 2
-              |  FROM events
-              |  WHERE event_type IN ('signup', 'purchase') AND user_id % 7 <> 3
-              |  UNION ALL
-              |  SELECT user_id,
-              |    strftime(ts, '%Y-%m-%d %H:%M'),
-              |    CASE CAST(json_extract_string(props, '$$.k') AS BIGINT) % 4
-              |         WHEN 0 THEN 'klaviyo_email_received'
-              |         WHEN 1 THEN 'klaviyo_email_opened'
-              |         WHEN 2 THEN 'klaviyo_email_clicked'
-              |         ELSE 'klaviyo_sms_received' END,
-              |    'flow #' || CAST(CAST(json_extract_string(props, '$$.k')
-              |      AS BIGINT) // 10 AS VARCHAR),
-              |    'klaviyo', NULL, CAST(NULL AS DOUBLE), 3
-              |  FROM events WHERE event_type = 'view' AND event_id % 4 = 3
-              |  UNION ALL
-              |  SELECT user_id,
-              |    strftime(ts, '%Y-%m-%d %H:%M'), 'crew_contact',
-              |    (CASE WHEN event_id % 3 = 0 THEN 'call'
-              |          WHEN event_id % 3 = 1 THEN 'email'
-              |          ELSE 'in_person' END) || ' -> ' ||
-              |    (CASE WHEN value > 5 THEN 'connected'
-              |          ELSE 'left_message' END),
-              |    'supabase', NULL, CAST(NULL AS DOUBLE), 4
-              |  FROM events WHERE event_type = 'click'
+              |$eventSlicesSql
               |  UNION ALL
               |  SELECT customer_id, event_date || ' 00:00', event_type,
               |    event_details, 'capitan', NULL, CAST(NULL AS DOUBLE), 5

@@ -506,6 +506,35 @@ object StreamQs {
              |  FROM events GROUP BY 1)
              |SELECT e.grp, e.n_exact, s_hi, s_lo,
              |  CAST(zeros AS INTEGER) AS n_zero, true AS stream_matches_batch
-             |FROM ex e JOIN sk2 USING (grp)""".stripMargin))
+             |FROM ex e JOIN sk2 USING (grp)""".stripMargin)),
+
+    // ST15: streaming ingest of the unified EVENTS TABLE's event-sourced
+    // slices (ev2's check-ins / pipeline customer events / campaign flows /
+    // crew contacts — ONE slice definition shared with the batch mart, so
+    // the stream can never drift from the table it feeds). The reference
+    // REBUILDS events.csv from scratch daily (`build_events_table.py`);
+    // this seat is the incremental form: arrivals are normalized to the
+    // unified schema and deduplicated on the reference's (customer, type,
+    // date, details) key with watermark-bounded state. Keep-first-arrival
+    // is order-independent HERE by construction — slice event_types are
+    // disjoint and every non-key column is a function of the key (see
+    // eventSlices' scaladoc) — so the streaming output set equals batch
+    // DISTINCT and the oracle can say so exactly (the st2 discipline).
+    // Firebase parties and linked transactions arrive via their own marts
+    // (different systems in the reference), not this feed.
+    Q("st15_stream_events_union",
+      (s, d) => {
+        val ss = streamSession(s)
+        val dd = EventsTable.eventSlices(
+            Streams.eventStream(ss, asStreamDir(s"$d/events.parquet")))
+          .withWatermark("ts", "90 days")
+          .dropDuplicates("customer_id", "event_type", "event_date", "details")
+          .drop("ts", "prio")
+        runToMemory(dd, OutputMode.Append())
+      },
+      Some(s"""SELECT DISTINCT customer_id, event_date, event_type, details,
+              |  source, entry_method, amount
+              |FROM (
+              |${EventsTable.eventSlicesSql})""".stripMargin))
   )
 }
