@@ -642,7 +642,8 @@ object DedupQs {
            |r0 AS (SELECT node, 1000000000000 // n AS r FROM nd CROSS JOIN nn),
            |$rounds
            |SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r8""".stripMargin
-      }),
+      },
+      bench = true),
 
     // GR2: connected components by LARGE-STAR/SMALL-STAR contraction
     // (Graph.connectedComponentsStar, Kiveris '14) over the same d5
@@ -918,7 +919,7 @@ object DedupQs {
     // CLEAN, importance decides what is WORTH the budget. Eval splits
     // bypass selection (NULL score) — budgets shape training, never eval.
     Q("c4_curation_dsir", (s, d) => curationStackDsir(s, d),
-      Some(curationDsirOracleSql)),
+      Some(curationDsirOracleSql), bench = true),
 
     // D4: n-gram Jaccard near-dup, blocked by source (all within-block pairs,
     // exact — the non-LSH comparison point).

@@ -424,7 +424,8 @@ object SimilarityQs {
             col("n_results") === 5).as("ratio_ok"))
       },
       Some("SELECT CAST(5 AS BIGINT) AS k, CAST(5 AS BIGINT) AS n_results, " +
-        "true AS ratio_ok")),
+        "true AS ratio_ok"),
+      bench = true),
 
     // K5: k-NN JOIN — top-3 cosine neighbors for EVERY vector among its
     // SRP band-collision candidates (the all-queries ANN build, vs k1's
