@@ -625,6 +625,61 @@ object SimilarityQs {
              |  true AS ortho_ok, true AS monotone_ok, true AS eigsum_ok
              |FROM q GROUP BY pos""".stripMargin)),
 
+    // K14b: DAILY-MERGE lifecycle for the PCA moment state — the a4d/a18b
+    // pattern applied to the third mergeable state family: k14's moments
+    // (n, Σq per dim, Σq² per dim — and the full Gram triangle in fit) are
+    // plain BIGINT sums, so per-day partials merge into the whole-corpus
+    // moments by exact integer ADDITION. At 100 TB that's the difference
+    // between refreshing the projection model from (days × d)-row KB-sized
+    // stored partials and re-scanning the corpus: each day pays one
+    // quantize-and-sum pass over its own arrivals, the merge reads only
+    // stored state, and fit() consumes the merged moments unchanged.
+    // The query emits the merged moments per dimension AS DATA (hash-gated
+    // like k14) plus merge verdicts: merged-from-daily (two-level
+    // aggregation, day then total) equals the direct whole-corpus
+    // aggregation — different plan, identical integers, the proof the
+    // merge is exact rather than approximately so.
+    Q("k14b_pca_moments_merge_daily",
+      (s, d) => {
+        val q = Tables.embeddings(s, d)
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id"), (col("vec_id") % 3).as("day"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("qv", floor(col("x").cast("double") * 1024).cast("long"))
+          .select(col("day"), col("pos"), col("qv"))
+        val daily = q.groupBy(col("day"), col("pos"))
+          .agg(count(lit(1)).as("n_d"), sum(col("qv")).as("m_d"),
+            sum(col("qv") * col("qv")).as("g_d"))
+        val merged = daily.groupBy(col("pos"))
+          .agg(count(lit(1)).as("n_days"), sum(col("n_d")).as("n_vectors"),
+            sum(col("m_d")).as("mean_num"), sum(col("g_d")).as("gram_diag"))
+        val direct = q.groupBy(col("pos"))
+          .agg(count(lit(1)).as("n_x"), sum(col("qv")).as("m_x"),
+            sum(col("qv") * col("qv")).as("g_x"))
+        merged.join(direct, Seq("pos"))
+          .select(col("pos"), col("n_days"), col("n_vectors"),
+            col("mean_num"), col("gram_diag"),
+            (col("n_vectors") === col("n_x") &&
+              col("mean_num") === col("m_x") &&
+              col("gram_diag") === col("g_x")).as("merge_exact"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id % 3 AS day,
+             |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT) AS qv
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |daily AS (
+             |  SELECT day, pos, COUNT(*) AS n_d,
+             |    CAST(SUM(qv) AS BIGINT) AS m_d,
+             |    CAST(SUM(qv * qv) AS BIGINT) AS g_d
+             |  FROM q GROUP BY 1, 2)
+             |SELECT pos, COUNT(*) AS n_days,
+             |  CAST(SUM(n_d) AS BIGINT) AS n_vectors,
+             |  CAST(SUM(m_d) AS BIGINT) AS mean_num,
+             |  CAST(SUM(g_d) AS BIGINT) AS gram_diag,
+             |  true AS merge_exact
+             |FROM daily GROUP BY pos""".stripMargin)),
+
     // K15: ANN in PCA space — the k14 composition payoff: project the
     // corpus float[64] → float[32] (one narrow pass + a KB-sized model
     // broadcast, UNCENTERED fit — diagonalizing the second-moment matrix
