@@ -535,6 +535,48 @@ object StreamQs {
       Some(s"""SELECT DISTINCT customer_id, event_date, event_type, details,
               |  source, entry_method, amount
               |FROM (
-              |${EventsTable.eventSlicesSql})""".stripMargin))
+              |${EventsTable.eventSlicesSql})""".stripMargin)),
+
+    // ST16: streaming PCA-moment ingest (Streams.pcaMomentsIngest) — the
+    // projection model's state joins the mergeable-ingest family (st10 CMS
+    // counts, st13 value quantiles, st14 distinct users): per-batch
+    // per-dimension (n, Σq, Σq²) BIGINT moment partials land by batch_id,
+    // the current state is their per-dimension integer SUM (the k14b
+    // merge), and the merged readout equals the one-pass batch moments
+    // integer-for-integer — asserted per dimension by stream_matches_batch
+    // against a direct batch aggregation, with the moments answered FROM
+    // the merged state (the a4c/a4d contract: the state is the product,
+    // Pca.fit refreshes from it without a corpus re-scan).
+    Q("st16_stream_pca_moments",
+      (s, d) => {
+        val ss = streamSession(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_st16_").toString
+        Streams.pcaMomentsIngest(
+            Streams.embeddingStream(ss, asStreamDir(s"$d/embeddings.parquet")),
+            s"$base/state", s"$base/ckpt")
+          .awaitTermination()
+        val merged = Streams.pcaMergedMoments(ss, s"$base/state")
+        val direct = graft.core.Tables.embeddings(ss, d)
+          .filter(col("embedding").isNotNull)
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("qv", floor(col("x").cast("double") * 1024).cast("long"))
+          .groupBy(col("pos"))
+          .agg(count(lit(1)).as("n_x"), sum(col("qv")).as("m_x"),
+            sum(col("qv") * col("qv")).as("g_x"))
+        merged.join(direct, Seq("pos"))
+          .select(col("pos"), col("n").as("n_vectors"),
+            col("m").as("mean_num"), col("g").as("gram_diag"),
+            (col("n") === col("n_x") && col("m") === col("m_x") &&
+              col("g") === col("g_x")).as("stream_matches_batch"))
+      },
+      Some("""WITH q AS (
+             |  SELECT CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+             |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT) AS qv
+             |  FROM embeddings WHERE embedding IS NOT NULL)
+             |SELECT pos, COUNT(*) AS n_vectors,
+             |  CAST(SUM(qv) AS BIGINT) AS mean_num,
+             |  CAST(SUM(qv * qv) AS BIGINT) AS gram_diag,
+             |  true AS stream_matches_batch
+             |FROM q GROUP BY pos""".stripMargin))
   )
 }

@@ -52,6 +52,12 @@ object Streams {
       "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
       .parquet(dir)
 
+  /** Streaming read of the embeddings table (the ANN/PCA front door). */
+  def embeddingStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(
+      "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .parquet(dir)
+
   /** Incremental append + key dedup: the `drop_duplicates(transaction_id,
     * keep='first')` pattern with a watermark bounding the dedup state —
     * exactly-once per key within the lateness horizon. */
@@ -391,14 +397,14 @@ object Streams {
     * state, not an error. */
   private def mergedState(spark: SparkSession, stateDir: String,
       emptySchema: StructType, keyCols: Seq[String],
-      mergeAgg: Column): DataFrame = {
+      mergeAgg: Column, moreAggs: Column*): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts =
       if (!fs.exists(path))
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], emptySchema)
       else spark.read.parquet(stateDir)
-    parts.groupBy(keyCols.map(col): _*).agg(mergeAgg)
+    parts.groupBy(keyCols.map(col): _*).agg(mergeAgg, moreAggs: _*)
   }
 
   def cmsMergedCounters(spark: SparkSession, stateDir: String): DataFrame =
@@ -432,6 +438,41 @@ object Streams {
     mergedState(spark, stateDir, StructType(Seq(
         StructField("bucket", IntegerType), StructField("cnt", LongType))),
       Seq("bucket"), sum(col("cnt")).as("cnt"))
+
+  /** Streaming PCA-MOMENT ingest — the projection model's distributed
+    * state (k14's exact integer moments) as the fourth mergeable ingest
+    * seat next to CMS/quantile/HLL, on the same partial-landing pattern:
+    * each micro-batch reduces to its OWN per-dimension (pos, n, Σq, Σq²)
+    * BIGINT partial landed at `stateDir/batch_id=<id>/` (overwrite —
+    * replay-idempotent, a partial is a pure function of its batch). The
+    * moments are plain integer sums (the k14b merge), so the merged state
+    * equals the one-pass batch moments integer-for-integer, and `Pca.fit`
+    * can refresh the model from KB-sized stored partials as vectors
+    * stream in — never a corpus re-scan. */
+  def pcaMomentsIngest(stream: DataFrame, stateDir: String, ckptDir: String,
+      vecCol: String = "embedding"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        batch.toDF().filter(col(vecCol).isNotNull)
+          .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+          .withColumn("qv", floor(col("x").cast("double") * 1024).cast("long"))
+          .groupBy(col("pos"))
+          .agg(count(lit(1)).as("n"), sum(col("qv")).as("m"),
+            sum(col("qv") * col("qv")).as("g"))
+          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$id")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Merge the per-batch moment partials — per-dimension integer addition
+    * is the merge. Zero-batch ingest = the empty moment state. */
+  def pcaMergedMoments(spark: SparkSession, stateDir: String): DataFrame =
+    mergedState(spark, stateDir, StructType(Seq(
+        StructField("pos", IntegerType), StructField("n", LongType),
+        StructField("m", LongType), StructField("g", LongType))),
+      Seq("pos"), sum(col("n")).as("n"), sum(col("m")).as("m"),
+      sum(col("g")).as("g"))
 
   /** Streaming HLL ingest — the DISTINCT-count sketch's ingest seat,
     * completing the sketch trio next to [[cmsIngest]] (counts) and
