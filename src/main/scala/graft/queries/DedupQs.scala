@@ -602,6 +602,60 @@ object DedupQs {
            |SELECT id AS doc_id, cluster_id, cluster_size, id = cluster_id AS is_keeper
            |FROM comps JOIN sized USING (cluster_id)""".stripMargin)),
 
+    // D13: SOFT dedup — down-WEIGHT duplicate clusters instead of dropping
+    // them (the sampling-weight form of d6's keep/drop verdict, the public
+    // SoftDeDup idea: duplicated content is useful but over-represented, so
+    // give every member of a near-dup cluster weight 1/cluster_size and
+    // each content unit contributes exactly one doc-mass regardless of copy
+    // count; docs outside any cluster keep weight 1). Exact integer ppm
+    // floors — the weighted token mass (eff_tokens_ppm) is what the
+    // t17/t33 budget mixers consume in place of n_tokens when dedup is
+    // soft rather than hard.
+    // Scale: d6's candidate-sized cluster graph + ONE left join on the doc
+    // key; no new corpus pass (n_tokens is the scan-speed whitespace count).
+    Q("d13_soft_dedup_weights",
+      (s, d) => {
+        import graft.ops.{Identity, TextAnalysis}
+        val (nodes, edges) = nearDupGraph(s, d)
+        val cw = Window.partitionBy(col("comp_id"))
+        val clusters = Identity.connectedComponents(nodes, edges)
+          .withColumn("cluster_size", count(lit(1)).over(cw))
+          .select(col("id").as("doc_id"), col("cluster_size"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.wsTokens(col("text")).as("n_tokens"))
+          .join(clusters, Seq("doc_id"), "left")
+          .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+          .withColumn("weight_ppm",
+            expr("CAST(1000000 AS BIGINT) div cluster_size"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("cluster_size"), col("weight_ppm"),
+            (col("n_tokens") * col("weight_ppm")).as("eff_tokens_ppm"))
+      },
+      Some(
+        s"""WITH RECURSIVE $simhash64CtesSql,
+           |np AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+           |uedges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM np
+           |  UNION SELECT id_b, id_a FROM np),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM uedges
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN uedges e ON reach.r = e.src),
+           |comps AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+           |sized AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comps GROUP BY 1),
+           |cl AS (SELECT id AS doc_id, cluster_size
+           |       FROM comps JOIN sized USING (cluster_id))
+           |SELECT d.doc_id, d.source,
+           |  ${graft.ops.TextAnalysis.wsTokensSql("d.text")} AS n_tokens,
+           |  CAST(COALESCE(cl.cluster_size, 1) AS BIGINT) AS cluster_size,
+           |  CAST(1000000 // COALESCE(cl.cluster_size, 1) AS BIGINT)
+           |    AS weight_ppm,
+           |  CAST(${graft.ops.TextAnalysis.wsTokensSql("d.text")} *
+           |    (1000000 // COALESCE(cl.cluster_size, 1)) AS BIGINT)
+           |    AS eff_tokens_ppm
+           |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin)),
+
     // GR1: PageRank centrality over the d5 near-dup pair graph (symmetrized)
     // — the canonical-doc-authority signal: inside a duplication cluster the
     // doc most linked-to by near-dups ranks highest (a graph-global keeper
