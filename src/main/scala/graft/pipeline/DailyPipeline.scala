@@ -299,6 +299,16 @@ object DailyPipeline {
       // above materialize, so it runs after them (reference read order)
       materialize("ev2_events_table", "events_table",
         Seq("customer_transactions", "reservation_events")),
+      // soft-dedup sampling weights: near-dup clusters down-weighted
+      // 1/cluster_size (exact ppm) — the mixer-facing alternative to
+      // dropping. Shares the d5/d6 pair machinery with the clustering
+      // report, so it runs AFTER it: two concurrent simhash pair builds
+      // OOM'd the 32-thread single-JVM harness when both landed in the
+      // first wave (measured — the 93-job sf10 run died at 3 min where
+      // the 92-job tree passed in 851 s; on a real cluster this dep is
+      // lineage hygiene, here it is also the co-residency fix)
+      materialize("d13_soft_dedup_weights", "soft_dedup_weights",
+        Seq("dup_clustering_report")),
       // index health: new arrivals probed against the stale ANN index —
       // recall verdict + per-probe structural rot floor (exact neighbors
       // the index cannot contain); pairs with ann_ivf_index's cadence
