@@ -13,7 +13,16 @@ import org.apache.spark.sql.SparkSession
   * missing/stale inputs — the reference's actual behavior — is the one
   * deviation we do not reproduce), and everything independent still runs.
   */
-final case class Job(name: String, deps: Seq[String], run: SparkSession => Unit)
+/** @param heavy declared MEMORY class, not a speed hint: `true` marks a job
+  *   whose plan materializes candidate-PAIR-scale shuffle state (simhash /
+  *   minhash band joins, embedding ring joins — state ~O(candidate pairs),
+  *   not O(rows)). [[Dag.runParallel]] admits at most `heavyCap` (default 1)
+  *   heavy jobs per wave: two pair builds co-resident in one 32-thread JVM
+  *   OOM'd the sf10 run (round 10, measured), and the fix must not depend on
+  *   a fortuitous lineage dep existing between whichever two heavy jobs land
+  *   in the same wave next. Light jobs co-schedule freely. */
+final case class Job(name: String, deps: Seq[String], run: SparkSession => Unit,
+    heavy: Boolean = false)
 
 final case class JobResult(name: String, status: String, // ok | failed | skipped
     error: Option[String], durationMs: Long)
@@ -42,8 +51,15 @@ final class Dag(jobs: Seq[Job]) {
     * concurrently on a bounded pool (concurrent actions on one SparkSession
     * are safe and keep the cluster busy while another job's stage tail
     * finishes). Same failure isolation as [[run]]: a failed job poisons its
-    * transitive dependents, everything else proceeds. */
-  def runParallel(spark: SparkSession, parallelism: Int = 4): Seq[JobResult] = {
+    * transitive dependents, everything else proceeds.
+    *
+    * Memory-aware admission: at most `heavyCap` [[Job.heavy]] jobs are
+    * admitted per wave — the rest stay in the ready queue for a later wave
+    * (their deps are already satisfied, so they are first in line). This
+    * bounds peak executor memory to one pair-machinery working set plus the
+    * light jobs' mart-sized state, whatever shape the DAG grows into. */
+  def runParallel(spark: SparkSession, parallelism: Int = 4,
+      heavyCap: Int = 1): Seq[JobResult] = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -56,7 +72,13 @@ final class Dag(jobs: Seq[Job]) {
       while (remaining.nonEmpty) {
         val done = results.keySet.toSet
         val (ready, blocked) = remaining.partition(_.deps.forall(done.contains))
-        val wave = ready.map { job =>
+        // memory-class admission: skipped-to-be jobs (poisoned upstream)
+        // consume no memory, so they never count against the heavy cap
+        val (heavyReady, rest) =
+          ready.partition(j => j.heavy && !j.deps.exists(failed.contains))
+        val admitted = rest ++ heavyReady.take(math.max(1, heavyCap))
+        val deferred = heavyReady.drop(math.max(1, heavyCap))
+        val wave = admitted.map { job =>
           if (job.deps.exists(failed.contains)) {
             failed += job.name
             job.name -> Future.successful(JobResult(job.name, "skipped",
@@ -77,7 +99,7 @@ final class Dag(jobs: Seq[Job]) {
           if (r.status == "failed") failed += name
           results += name -> r
         }
-        remaining = blocked
+        remaining = deferred ++ blocked
       }
     } finally pool.shutdown()
     results.values.toSeq

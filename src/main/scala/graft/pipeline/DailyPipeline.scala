@@ -15,9 +15,14 @@ object DailyPipeline {
 
   /** The warehouse build: raw → facts → derived reports → dashboard marts. */
   def jobs(sfDir: String, outDir: String): Seq[Job] = {
-    def materialize(query: String, table: String, deps: Seq[String] = Nil): Job =
+    // heavy = the declared memory class (see Job.heavy): plans whose shuffle
+    // state is candidate-PAIR-sized (simhash/minhash band joins, embedding
+    // ring joins), which the Dag serializes against each other per wave
+    def materialize(query: String, table: String, deps: Seq[String] = Nil,
+        heavy: Boolean = false): Job =
       Job(table, deps, s =>
-        Tables.write(Registry.all.find(_.name == query).get.run(s, sfDir), s"$outDir/$table"))
+        Tables.write(Registry.all.find(_.name == query).get.run(s, sfDir),
+          s"$outDir/$table"), heavy)
 
     Seq(
       materialize("o2_union_align", "combined_transactions"),
@@ -201,7 +206,7 @@ object DailyPipeline {
           s"$outDir/customer_flags_enriched")
       }),
       // embedding-space dedup decision (SemDeDup): keeper/cluster per vector.
-      materialize("d7_semantic_dedup", "embedding_dedup_clusters"),
+      materialize("d7_semantic_dedup", "embedding_dedup_clusters", heavy = true),
       // model-based quality filter: the NB scores are a corpus-wide mart;
       // the holdout eval row is the rollout gate a curation pipeline
       // checks before trusting the scores. The eval CONSUMES the
@@ -230,7 +235,7 @@ object DailyPipeline {
       materialize("ml6_perceptron_gate", "perceptron_gate_scores"),
       // corpus-provenance hygiene: which sources share content with which
       // (split leakage / syndication audit at source granularity)
-      materialize("d12_source_overlap", "source_overlap_matrix"),
+      materialize("d12_source_overlap", "source_overlap_matrix", heavy = true),
       // vocabulary heavy-hitters sketch report (mergeable CMS counters)
       materialize("t24_cms_heavy_hitters", "vocab_heavy_hitters"),
       // shift-invariant duplicated-region report (CDC chunk census) — the
@@ -250,17 +255,18 @@ object DailyPipeline {
       // indexed corpus — cross-side band collisions only, the shape that
       // never re-pays corpus-wide shingling at scale. The oracle-gated d8
       // query IS the mart (one definition, no drift).
-      materialize("d8_incremental_minhash", "incremental_dedup_report"),
+      materialize("d8_incremental_minhash", "incremental_dedup_report",
+        heavy = true),
       // dup-farm density report: docs in the near-dup graph's 2-core
       // (template farms / generated boilerplate — the density policy the
       // component and community marts can't express), with the in-query
       // convergence verdict downstream consumers must check before acting
-      materialize("gr4_kcore_dupfarms", "dup_farm_report"),
+      materialize("gr4_kcore_dupfarms", "dup_farm_report", heavy = true),
       // local-density companion: per-doc triangle counts + clustering
       // coefficient over the same near-dup graph — clique-like template
       // farms (milli ≈ 1000) vs hub-like boilerplate wrappers (milli ≈ 0),
       // the readout gr4's binary core membership can't grade
-      materialize("gr6_triangle_count", "dup_clustering_report"),
+      materialize("gr6_triangle_count", "dup_clustering_report", heavy = true),
       // cross-sell affinity mart: brand-pair support/lift over order
       // baskets (the merchandising readout next to customer_connections)
       materialize("a20_basket_lift", "brand_affinity"),
@@ -272,7 +278,7 @@ object DailyPipeline {
       // near-dup neighbors (gr7) — the cosine threshold's own likely false
       // negatives, surfaced by graph structure instead of a second
       // quadratic scan
-      materialize("gr7_link_prediction", "neardup_candidate_queue"),
+      materialize("gr7_link_prediction", "neardup_candidate_queue", heavy = true),
       // cross-system email repair: orders missing contact email recovered
       // by normalized person-name match against the second record system
       // (match_shopify_to_capitan.py), with the opt-in/waiver flags the
@@ -295,20 +301,28 @@ object DailyPipeline {
       // booking-owner attribution
       materialize("ev1_reservation_events", "reservation_events"),
       // ONE table for all events for all people (build_events_table.py):
-      // the 7-source union mart; consumes the same frames the two jobs
-      // above materialize, so it runs after them (reference read order)
-      materialize("ev2_events_table", "events_table",
-        Seq("customer_transactions", "reservation_events")),
+      // the 7-source union mart. The deps are DATA deps, not ordering: this
+      // seat injects the two jobs' materialized parquet outputs into the
+      // union body (EventsTable.eventsTableFrom), so the cm2 match
+      // waterfall and the ev1 slot election run once per pipeline run —
+      // the registry's self-contained ev2 query recomputes them only for
+      // the standalone oracle gate.
+      Job("events_table", Seq("customer_transactions", "reservation_events"),
+        s => Tables.write(graft.queries.EventsTable.eventsTableFrom(
+          Tables.events(s, sfDir),
+          s.read.parquet(s"$outDir/customer_transactions"),
+          s.read.parquet(s"$outDir/reservation_events")),
+          s"$outDir/events_table")),
       // soft-dedup sampling weights: near-dup clusters down-weighted
       // 1/cluster_size (exact ppm) — the mixer-facing alternative to
-      // dropping. Shares the d5/d6 pair machinery with the clustering
-      // report, so it runs AFTER it: two concurrent simhash pair builds
-      // OOM'd the 32-thread single-JVM harness when both landed in the
-      // first wave (measured — the 93-job sf10 run died at 3 min where
-      // the 92-job tree passed in 851 s; on a real cluster this dep is
-      // lineage hygiene, here it is also the co-residency fix)
-      materialize("d13_soft_dedup_weights", "soft_dedup_weights",
-        Seq("dup_clustering_report")),
+      // dropping. heavy: rebuilds the d5/d6 simhash pair graph — round 10's
+      // OOM was exactly this job co-resident with the clustering report's
+      // pair build in one 32-thread JVM wave (the 93-job sf10 run died at
+      // 3 min where the 92-job tree passed in 851 s). The round-10 fix was
+      // an ordering dep on dup_clustering_report; the memory class replaces
+      // it — the Dag now guarantees no two pair builds co-schedule, whoever
+      // adds the next one.
+      materialize("d13_soft_dedup_weights", "soft_dedup_weights", heavy = true),
       // index health: new arrivals probed against the stale ANN index —
       // recall verdict + per-probe structural rot floor (exact neighbors
       // the index cannot contain); pairs with ann_ivf_index's cadence

@@ -339,8 +339,14 @@ object EventsTable {
           .when(k % 4 === 1, "klaviyo_email_opened")
           .when(k % 4 === 2, "klaviyo_email_clicked")
           .otherwise("klaviyo_sms_received").as("event_type"),
-        concat(lit("flow #"), (k / 10).cast("long").cast("string"))
-          .as("details"),
+        // integer `div`, not double `/` + cast: a double quotient loses
+        // exactness above 2^53, where DuckDB's integer `// 10` does not.
+        // (Spark `div` truncates, DuckDB `//` floors — equal on the
+        // nonnegative flow keys this slice mints; the double path was
+        // additionally wrong for any key above 2^53.)
+        concat(lit("flow #"), expr(
+            "CAST(get_json_object(props, '$.k') AS BIGINT) div 10")
+          .cast("string")).as("details"),
         lit("klaviyo").as("source"),
         lit(null).cast("string").as("entry_method"),
         lit(null).cast("double").as("amount"), lit(3).as("prio"))
@@ -432,16 +438,27 @@ object EventsTable {
     // explicit slice-priority column (never file luck), with a total
     // tiebreak so the survivor is deterministic under any partitioning.
     Q("ev2_events_table",
-      (s, d) => {
-        val fmt = "yyyy-MM-dd HH:mm"
+      (s, d) => eventsTableFrom(Tables.events(s, d),
+        customerTransactions(s, d), reservationEvents(s, d)),
+      Some(eventsTableSql)),
+  )
+
+  /** The ev2 body over INJECTED upstream frames: the registry query above
+    * recomputes cm2/ev1 inline (self-contained, oracle-replayable from base
+    * tables alone), while the PIPELINE seat injects their already-
+    * MATERIALIZED parquet outputs — so the cm2 match waterfall and the ev1
+    * slot election run once per pipeline run, not once standalone plus once
+    * again inside the union mart (its ordering dep used to encode reference
+    * read order only; now it encodes actual data reuse). */
+  private[graft] def eventsTableFrom(ev: DataFrame, ctxn: DataFrame,
+      resv: DataFrame): DataFrame = {
         def slice(df: DataFrame, prio: Int): DataFrame =
           df.withColumn("prio", lit(prio))
-        val ev = Tables.events(s, d)
         // slices 1-4 — shared with the streaming ingest seat (st15)
         val fromEvents = eventSlices(ev).drop("ts")
 
         // 5. reservations — the EV1 frame (one definition, two readers)
-        val res = slice(reservationEvents(s, d)
+        val res = slice(resv
           .select(col("customer_id"),
             concat(col("event_date"), lit(" 00:00")).as("event_date"),
             col("event_type"), col("event_details").as("details"),
@@ -481,7 +498,7 @@ object EventsTable {
 
         // 7. linked transactions — the CM2 frame (one definition, two
         // readers); details render the amount at exact 2-dp decimal
-        val txns = slice(customerTransactions(s, d)
+        val txns = slice(ctxn
           .select(col("customer_id"),
             concat(col("date"), lit(" 00:00")).as("event_date"),
             lit("transaction").as("event_type"),
@@ -504,8 +521,11 @@ object EventsTable {
           .filter(col("__rn") === 1)
           .select(col("customer_id"), col("event_date"), col("event_type"),
             col("details"), col("source"), col("entry_method"), col("amount"))
-      },
-      Some(s"""WITH ctxn AS (
+  }
+
+  // lazy: declared after `qs`, which captures it at Seq construction time
+  private lazy val eventsTableSql: String =
+    s"""WITH ctxn AS (
               |${customerTransactionsSql.linesIterator
                   .map("  " + _).mkString("\n")}),
               |resv AS (
@@ -547,6 +567,5 @@ object EventsTable {
               |QUALIFY row_number() OVER (
               |  PARTITION BY customer_id, event_type, event_date, details
               |  ORDER BY prio, source, amount ASC NULLS LAST,
-              |    entry_method ASC NULLS LAST) = 1""".stripMargin))
-  )
+              |    entry_method ASC NULLS LAST) = 1""".stripMargin
 }

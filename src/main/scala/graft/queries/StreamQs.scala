@@ -127,8 +127,9 @@ object StreamQs {
              |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
-    // ST2: streaming key dedup (`dropDuplicates` with watermark-bounded
-    // state) — the reference's incremental append + transaction-id dedup
+    // ST2: streaming key dedup (`dropDuplicatesWithinWatermark`, so the
+    // per-key state is watermark-bounded — see Streams.dedupByKey's
+    // scaladoc) — the reference's incremental append + transaction-id dedup
     // (`pipeline_handler.py:299-355`). Projected to the key columns first, so
     // keep-first-arrival is order-independent.
     Q("st2_stream_dedup_keys",
@@ -515,11 +516,16 @@ object StreamQs {
     // REBUILDS events.csv from scratch daily (`build_events_table.py`);
     // this seat is the incremental form: arrivals are normalized to the
     // unified schema and deduplicated on the reference's (customer, type,
-    // date, details) key with watermark-bounded state. Keep-first-arrival
-    // is order-independent HERE by construction — slice event_types are
-    // disjoint and every non-key column is a function of the key (see
+    // date, details) key with dropDuplicatesWithinWatermark, so the dedup
+    // state is genuinely watermark-bounded (plain dropDuplicates without
+    // the event-time column in the key subset never evicts). Keep-first-
+    // arrival is order-independent HERE by construction — slice event_types
+    // are disjoint and every non-key column is a function of the key (see
     // eventSlices' scaladoc) — so the streaming output set equals batch
-    // DISTINCT and the oracle can say so exactly (the st2 discipline).
+    // DISTINCT whenever duplicate arrivals land within the 90-day horizon
+    // of their first (always, in this harness and in the reference's
+    // 3x/day cadence), and the oracle can say so exactly (the st2
+    // discipline).
     // Firebase parties and linked transactions arrive via their own marts
     // (different systems in the reference), not this feed.
     Q("st15_stream_events_union",
@@ -528,7 +534,8 @@ object StreamQs {
         val dd = EventsTable.eventSlices(
             Streams.eventStream(ss, asStreamDir(s"$d/events.parquet")))
           .withWatermark("ts", "90 days")
-          .dropDuplicates("customer_id", "event_type", "event_date", "details")
+          .dropDuplicatesWithinWatermark(
+            "customer_id", "event_type", "event_date", "details")
           .drop("ts", "prio")
         runToMemory(dd, OutputMode.Append())
       },

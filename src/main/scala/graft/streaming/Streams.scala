@@ -60,9 +60,19 @@ object Streams {
 
   /** Incremental append + key dedup: the `drop_duplicates(transaction_id,
     * keep='first')` pattern with a watermark bounding the dedup state —
-    * exactly-once per key within the lateness horizon. */
+    * exactly-once per key within the lateness horizon.
+    *
+    * `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`: with the
+    * event-time column absent from the key subset, plain dropDuplicates
+    * keeps its state forever (the watermark only evicts when the event-time
+    * column is itself a dedup key) — unbounded state on an unbounded
+    * stream. The WithinWatermark form evicts each key once the watermark
+    * passes its first arrival's event time, so duplicates are suppressed
+    * exactly when they arrive within the lateness horizon of the first —
+    * the reference's operational reality (its 3x/day re-syncs re-send rows
+    * hours apart, never 90 days). */
   def dedupByKey(stream: DataFrame, keyCol: String, lateness: String): DataFrame =
-    stream.withWatermark("ts", lateness).dropDuplicates(keyCol)
+    stream.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keyCol)
 
   /** Tumbling-window per-type counts + value sums with watermarking —
     * the streaming form of A2's calendar-period aggregation. */

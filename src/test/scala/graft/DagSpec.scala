@@ -101,6 +101,36 @@ class DagSpec extends AnyFunSuite {
       "x" -> "failed", "y" -> "skipped"))
   }
 
+  test("runParallel: two heavy-class jobs never co-schedule") {
+    // round-10 lesson: two simhash pair builds co-resident in one wave OOM'd
+    // the 32-thread JVM at sf10 — the Dag's memory-class admission must make
+    // that combination impossible regardless of the dependency shape.
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    def heavyBody(): Unit = {
+      val n = inFlight.incrementAndGet()
+      maxInFlight.getAndUpdate(m => math.max(m, n))
+      Thread.sleep(50) // widen the overlap window
+      inFlight.decrementAndGet()
+    }
+    val dag = new Dag(Seq(
+      Job("h1", Nil, _ => heavyBody(), heavy = true),
+      Job("h2", Nil, _ => heavyBody(), heavy = true),
+      Job("h3", Nil, _ => heavyBody(), heavy = true),
+      Job("l1", Nil, _ => ()),
+      Job("l2", Seq("l1"), _ => ()),
+      // a heavy job with a FAILED upstream is a no-op skip — it must not
+      // hold a heavy slot (nor block the wave) while being poisoned
+      Job("x", Nil, _ => throw new RuntimeException("boom")),
+      Job("h4", Seq("x"), _ => heavyBody(), heavy = true)))
+    val results = dag.runParallel(spark, parallelism = 8)
+      .map(r => r.name -> r.status).toMap
+    assert(results == Map("h1" -> "ok", "h2" -> "ok", "h3" -> "ok",
+      "l1" -> "ok", "l2" -> "ok", "x" -> "failed", "h4" -> "skipped"))
+    assert(maxInFlight.get() == 1,
+      s"heavy jobs co-scheduled: max ${maxInFlight.get()} in flight")
+  }
+
   test("cycles and unknown deps are rejected at construction") {
     intercept[IllegalArgumentException] {
       new Dag(Seq(Job("a", Seq("missing"), _ => ())))
