@@ -608,9 +608,10 @@ object DedupQs {
     // give every member of a near-dup cluster weight 1/cluster_size and
     // each content unit contributes exactly one doc-mass regardless of copy
     // count; docs outside any cluster keep weight 1). Exact integer ppm
-    // floors — the weighted token mass (eff_tokens_ppm) is what the
-    // t17/t33 budget mixers consume in place of n_tokens when dedup is
-    // soft rather than hard.
+    // floors — the weighted token mass (eff_tokens_ppm) is what the c5
+    // soft-curation capstone's UniMax budget mixer consumes in place of
+    // n_tokens when dedup is soft rather than hard (see c5_soft_curation
+    // below — the end-to-end SoftDeDup recipe).
     // Scale: d6's candidate-sized cluster graph + ONE left join on the doc
     // key; no new corpus pass (n_tokens is the scan-speed whitespace count).
     Q("d13_soft_dedup_weights",
@@ -655,6 +656,113 @@ object DedupQs {
            |    (1000000 // COALESCE(cl.cluster_size, 1)) AS BIGINT)
            |    AS eff_tokens_ppm
            |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin)),
+
+    // C5: SOFT-dedup curation capstone — the public SoftDeDup recipe
+    // end-to-end: d13's 1/cluster_size down-weighting feeds the t33 UniMax
+    // budget mixer, so the language budget is spent on WEIGHTED token mass
+    // (eff_tokens_ppm) instead of raw n_tokens. A language whose volume is
+    // inflated by near-dup farms no longer crowds the budget: its duplicated
+    // mass counts once, not once per copy — the allocation shifts toward
+    // genuinely-diverse languages while every doc (including duplicates)
+    // stays eligible for selection. All-integer arithmetic throughout
+    // (ppm weights, floor-division allocation, BIGINT prefix sums), so the
+    // oracle replays the whole chain — pair graph → components → weights →
+    // allocation recurrence → per-language cut — exactly.
+    // Scale: d13's candidate-sized cluster graph + one left join; the
+    // allocation state is LANGUAGE-count rows (KB, the BPE-table pattern);
+    // the cut is the t16/t33 two-level sharded prefix sum, so no language
+    // ever gathers on one partition. Budget is in ppm-token units
+    // (24k tokens × 1e6), far inside int64.
+    Q("c5_soft_curation",
+      (s, d) => {
+        import graft.ops.{Identity, TextAnalysis}
+        import s.implicits._
+        val (nodes, edges) = nearDupGraph(s, d)
+        val cw = Window.partitionBy(col("comp_id"))
+        val clusters = Identity.connectedComponents(nodes, edges)
+          .withColumn("cluster_size", count(lit(1)).over(cw))
+          .select(col("id").as("doc_id"), col("cluster_size"))
+        // checkpointed frontier: the sizes collect and the prefix-sum cut
+        // are separate jobs — without it each replays the pair graph + CC
+        val weighted = Tables.documents(s, d)
+          .filter(col("lang").isNotNull && col("text").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.wsTokens(col("text")).as("n_tokens"))
+          .join(clusters, Seq("doc_id"), "left")
+          .withColumn("weight_ppm", expr(
+            "CAST(1000000 AS BIGINT) div coalesce(cluster_size, CAST(1 AS BIGINT))"))
+          .withColumn("eff_tokens_ppm", col("n_tokens") * col("weight_ppm"))
+          .drop("cluster_size", "n_tokens")
+          .localCheckpoint(true)
+        val sizes = weighted.groupBy(col("lang"))
+          .agg(sum(col("eff_tokens_ppm")).as("sz")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toSeq
+        val alloc = TextAnalysis.unimaxAllocation(sizes,
+          budget = 24000L * 1000000L, capNum = 6, capDen = 5)
+        val allocDf = alloc.map { case (l, _, a, rule) => (l, a, rule) }
+          .toDF("lang", "lang_budget_ppm", "alloc_rule")
+        TextAnalysis.stratifiedTokenRank(weighted, "lang", "doc_id",
+            col("eff_tokens_ppm"), "softcur")
+          .withColumnRenamed("cum_tokens", "cum_eff_ppm")
+          .join(broadcast(allocDf), Seq("lang"))
+          .filter(col("cum_eff_ppm") <= col("lang_budget_ppm"))
+          .select(col("doc_id"), col("lang"), col("weight_ppm"),
+            col("eff_tokens_ppm"), col("cum_eff_ppm"),
+            col("lang_budget_ppm"), col("alloc_rule"))
+      },
+      Some(
+        s"""WITH RECURSIVE $simhash64CtesSql,
+           |np AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+           |uedges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM np
+           |  UNION SELECT id_b, id_a FROM np),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM uedges
+           |  UNION
+           |  SELECT reach.id, e.dst FROM reach JOIN uedges e ON reach.r = e.src),
+           |comps AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+           |sized AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comps GROUP BY 1),
+           |cl AS (SELECT id AS doc_id, cluster_size
+           |       FROM comps JOIN sized USING (cluster_id)),
+           |t AS (
+           |  SELECT d.doc_id, d.lang,
+           |    CAST(1000000 // COALESCE(cl.cluster_size, 1) AS BIGINT)
+           |      AS weight_ppm,
+           |    CAST(${graft.ops.TextAnalysis.wsTokensSql("d.text")} *
+           |      (1000000 // COALESCE(cl.cluster_size, 1)) AS BIGINT)
+           |      AS eff_tokens_ppm,
+           |    ${graft.ops.TextAnalysis.hashUnitSql("d.doc_id", "softcur")} AS h
+           |  FROM documents d LEFT JOIN cl USING (doc_id)
+           |  WHERE d.lang IS NOT NULL AND d.text IS NOT NULL),
+           |sz AS (SELECT lang, SUM(eff_tokens_ppm) AS s FROM t GROUP BY 1),
+           |ord AS (
+           |  SELECT lang, s,
+           |    CAST(row_number() OVER (ORDER BY s, lang) AS BIGINT) AS i,
+           |    (SELECT COUNT(*) FROM sz) AS l
+           |  FROM sz),
+           |alloc AS (
+           |  SELECT i, lang, s, l,
+           |    least(s * 6 // 5, 24000000000 // l) AS a,
+           |    24000000000 - least(s * 6 // 5, 24000000000 // l) AS rem
+           |  FROM ord WHERE i = 1
+           |  UNION ALL
+           |  SELECT o.i, o.lang, o.s, o.l,
+           |    least(o.s * 6 // 5, p.rem // (o.l - o.i + 1)),
+           |    p.rem - least(o.s * 6 // 5, p.rem // (o.l - o.i + 1))
+           |  FROM alloc p JOIN ord o ON o.i = p.i + 1),
+           |cum AS (
+           |  SELECT doc_id, lang, weight_ppm, eff_tokens_ppm,
+           |    CAST(SUM(eff_tokens_ppm) OVER (PARTITION BY lang
+           |      ORDER BY h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS cum_eff_ppm
+           |  FROM t)
+           |SELECT c.doc_id, c.lang, c.weight_ppm, c.eff_tokens_ppm,
+           |  c.cum_eff_ppm, CAST(a.a AS BIGINT) AS lang_budget_ppm,
+           |  CASE WHEN a.a = a.s * 6 // 5 THEN 'epoch_cap'
+           |       ELSE 'budget_share' END AS alloc_rule
+           |FROM cum c JOIN alloc a ON a.lang = c.lang
+           |WHERE c.cum_eff_ppm <= a.a""".stripMargin)),
 
     // GR1: PageRank centrality over the d5 near-dup pair graph (symmetrized)
     // — the canonical-doc-authority signal: inside a duplication cluster the

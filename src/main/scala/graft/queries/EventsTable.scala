@@ -56,9 +56,15 @@ object EventsTable {
     * everything else is retail. Square rows carry no email (the
     * reference's Square feed has no receipt_email — it is the name-match
     * tier's clientele, which SURVEY scopes to u2d). */
-  private def txnFeed(s: SparkSession, d: String): DataFrame = {
+  private def txnFeed(s: SparkSession, d: String): DataFrame =
+    txnFeedFrom(Tables.orders(s, d))
+
+  /** [[txnFeed]] as a pure column transform — one definition for the batch
+    * mart and the st17 streaming arrival path (row-local, so it composes
+    * with a streaming source unchanged). */
+  private[queries] def txnFeedFrom(orders: DataFrame): DataFrame = {
     val key = col("o_orderkey")
-    Tables.orders(s, d)
+    orders
       .withColumn("data_source",
         when(key % 3 === 0, "stripe")
           .when(key % 3 === 1, "shopify").otherwise("square"))
@@ -94,20 +100,11 @@ object EventsTable {
   private val revenueRules: Seq[(String, String)] =
     Seq("membership" -> "membership", "entry pass" -> "day_pass")
 
-  /** CM2 frame (shared with the EV2 union's transaction slice). */
-  private[queries] def customerTransactions(s: SparkSession, d: String)
-      : DataFrame = {
-    // the reference re-PARSES the description (regex, case-insensitive)
-    // rather than trusting feed metadata — so does the mart
-    val parsed = txnFeed(s, d)
-      .withColumn("mem_num",
-        regexp_extract(lower(col("description")), "membership #([0-9]+)", 1))
-      .withColumn("mem_num",
-        when(col("mem_num") =!= "", col("mem_num").cast("long")))
-      .withColumn("pass_num",
-        regexp_extract(lower(col("description")), "entry pass #([0-9]+)", 1))
-      .withColumn("pass_num",
-        when(col("pass_num") =!= "", col("pass_num").cast("long")))
+  /** The three match-waterfall dimension frames (membership ledger, entry-
+    * pass directory, master email index) — static sides for both the batch
+    * mart and the st17 stream-static joins. */
+  private[queries] def waterfallDims(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     // membership ledger: active orders, id → owner (j4's convention)
     val mem = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
       .select(col("o_orderkey").as("membership_id"),
@@ -122,6 +119,32 @@ object EventsTable {
       .select(CustomerMaster.synthEmail.as("email"), col("c_custkey"))
       .filter(col("email").isNotNull)
       .groupBy(col("email")).agg(max(col("c_custkey")).as("email_cid"))
+    (mem, passes, emails)
+  }
+
+  /** CM2 frame (shared with the EV2 union's transaction slice). */
+  private[queries] def customerTransactions(s: SparkSession, d: String)
+      : DataFrame = {
+    val (mem, passes, emails) = waterfallDims(s, d)
+    matchWaterfall(txnFeed(s, d), mem, passes, emails)
+  }
+
+  /** The tier-ordered match waterfall over an arrivals frame — one
+    * definition for the batch mart and the st17 streaming seat (the joins
+    * are stream-static there; every step is append-safe). */
+  private[queries] def matchWaterfall(txns: DataFrame, mem: DataFrame,
+      passes: DataFrame, emails: DataFrame): DataFrame = {
+    // the reference re-PARSES the description (regex, case-insensitive)
+    // rather than trusting feed metadata — so does the mart
+    val parsed = txns
+      .withColumn("mem_num",
+        regexp_extract(lower(col("description")), "membership #([0-9]+)", 1))
+      .withColumn("mem_num",
+        when(col("mem_num") =!= "", col("mem_num").cast("long")))
+      .withColumn("pass_num",
+        regexp_extract(lower(col("description")), "entry pass #([0-9]+)", 1))
+      .withColumn("pass_num",
+        when(col("pass_num") =!= "", col("pass_num").cast("long")))
     parsed
       .join(mem, col("mem_num") === col("membership_id"), "left")
       .join(passes, col("pass_num") === col("pass_id"), "left")

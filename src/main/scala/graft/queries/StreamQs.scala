@@ -584,6 +584,39 @@ object StreamQs {
              |  CAST(SUM(qv) AS BIGINT) AS mean_num,
              |  CAST(SUM(qv * qv) AS BIGINT) AS gram_diag,
              |  true AS stream_matches_batch
-             |FROM q GROUP BY pos""".stripMargin))
+             |FROM q GROUP BY pos""".stripMargin)),
+
+    // ST17: streaming transaction waterfall — the reference's MOST-RUN
+    // incremental pattern (`pipeline_handler.py:299-355`: fetch-last-N-days
+    // → concat → drop_duplicates(transaction_id) on a 3×/day cron) as a
+    // continuous query, feeding cm2's match waterfall. Three readers of the
+    // same ledger stand in for the three daily re-syncs — every transaction
+    // arrives three times, and the watermark-keyed dedup
+    // (dropDuplicatesWithinWatermark on the transaction id, state evicted
+    // once the watermark passes each key's first arrival) keeps exactly
+    // one. The surviving arrivals flow through the SAME waterfall body the
+    // batch mart uses (EventsTable.matchWaterfall — one definition, two
+    // readers, the ev2/st15 discipline) with the three dimension frames as
+    // stream-static joins. Re-sent copies are bit-identical (the re-sync
+    // re-reads one ledger), so which copy survives is immaterial and the
+    // streaming output equals the batch cm2 mart exactly — the oracle IS
+    // cm2's oracle.
+    Q("st17_stream_txn_waterfall",
+      (s, d) => {
+        val ss = streamSession(s)
+        val dir = asStreamDir(s"$d/orders.parquet")
+        val resync = Seq.fill(3)(Streams.orderStream(ss, dir))
+          .reduce(_.unionByName(_))
+        val arrivals = resync
+          .withColumn("ts", col("o_orderdate"))
+          .withWatermark("ts", "90 days")
+          .dropDuplicatesWithinWatermark("o_orderkey")
+          .drop("ts")
+        val (mem, passes, emails) = EventsTable.waterfallDims(ss, d)
+        val matched = EventsTable.matchWaterfall(
+          EventsTable.txnFeedFrom(arrivals), mem, passes, emails)
+        runToMemory(matched, OutputMode.Append())
+      },
+      Some(EventsTable.customerTransactionsSql)),
   )
 }

@@ -46,6 +46,26 @@ object Streams {
     else
       spark.readStream.schema(eventsMicrosSchema).parquet(dir)
 
+  /** Streaming read of the orders/transactions ledger (the cm2 waterfall's
+    * front door). Same two-generation footer sniff as [[eventStream]]:
+    * a nanos-long `o_orderdate` converts by the same integral division
+    * DuckDB applies reading the file as TIMESTAMP. */
+  def orderStream(spark: SparkSession, dir: String): DataFrame = {
+    val micros = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    if (spark.read.parquet(dir).schema("o_orderdate").dataType == LongType)
+      spark.readStream.schema(StructType(micros.map {
+          case f if f.name == "o_orderdate" => f.copy(dataType = LongType)
+          case f => f
+        })).parquet(dir)
+        .withColumn("o_orderdate", timestamp_micros(expr("o_orderdate div 1000")))
+    else spark.readStream.schema(micros).parquet(dir)
+  }
+
   /** Streaming read of the documents table (curation front door). */
   def documentStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(
