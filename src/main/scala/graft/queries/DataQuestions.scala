@@ -136,7 +136,10 @@ object DataQuestions {
            |    AND contact_email IS NOT NULL)
            |SELECT * FROM q1
            |UNION ALL SELECT * FROM q2
-           |UNION ALL SELECT * FROM q3""".stripMargin)),
+           |UNION ALL SELECT * FROM q3""".stripMargin),
+      // promoted round 11: third-largest untimed query by 3-rep median
+      // (3.99 s at sf0.1) — the master-consuming CRM queue
+      bench = true),
 
     // DQ2: declarative CONSTRAINT SUITE over the raw warehouse tables — the
     // Deequ-style publish gate dq1's CRM queue doesn't cover: uniqueness,

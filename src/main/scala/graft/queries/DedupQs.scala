@@ -762,7 +762,10 @@ object DedupQs {
            |  CASE WHEN a.a = a.s * 6 // 5 THEN 'epoch_cap'
            |       ELSE 'budget_share' END AS alloc_rule
            |FROM cum c JOIN alloc a ON a.lang = c.lang
-           |WHERE c.cum_eff_ppm <= a.a""".stripMargin)),
+           |WHERE c.cum_eff_ppm <= a.a""".stripMargin),
+      // promoted on landing: second-largest untimed query by 3-rep median
+      // (5.41 s at sf0.1) — the promote-the-largest-untimed discipline
+      bench = true),
 
     // GR1: PageRank centrality over the d5 near-dup pair graph (symmetrized)
     // — the canonical-doc-authority signal: inside a duplication cluster the

@@ -145,10 +145,28 @@ object EventsTable {
         regexp_extract(lower(col("description")), "entry pass #([0-9]+)", 1))
       .withColumn("pass_num",
         when(col("pass_num") =!= "", col("pass_num").cast("long")))
+    // NULL-SALTED tier keys: a NULL key never matches, but in a shuffle
+    // join every NULL-key row hashes to ONE partition — and ~6/7 of the
+    // feed is keyless for the membership tier (only %7==0 descriptions
+    // parse a number). At the gated scales the dims broadcast and this is
+    // moot; at warehouse scale the membership ledger is ORDER-sized (not
+    // broadcastable), the tier joins go sort-merge, and the NULL partition
+    // is a straggler that holds 6/7 of 100 TB. Joining on
+    // coalesce(key, -o_orderkey - 1) gives each keyless row a UNIQUE,
+    // never-matching negative key (ledger/pass ids are positive), so NULLs
+    // spread uniformly across the exchange; the string tier uses a
+    // sentinel prefix no synthesized email can carry. One plan tree, one
+    // fact scan — an explicit filter-slice + union bypass was measured
+    // at 28 scan replays (2^tiers subtree duplication) and rejected.
+    val noKey = -col("o_orderkey") - lit(1L)
     parsed
-      .join(mem, col("mem_num") === col("membership_id"), "left")
-      .join(passes, col("pass_num") === col("pass_id"), "left")
-      .join(emails, col("receipt_email") === col("email"), "left")
+      .join(mem, coalesce(col("mem_num"), noKey) === col("membership_id"),
+        "left")
+      .join(passes, coalesce(col("pass_num"), noKey) === col("pass_id"),
+        "left")
+      .join(emails, coalesce(col("receipt_email"),
+          concat(lit(" nokey:"), col("o_orderkey").cast("string")))
+          === col("email"), "left")
       .withColumn("customer_id",
         coalesce(col("mem_owner"), col("pass_owner"), col("email_cid")))
       .filter(col("customer_id").isNotNull)

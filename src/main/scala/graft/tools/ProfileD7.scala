@@ -102,6 +102,43 @@ object ProfileD7 {
       }
       spark.stop(); return
     }
+    // (bands,bits,window) Pareto grid (3rd arg "grid", 4th "b:k:w,..."):
+    // ONE fixed denominator — the production config's (bands=4, bits=6)
+    // exhaustive-LSH true-edge set, the same denominator RingCoverage's
+    // declared ≥60% target is stated against — then per config the
+    // end-to-end wall (band stream → fine order → ring → verify), candidate
+    // volume, surfaced true edges, and recall vs that FIXED set (edge
+    // intersection, not a count ratio — a config finding different edges
+    // must not masquerade as recall). Answers the bits-vs-ring-width
+    // question: does more bits + a narrower ring reach the target cheaper?
+    if (args.length > 3 && args(2) == "grid") {
+      graft.plans.FloatDot.register(spark)
+      val truth = verifyOf(Dedup.lshCandidates(banded0, "vec_id")
+        .select(col("id_a"), col("id_b"))).localCheckpoint(true)
+      val nTruth = truth.count()
+      println(f"GRID    truth(4x6 exhaustive) $nTruth%12d true edges (fixed denominator)")
+      args(3).split(",").map(_.trim).filter(_.nonEmpty).foreach { spec =>
+        val Array(b, k, w) = spec.split(":").map(_.toInt)
+        val t0 = System.nanoTime()
+        val banded = SimilaritySearch.srpBanded(emb, "vec_id", "embedding",
+          dim, b, k)
+        val fine = emb.select(col("vec_id"),
+          SimilaritySearch.srpFineCol("embedding", b * k, 16, dim)
+            .as("__fine"))
+        val cand = Dedup.lshCandidatesRing(banded.join(fine, "vec_id"),
+          "vec_id", w, Some("__fine"))
+          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+        val nCand = cand.count()
+        val found = verifyOf(cand).localCheckpoint(true)
+        val nFound = found.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val hits = found.intersect(truth).count()
+        println(f"GRID    bands=$b bits=$k window=$w%-6d cand=$nCand%12d " +
+          f"true=$nFound%9d recallVsRef=${hits * 100.0 / nTruth}%5.1f%% " +
+          f"wall=$secs%7.1f s")
+      }
+      spark.stop(); return
+    }
     val probes: Seq[(String, () => Long)] = Seq(
       "banded" -> (() => SimilaritySearch.srpBanded(emb, "vec_id", "embedding",
         dim, bands, bits).count()),
