@@ -323,6 +323,20 @@ object DailyPipeline {
       // it — the Dag now guarantees no two pair builds co-schedule, whoever
       // adds the next one.
       materialize("d13_soft_dedup_weights", "soft_dedup_weights", heavy = true),
+      // soft-weighted training mixture: the c5 UniMax budget cut run on
+      // the MATERIALIZED soft-dedup weights (the ev2 injection pattern:
+      // the dep is a data dep — the simhash pair graph + CC behind the
+      // weights runs once per pipeline run, in the d13 job; this seat
+      // only joins the weights to the doc spine for lang and cuts)
+      Job("soft_budget_mix", Seq("soft_dedup_weights"), s => {
+        val w = s.read.parquet(s"$outDir/soft_dedup_weights")
+          .select(col("doc_id"), col("weight_ppm"), col("eff_tokens_ppm"))
+        val docs = Tables.documents(s, sfDir)
+          .filter(col("lang").isNotNull && col("text").isNotNull)
+          .select(col("doc_id"), col("lang"))
+        Tables.write(graft.queries.DedupQs.softCurationCut(s,
+          docs.join(w, "doc_id")), s"$outDir/soft_budget_mix")
+      }),
       // index health: new arrivals probed against the stale ANN index —
       // recall verdict + per-probe structural rot floor (exact neighbors
       // the index cannot contain); pairs with ann_ivf_index's cadence

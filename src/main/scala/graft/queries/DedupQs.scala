@@ -100,6 +100,36 @@ object DedupQs {
     (nodes, edges)
   }
 
+  /** The c5 UniMax allocation + cut over a PRE-BUILT weighted frame
+    * (doc_id, lang, weight_ppm, eff_tokens_ppm) — one definition, two
+    * readers: the registry query above it builds the frame from the pair
+    * graph inline (self-contained oracle), the pipeline's soft_budget_mix
+    * seat injects the MATERIALIZED soft_dedup_weights mart joined to the
+    * doc spine for lang, so the simhash pair build runs once per pipeline
+    * run (the ev2 injection pattern). Allocation state is LANGUAGE-count
+    * rows (KB, driver-side, the BPE-table pattern); the cut is the
+    * t16/t33 two-level sharded prefix sum. */
+  private[graft] def softCurationCut(s: org.apache.spark.sql.SparkSession,
+      weighted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.ops.TextAnalysis
+    import s.implicits._
+    val sizes = weighted.groupBy(col("lang"))
+      .agg(sum(col("eff_tokens_ppm")).as("sz")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val alloc = TextAnalysis.unimaxAllocation(sizes,
+      budget = 24000L * 1000000L, capNum = 6, capDen = 5)
+    val allocDf = alloc.map { case (l, _, a, rule) => (l, a, rule) }
+      .toDF("lang", "lang_budget_ppm", "alloc_rule")
+    TextAnalysis.stratifiedTokenRank(weighted, "lang", "doc_id",
+        col("eff_tokens_ppm"), "softcur")
+      .withColumnRenamed("cum_tokens", "cum_eff_ppm")
+      .join(broadcast(allocDf), Seq("lang"))
+      .filter(col("cum_eff_ppm") <= col("lang_budget_ppm"))
+      .select(col("doc_id"), col("lang"), col("weight_ppm"),
+        col("eff_tokens_ppm"), col("cum_eff_ppm"),
+        col("lang_budget_ppm"), col("alloc_rule"))
+  }
+
   /** The verified MinHash-LSH pair frame (keeps jaccardFor's
     * n_inter/n_a/n_b so consumers can derive further metrics).
     * Materialization frontiers, A/B-measured in rounds 3-4:
@@ -676,7 +706,6 @@ object DedupQs {
     Q("c5_soft_curation",
       (s, d) => {
         import graft.ops.{Identity, TextAnalysis}
-        import s.implicits._
         val (nodes, edges) = nearDupGraph(s, d)
         val cw = Window.partitionBy(col("comp_id"))
         val clusters = Identity.connectedComponents(nodes, edges)
@@ -694,21 +723,7 @@ object DedupQs {
           .withColumn("eff_tokens_ppm", col("n_tokens") * col("weight_ppm"))
           .drop("cluster_size", "n_tokens")
           .localCheckpoint(true)
-        val sizes = weighted.groupBy(col("lang"))
-          .agg(sum(col("eff_tokens_ppm")).as("sz")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toSeq
-        val alloc = TextAnalysis.unimaxAllocation(sizes,
-          budget = 24000L * 1000000L, capNum = 6, capDen = 5)
-        val allocDf = alloc.map { case (l, _, a, rule) => (l, a, rule) }
-          .toDF("lang", "lang_budget_ppm", "alloc_rule")
-        TextAnalysis.stratifiedTokenRank(weighted, "lang", "doc_id",
-            col("eff_tokens_ppm"), "softcur")
-          .withColumnRenamed("cum_tokens", "cum_eff_ppm")
-          .join(broadcast(allocDf), Seq("lang"))
-          .filter(col("cum_eff_ppm") <= col("lang_budget_ppm"))
-          .select(col("doc_id"), col("lang"), col("weight_ppm"),
-            col("eff_tokens_ppm"), col("cum_eff_ppm"),
-            col("lang_budget_ppm"), col("alloc_rule"))
+        softCurationCut(s, weighted)
       },
       Some(
         s"""WITH RECURSIVE $simhash64CtesSql,
