@@ -131,6 +131,21 @@ class DagSpec extends AnyFunSuite {
       s"heavy jobs co-scheduled: max ${maxInFlight.get()} in flight")
   }
 
+  test("DailyPipeline tags every pair-machinery job heavy") {
+    // the memory-class policy only protects jobs that DECLARE the class —
+    // pin the tag on the known candidate-pair-scale plans so a retag slip
+    // (or a new pair build landing untagged next to these) is a red test,
+    // not an sf10 OOM three waves into a nightly run
+    val heavy = graft.pipeline.DailyPipeline
+      .jobs("/root/testdata/sf0.001", "/tmp/never_run")
+      .filter(_.heavy).map(_.name).toSet
+    assert(Set("soft_dedup_weights", "dup_clustering_report",
+      "embedding_dedup_clusters", "neardup_candidate_queue",
+      "dup_farm_report", "incremental_dedup_report",
+      "source_overlap_matrix").subsetOf(heavy),
+      s"missing heavy tags; tagged: $heavy")
+  }
+
   test("cycles and unknown deps are rejected at construction") {
     intercept[IllegalArgumentException] {
       new Dag(Seq(Job("a", Seq("missing"), _ => ())))
