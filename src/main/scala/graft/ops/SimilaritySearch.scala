@@ -580,6 +580,24 @@ object SimilaritySearch {
   val RingRecallTarget = 0.60
   val RingCoverage = 0.21
 
+  /** Worst-bucket occupancy above which [[srpNearPairs]] REBANDS with more
+    * bits instead of widening the ring. The coverage-ratio window is
+    * QUADRATIC across decades (window ∝ occ ∝ n at fixed bits, candidates
+    * ∝ n·window ∝ n²): measured at the fourth decade — sf30 (240k vectors,
+    * maxOcc ≈ 7.3k, derived window ≈ 1.5k, ~1.1G candidates) exhausted a
+    * 61 GB spill volume and ran 0/2 reps, where sf10 (80k vectors, maxOcc
+    * 2,446) ran in 172 s standalone. The cap sits just above the sf10
+    * measurement, the largest regime where the 0.21-coverage price is
+    * measured and declared; each extra bit halves occupancy, so candidates
+    * return to ~linear per decade (bits ∝ log n — the IVF-nlist
+    * discipline applied to the LSH bands). Recall stays declared against
+    * the EFFECTIVE banding's exhaustive basis: the round-11 Pareto grid
+    * measured that extra bits shrink the reachable set itself (21-29% of
+    * the coarser basis), so this is a declared trade — bounded candidates
+    * over cross-decade basis stability — not a free lunch, and the gated
+    * scales (occ far below the cap) are bit-identical. */
+  val RebandOcc = 2560L
+
   /** `adaptiveWindow = false` keeps the caller's FIXED window in the ring
     * regime — declared BUDGET semantics instead of the recall target.
     * Measured rejection of the adaptive width for gr7 (sf10, maxOcc 7,547
@@ -593,7 +611,33 @@ object SimilaritySearch {
       bands: Int, bits: Int, threshold: Double,
       window: Int = SrpWindow, adaptiveWindow: Boolean = true): DataFrame = {
     registerFns(emb)
-    val banded = srpBanded(emb, idCol, vecCol, dim, bands, bits)
+    def bandedAt(b: Int) = srpBanded(emb, idCol, vecCol, dim, bands, b)
+    def worstOcc(bd: DataFrame): Long = {
+      val r = bd.groupBy(col("band"), col("sig"))
+        .agg(count(lit(1)).as("occ")).agg(max(col("occ"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var effBits = bits
+    var banded = bandedAt(bits)
+    var measuredOcc = worstOcc(banded)
+    // Occupancy-stabilizing REBAND (adaptive-window callers only — fixed-
+    // budget callers declared candidates ∝ n·window and keep it): when the
+    // worst bucket outgrows the regime the coverage ratio was measured in
+    // (RebandOcc — see its scaladoc for the sf30 disk-exhaustion
+    // measurement), grow bits until occupancy returns under the cap. One
+    // extra signature agg per step, ≤ ceil(log2(occ/cap)) steps total.
+    if (adaptiveWindow && measuredOcc > RebandOcc) {
+      val extra = math.ceil(
+        math.log(measuredOcc.toDouble / RebandOcc) / math.log(2.0)).toInt
+      effBits = bits + extra
+      System.err.println(s"[srpNearPairs] REBAND: worst bucket occupancy " +
+        s"$measuredOcc exceeds RebandOcc = $RebandOcc (the measured " +
+        s"coverage-ratio regime) — growing bits $bits -> $effBits to " +
+        s"stabilize occupancy; the recall target is declared against this " +
+        s"effective banding's exhaustive basis")
+      banded = bandedAt(effBits)
+      measuredOcc = worstOcc(banded)
+    }
     // Measure the worst bucket (one bounded scalar agg over the
     // checkpointed-signature band stream), then pick the candidate path
     // ADAPTIVELY — the r8-advice occupancy seam, closed both ways:
@@ -608,9 +652,7 @@ object SimilaritySearch {
     //    candidates have an n²/2^(bits+1) floor), and say LOUDLY that the
     //    output is no longer exhaustive: pairs drop in salted-hash order,
     //    invisible to callers and to the oracle gate otherwise.
-    val occRow = banded.groupBy(col("band"), col("sig"))
-      .agg(count(lit(1)).as("occ")).agg(max(col("occ"))).head()
-    val maxOcc = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
+    val maxOcc = measuredOcc
     val pairs =
       if (maxOcc <= window + 1) Dedup.lshCandidates(banded, idCol)
       else {
@@ -643,7 +685,7 @@ object SimilaritySearch {
         // the window the order is irrelevant (all pairs emit), so the
         // gated-scale exhaustive equality is untouched.
         val fine = emb.select(col(idCol),
-          srpFineCol(vecCol, bands * bits, 16, dim).as("__fine"))
+          srpFineCol(vecCol, bands * effBits, 16, dim).as("__fine"))
         Dedup.lshCandidatesRing(banded.join(fine, idCol), idCol, effWindow,
           Some("__fine"))
       }

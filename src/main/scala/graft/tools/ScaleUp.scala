@@ -33,6 +33,11 @@ object ScaleUp {
     val src = args(0)
     val out = args(1)
     val factor = args(2).toInt
+    // optional 4th arg: comma list of tables to (re)build into an existing
+    // probe dir (e.g. "embeddings" with a larger factor to scale ONE op's
+    // input axis independently — the fourth-decade tail probes); default all
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -51,7 +56,8 @@ object ScaleUp {
     def replicate(df: DataFrame, n: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until n).map(r => f(df, r)).reduce(_ unionByName _)
     def write(df: DataFrame, n: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
+      if (only.isEmpty || only(n))
+        df.write.mode("overwrite").parquet(s"$out/$n.parquet")
 
     // fixed dims: copy verbatim (the generator never scales them)
     write(table("region"), "region")
